@@ -1,38 +1,434 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the north-rule interleaved
+``documents(doc_id, spans)`` table at sf0.001 via the production chunker UDF
+and return span statistics.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 (+ the training-data ops). Oracles are ANSI SQL for
+DuckDB over the same parquet views; ops whose core hash (xxhash64) has no
+DuckDB twin are registered without an oracle (rows-only check, by design).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from llm_scraper_spark.session import tune_session  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """sf0.001 documents -> interleaved spans (chunker UDF) -> span stats."""
+    tune_session(spark)
+    from llm_scraper_spark.operators.chunker import chunk_counts
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    docs = build_documents_interleaved(spark, "/root/testdata/sf0.001")
+    stats = chunk_counts(docs).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").alias("total_spans"),
+        F.sum("n_text_spans").alias("text_spans"),
+        F.sum("n_media_spans").alias("media_spans"),
+        F.round(F.avg("n_spans"), 4).alias("avg_spans_per_doc"),
+    )
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# queries — each (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A4-style partial+final aggregation (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customer_revenue(spark, sf_dir):
+    """J5-style equi-join + group + top-k (broadcast dim)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("nation_revenue"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.col("nation_revenue").desc())
+        .limit(10)
+    )
+
+
+def q_revenue_filter(spark, sf_dir):
+    """P13-style predicate + single agg (TPC-H Q6 shape; pushdown check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def q_doc_textstats(spark, sf_dir):
+    """A1/A2/A3: word count, token estimate, reading time (native exprs)."""
+    from llm_scraper_spark.functions.text import (
+        reading_time_minutes, token_estimate, word_count)
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        token_estimate("text").alias("token_est"),
+        reading_time_minutes("text").alias("reading_minutes"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep lowest doc_id per normalized text (D2 analogue)."""
+    from llm_scraper_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+def q_first_event_per_user(spark, sf_dir):
+    """D3 first-occurrence dedup as min_by aggregation."""
+    from llm_scraper_spark.operators.seen import first_occurrence_dedup
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return first_occurrence_dedup(ev, "user_id", "event_id").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+def q_politeness_topk(spark, sf_dir):
+    """O4/T2: per-key budget via rank window (politeness shape on events)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("event_type", "rnk", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """D1: batch canonicalization UDF + md5 cache key vs an independent
+    string construction in the oracle."""
+    from llm_scraper_spark.functions.urls import with_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"), F.upper("source"), F.lit(".Example.COM:80/path/"),
+            F.col("doc_id").cast("string"), F.lit("#frag"),
+        ).alias("url"),
+    )
+    return with_canonical(urls).select("doc_id", "canonical_url", "host", "key_hex")
+
+
+def q_embedding_topk(spark, sf_dir):
+    """J6: exact cosine top-k vs query vector vec_id=0 (brute-force baseline)."""
+    from llm_scraper_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = brute_force_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=5)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (md5 3-gram min)."""
+    from llm_scraper_spark.operators.text_analysis import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+
+
+def q_token_count_bpe(spark, sf_dir):
+    from llm_scraper_spark.operators.text_analysis import token_count_bpe, token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_ws_tokens"),
+        token_count_bpe("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    from llm_scraper_spark.operators.text_analysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_events_daily(spark, sf_dir):
+    """T1-style time bucketing (UTC-pinned date strings for oracle parity)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min gap rule via lag + running sum windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("ns").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_language_id(spark, sf_dir):
+    """Stopword-lexicon language ID (rows-only: argmax tie-break is
+    engine-defined)."""
+    from llm_scraper_spark.operators.text_analysis import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH candidate pairs (xxhash64-based — no DuckDB twin)."""
+    from llm_scraper_spark.operators.dedup import minhash_candidates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_candidates(docs, bands=8, rows=4).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from llm_scraper_spark.operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64(docs)
+
+
+def q_spans_documents(spark, sf_dir):
+    """The north-rule interleaved documents table (chunker UDF)."""
+    from llm_scraper_spark.operators.chunker import chunk_counts
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    return chunk_counts(docs).select("doc_id", "n_spans", "n_text_spans", "n_media_spans")
+
+
+def q_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path of q_embedding_topk)."""
+    from llm_scraper_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ann_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=5,
+                    planes=6).select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customer_revenue": q_top_customer_revenue,
+        "revenue_filter": q_revenue_filter,
+        "doc_textstats": q_doc_textstats,
+        "dedup_exact": q_dedup_exact,
+        "first_event_per_user": q_first_event_per_user,
+        "politeness_topk": q_politeness_topk,
+        "url_canonicalize": q_url_canonicalize,
+        "embedding_topk": q_embedding_topk,
+        "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        "quality_score": q_quality_score,
+        "events_daily": q_events_daily,
+        "sessionize": q_sessionize,
+        "language_id": q_language_id,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash": q_simhash,
+        "spans_documents": q_spans_documents,
+        "ann_topk": q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customer_revenue": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS nation_revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY nation_revenue DESC
+            LIMIT 10
+        """,
+        "revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+              AND l_discount >= 0.05 AND l_quantity < 24
+        """,
+        "doc_textstats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\w+')) AS n_words,
+                   CAST(ceil(len(regexp_extract_all(text, '\w+')) * 1.33) AS INT) AS token_est,
+                   round(len(regexp_extract_all(text, '\w+')) / 220.0, 2) AS reading_minutes
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+            ORDER BY doc_id
+        """,
+        "first_event_per_user": """
+            SELECT user_id, min(event_id) AS event_id,
+                   arg_min(event_type, event_id) AS event_type
+            FROM events GROUP BY user_id
+        """,
+        "politeness_topk": """
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rnk,
+                   event_id, round(value, 2) AS value
+            FROM events
+            QUALIFY rnk <= 2
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'http://' || lower(source) || '.example.com/path/' || doc_id AS canonical_url,
+                   lower(source) || '.example.com' AS host,
+                   md5('HTTP://' || upper(source) || '.Example.COM:80/path/' || doc_id || '#frag') AS key_hex
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 5
+        """,
+        "fingerprint": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            SELECT doc_id,
+                   list_min(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                            i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS fp
+            FROM t
+            WHERE len(w) >= 3
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, text, toks,
+                     len(toks) AS nw,
+                     len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it','that','for',
+                        'on','with','as','was','at','by','an','be','this','are'], x))) AS hits,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS pr,
+                     list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                       / greatest(len(toks), 1) AS mwl
+              FROM t
+            )
+            SELECT doc_id,
+                   round(0.25 * least(nw / 100.0, 1.0)
+                       + 0.25 * least(hits::DOUBLE / greatest(nw, 1) * 4.0, 1.0)
+                       + 0.25 * (CASE WHEN pr >= 0.005 AND pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+                       + 0.25 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END),
+                     6) AS quality
+            FROM s
+        """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "sessionize": """
+            WITH x AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*) AS n_events
+            FROM x GROUP BY user_id
+        """,
+        # language_id / minhash_neardup / simhash / spans_documents / ann_topk:
+        # intentionally no oracle (xxhash64 / UDF-chunker / engine-defined
+        # tie-breaks have no DuckDB equivalent) -> rows-only check.
+    }
+
+
+if __name__ == "__main__":
+    from llm_scraper_spark.session import get_spark
+
+    s = get_spark(app_name="entry_smoke", master="local[8]")
+    entry(s).show(truncate=False)
+    for name, fn in queries().items():
+        df = fn(s, "/root/testdata/sf0.001")
+        print(name, df.count())

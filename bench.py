@@ -1,0 +1,178 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Headline metric: the north-rule frontier pipeline — URLs scheduled+deduped
+per second — measured on a synthetic seed-expanded crawl frontier at the
+BENCH scale factor:
+
+    seeds (spark.range, Zipf-skewed hosts)
+      -> Arrow-UDF batch canonicalization + native xxhash64
+      -> first-occurrence dedup (min_by hash agg)
+      -> per-host politeness window (salted rank)
+      -> synthetic link expansion (native exprs, ~fanout x seeds)
+      -> canonicalize + hash -> anti-join vs seen -> new-URL count
+
+Prints ONE JSON line:
+  {"metric": "frontier_pipeline", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "throughput_urls_per_sec": ...}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``python bench.py --scaling`` which re-execs this script at both
+parallelism levels and writes BENCH/BASELINE.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SEEDS_PER_SF = 20_000_000  # sf0.1 -> 2M seeds
+FANOUT = 3
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_frontier(spark, n_seeds: int, n_hosts: int, budget: int = 32) -> dict:
+    """One frontier wave + one discovery round; returns timing + counts."""
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.functions.urls import with_canonical
+    from llm_scraper_spark.operators.frontier import schedule_wave, with_salt
+    from llm_scraper_spark.operators.seen import first_occurrence_dedup
+    from llm_scraper_spark.sources.synthetic import synth_seeds
+
+    t0 = time.time()
+    seeds = synth_seeds(spark, n_seeds, n_hosts=n_hosts)
+    canon = with_canonical(seeds.select("url", "priority", "seq"))
+    frontier = with_salt(first_occurrence_dedup(canon, "url_hash", "seq"))
+    scheduled = schedule_wave(frontier, default_budget=budget)
+    n_scheduled = scheduled.count()
+
+    # discovery expansion: fanout links per frontier URL, ~1/3 colliding key
+    # space so the dedup anti-join does real work (all native exprs)
+    links = frontier.select(
+        F.explode(F.sequence(F.lit(0), F.lit(FANOUT - 1))).alias("i"),
+        F.col("canonical_url").alias("parent"),
+        F.col("host"),
+    ).select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/p/"),
+            F.pmod(F.xxhash64("parent", "i"), F.lit(n_seeds * 2)).cast("string"),
+        ).alias("url"),
+        (F.xxhash64("parent") + F.col("i")).alias("disc_ord"),
+    )
+    cand = with_canonical(links).drop("key_hex")
+    cand = first_occurrence_dedup(cand, "url_hash", "disc_ord")
+    new = cand.join(frontier.select("url_hash"), on="url_hash", how="left_anti")
+    n_new = new.count()
+    dt = time.time() - t0
+    n_processed = n_seeds + n_seeds * FANOUT
+    return {
+        "sec": round(dt, 3),
+        "n_seeds": n_seeds,
+        "n_candidates": n_seeds * FANOUT,
+        "n_scheduled": n_scheduled,
+        "n_new": n_new,
+        "urls_per_sec": round(n_processed / dt, 1),
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+
+    names = ["pricing_summary", "doc_textstats", "dedup_exact", "sessionize",
+             "minhash_neardup", "embedding_topk", "spans_documents"]
+    qs = entry_mod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_bench() -> dict:
+    from llm_scraper_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_seeds = max(int(SEEDS_PER_SF * sf), 10_000)
+    n_hosts = max(256, n_seeds // 500)
+
+    spark = get_spark(app_name=f"bench_local_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    try:
+        frontier = bench_frontier(spark, n_seeds, n_hosts)
+        queries = bench_queries(spark, sf_dir)
+    finally:
+        spark.stop()
+    return {
+        "metric": "frontier_pipeline",
+        "value": frontier["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "throughput_urls_per_sec": frontier["urls_per_sec"],
+        "frontier": frontier,
+    }
+
+
+def run_scaling() -> None:
+    """Same frontier job at local[8] and local[32]; efficiency =
+    (thr_32 / thr_8) / 4. Writes BENCH/BASELINE.md."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            cwd=REPO, timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["throughput_urls_per_sec"]
+    thr32 = results[32]["throughput_urls_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH — measured frontier throughput + scaling efficiency\n\n"
+            "Protocol (BASELINE.md): same job, same input, two parallelism\n"
+            "levels as the sandbox proxy for N vs 4N executors.\n\n"
+            f"| config | frontier sec | URLs scheduled+deduped/sec |\n|---|---|---|\n"
+            f"| local[8]  | {results[8]['value']} | {thr8:,.0f} |\n"
+            f"| local[32] | {results[32]['value']} | {thr32:,.0f} |\n\n"
+            f"**Scaling efficiency (8 -> 32 cores): {eff:.3f}** "
+            f"(target >= 0.8 would be thr32 >= {4*0.8*thr8:,.0f}/s)\n\n"
+            f"Seeds: {results[32]['frontier']['n_seeds']:,}; candidates: "
+            f"{results[32]['frontier']['n_candidates']:,}; "
+            f"new after dedup: {results[32]['frontier']['n_new']:,}.\n\n"
+            "Raw JSON:\n\n```json\n"
+            + json.dumps(results, indent=2)
+            + "\n```\n"
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "thr_local8": thr8, "thr_local32": thr32}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

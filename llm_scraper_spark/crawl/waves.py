@@ -1,0 +1,295 @@
+"""The crawl wave loop — the engine's top-level dataflow (SURVEY.md §3.2).
+
+Each wave is one batch of the reference's consume-loop
+(/root/reference/scraper.py:64-76) re-expressed as DataFrame stages:
+
+    pending --politeness window--> scheduled --fetch (mapInPandas)-->
+    pages --chunker UDF--> documents
+         \--outlinks explode--> canonicalize+hash --robots gate-->
+           in-wave first-occurrence dedup --bloom + anti-join vs seen-->
+           assign global seq --> frontier append + seen delta
+
+Shuffle inventory per wave (the two the north rule names):
+  1. per-host politeness window (salted: capped shards before exact rank)
+  2. the dedup anti-join (bloom pre-filtered; AQE-coalesced)
+Everything else is narrow or a broadcast.
+
+Ordering contract vs the reference (cache.py:138-148 FIFO): ``seq`` is the
+global enqueue order — seeds in seed order, then discoveries in
+(parent_seq, link_idx) order, deduped first-occurrence. With constant
+priority the politeness window schedules per host strictly by seq, which
+is exactly the reference FIFO batched into waves. The oracle simulator
+(crawl/simulator.py) implements the same contract single-node; tests
+assert schedule-log and final-seen-set equality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.urls import with_canonical
+from ..operators import frontier as frontier_ops
+from ..operators import seen as seen_ops
+from ..operators.chunker import spans_from_text, uuid5_url
+from ..operators.robots import gate_frontier
+from ..sources.synthetic import synth_page
+from .state import CrawlState
+
+FETCH_RESULT_DDL = (
+    "url string, canonical_url string, host string, salt int, url_hash long, "
+    "priority double, wave int, seq long, content string, "
+    "outlinks array<string>, media_refs array<string>, ok boolean"
+)
+
+Fetcher = Callable[[DataFrame], DataFrame]
+
+
+def synthetic_fetcher(n_hosts: int = 50, fanout: int = 4) -> Fetcher:
+    """Deterministic offline fetcher over the synthetic web (sources/synthetic.py).
+
+    mapInPandas: one Arrow batch in, pages out — the slot where a real
+    deployment runs bounded async HTTP (http_fetcher below).
+    """
+
+    def fetch(scheduled: DataFrame) -> DataFrame:
+        cols = ["url", "canonical_url", "host", "salt", "url_hash",
+                "priority", "wave", "seq"]
+
+        def gen(batches):
+            for pdf in batches:
+                pages = [synth_page(u, n_hosts=n_hosts, fanout=fanout)
+                         for u in pdf["url"]]
+                out = pdf[cols].copy()
+                out["content"] = [p["content"] for p in pages]
+                out["outlinks"] = [p["outlinks"] for p in pages]
+                out["media_refs"] = [p["media_refs"] for p in pages]
+                out["ok"] = True
+                yield out
+
+        return scheduled.select(*cols).mapInPandas(gen, schema=FETCH_RESULT_DDL)
+
+    return fetch
+
+
+def http_fetcher(timeout_s: float = 15.0, max_concurrent_per_task: int = 8) -> Fetcher:
+    """Real network fetcher: bounded thread-pool urllib GETs inside
+    mapInPandas (reference envelope: 8 concurrent, 15s timeout,
+    scraper.py:37-41, worker.py:31-32). Link/media extraction uses the
+    stdlib extraction engine. Not exercised in the sandbox (no network)."""
+
+    def fetch(scheduled: DataFrame) -> DataFrame:
+        cols = ["url", "canonical_url", "host", "salt", "url_hash",
+                "priority", "wave", "seq"]
+
+        def gen(batches):
+            from concurrent.futures import ThreadPoolExecutor
+            from urllib.request import Request, urlopen
+
+            from ..operators.extraction.dom import parse_html
+            from ..operators.extraction.values import extract_links_and_media
+
+            def get(url: str):
+                try:
+                    req = Request(url, headers={"User-Agent": "llm-scraper-spark/0.1"})
+                    with urlopen(req, timeout=timeout_s) as resp:
+                        html = resp.read().decode("utf-8", errors="ignore")
+                    root = parse_html(html)
+                    text, links, media = extract_links_and_media(root, url)
+                    return text, links, media, True
+                except Exception:
+                    return "", [], [], False
+
+            with ThreadPoolExecutor(max_workers=max_concurrent_per_task) as pool:
+                for pdf in batches:
+                    results = list(pool.map(get, pdf["url"]))
+                    out = pdf[cols].copy()
+                    out["content"] = [r[0] for r in results]
+                    out["outlinks"] = [r[1] for r in results]
+                    out["media_refs"] = [r[2] for r in results]
+                    out["ok"] = [r[3] for r in results]
+                    yield out
+
+        return scheduled.select(*cols).mapInPandas(gen, schema=FETCH_RESULT_DDL)
+
+    return fetch
+
+
+class CrawlRun:
+    """Drives waves over a CrawlState; resumable at wave granularity."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        fetcher: Fetcher | None = None,
+        budgets: DataFrame | None = None,
+        robots: DataFrame | None = None,
+        default_budget: int = frontier_ops.DEFAULT_BUDGET,
+        n_salts: int = frontier_ops.DEFAULT_SALTS,
+        use_bloom: bool = True,
+        link_priority: float = 1.0,
+    ):
+        self.spark = spark
+        self.state = CrawlState(spark, state_dir)
+        self.fetcher = fetcher or synthetic_fetcher()
+        self.budgets = budgets
+        self.robots = robots
+        self.default_budget = default_budget
+        self.n_salts = n_salts
+        self.use_bloom = use_bloom
+        self.link_priority = link_priority
+
+    # ------------------------------------------------------------------
+    def init_from_seeds(self, seeds: DataFrame) -> None:
+        """Wave -1 'commit': canonicalize seeds, first-occurrence dedup,
+        mark seen at enqueue (reference add_url semantics, cache.py:78-92)."""
+        canon = with_canonical(seeds.select("url", "priority", "seq"))
+        deduped = seen_ops.first_occurrence_dedup(canon, "url_hash", "seq")
+        frontier = (
+            frontier_ops.with_salt(deduped, self.n_salts)
+            .withColumn("wave", F.lit(0))
+            .withColumn("status", F.lit("pending"))
+            .select("url", "canonical_url", "host", "salt", "url_hash",
+                    "priority", "wave", "seq", "status")
+        )
+        # re-number seeds contiguously in first-occurrence order
+        frontier = frontier_ops.assign_global_seq(
+            frontier.withColumnRenamed("seq", "_orig_seq"), 0, ("_orig_seq",)
+        ).drop("_orig_seq")
+        frontier = frontier.localCheckpoint(eager=True)
+        n = frontier.count()
+        self.state.write("frontier", -1, frontier)
+        self.state.write(
+            "seen_delta", 0,
+            frontier.select(
+                "url_hash",
+                F.md5(F.col("url")).alias("key_hex"),
+                F.lit(0).alias("first_seen_wave"),
+            ),
+        )
+        self.state.commit_wave(-1, n, {"seeded": n})
+
+    # ------------------------------------------------------------------
+    def run_wave(self, wave: int) -> dict:
+        """Execute wave K (0-based) and commit. Returns wave stats."""
+        st = self.state
+        ledger = st.read_ledger()
+        next_seq = ledger["next_seq"]
+        pending = st.read_frontier(wave - 1)
+
+        if self.robots is not None:
+            pending_gated = gate_frontier(pending, self.robots)
+        else:
+            pending_gated = pending
+
+        scheduled = frontier_ops.schedule_wave(
+            pending_gated, self.budgets, self.default_budget
+        ).withColumn("wave", F.lit(wave))
+        scheduled = scheduled.localCheckpoint(eager=True)
+
+        pages = self.fetcher(scheduled).localCheckpoint(eager=True)
+
+        # --- documents: uuid5 doc id + interleaved spans (production 512/50)
+        docs = (
+            pages.filter(F.col("ok"))
+            .withColumn("doc_id", uuid5_url(F.col("canonical_url")))
+            .withColumn("spans", spans_from_text(F.col("content"), F.col("media_refs")))
+            .select("doc_id", "spans", "url", "host", "wave", "seq")
+        )
+
+        # --- discovery: outlinks -> canonical -> in-wave dedup -> unseen
+        links = (
+            pages.select(
+                F.col("seq").alias("parent_seq"),
+                F.posexplode_outer(F.col("outlinks")).alias("link_idx", "url"),
+            )
+            .filter(F.col("url").isNotNull())
+            .withColumn(
+                "_disc_ord",
+                F.col("parent_seq") * F.lit(1_000_000) + F.col("link_idx"),
+            )
+        )
+        cand = with_canonical(links).drop("key_hex")
+        cand = seen_ops.first_occurrence_dedup(cand, "url_hash", "_disc_ord")
+        n_discovered = cand.count()
+
+        seen_df = st.read_seen(wave)
+        bloom = (
+            seen_ops.build_bloom(seen_df) if (self.use_bloom and seen_df is not None) else None
+        )
+        new = seen_ops.filter_unseen(cand, seen_df, bloom=bloom)
+        if self.robots is not None:
+            new = gate_frontier(
+                frontier_ops.with_salt(new, self.n_salts), self.robots
+            )
+        else:
+            new = frontier_ops.with_salt(new, self.n_salts)
+
+        new = frontier_ops.assign_global_seq(new, next_seq, ("_disc_ord",))
+        new_frontier_rows = (
+            new.withColumn("priority", F.lit(self.link_priority))
+            .withColumn("wave", F.lit(wave + 1))
+            .withColumn("status", F.lit("pending"))
+            .select("url", "canonical_url", "host", "salt", "url_hash",
+                    "priority", "wave", "seq", "status")
+        ).localCheckpoint(eager=True)
+        n_new = new_frontier_rows.count()
+
+        # --- next pending = pending - scheduled + new
+        remaining = pending.join(
+            scheduled.select("url_hash"), on="url_hash", how="left_anti"
+        ).select(*new_frontier_rows.columns)
+        next_frontier = remaining.unionByName(new_frontier_rows).localCheckpoint(eager=True)
+
+        # --- metrics: per-partition lineage + fetch/dedup counts (A7/T7)
+        metrics = (
+            pages.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("scheduled"),
+                F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("fetched_ok"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("fetch_failed"),
+            )
+            .withColumn("wave", F.lit(wave))
+            .withColumn("discovered", F.lit(n_discovered))
+            .withColumn("deduped_new", F.lit(n_new))
+        )
+
+        # --- commit (data first, ledger last)
+        n_scheduled = scheduled.count()
+        st.write("schedule_log", wave,
+                 scheduled.select("wave", "seq", "url", "host", "priority"))
+        st.write("documents", wave, docs)
+        st.write(
+            "seen_delta", wave + 1,
+            new_frontier_rows.select(
+                "url_hash",
+                F.md5(F.col("url")).alias("key_hex"),
+                F.lit(wave + 1).alias("first_seen_wave"),
+            ),
+        )
+        st.write("frontier", wave, next_frontier)
+        st.write("metrics", wave, metrics)
+        stats = {
+            "scheduled": n_scheduled,
+            "discovered": int(n_discovered),
+            "deduped_new": int(n_new),
+        }
+        st.commit_wave(wave, next_seq + n_new, stats)
+        return stats
+
+    # ------------------------------------------------------------------
+    def run(self, n_waves: int, seeds: DataFrame | None = None) -> list[dict]:
+        """Run (or resume) the crawl for up to n_waves waves."""
+        last = self.state.last_wave()
+        if last is None:
+            if seeds is None:
+                raise ValueError("no checkpoint and no seeds")
+            self.init_from_seeds(seeds)
+            last = -1
+        stats = []
+        for wave in range(last + 1, n_waves):
+            stats.append(self.run_wave(wave))
+        return stats

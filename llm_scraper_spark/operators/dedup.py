@@ -1,0 +1,262 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are native Spark SQL expressions (JVM, whole-stage codegen):
+shingling via split/transform/sequence, hashing via xxhash64, banding via
+xxhash64-over-array — no Python anywhere. The reference only has exact
+URL-level dedup (cache.py:110-136, SURVEY §2.2); the content-level family
+here is the scale extension a 100 TB corpus needs.
+
+Operators:
+- exact_dedup          — hash-groupBy keep-first (one shuffle, map-side combine)
+- shingle/minhash/LSH  — MinHash signatures + banded LSH candidate pairs
+- minhash_near_dups    — end-to-end near-dup marking (drop docs with a
+                         smaller near-duplicate neighbor — greedy, deterministic)
+- simhash64            — 64-bit SimHash via explode + bit-bucket aggregation
+- ngram_jaccard_pairs  — exact Jaccard over shingle sets for candidate pairs
+- embedding_near_dups  — cosine near-dup via random-hyperplane LSH buckets
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Keep the lowest-id row per distinct (normalized) text.
+
+    groupBy on a 64-bit content hash with min_by — partial aggregation
+    (map-side combine) means the shuffle carries one row per distinct text
+    per map task, not the full corpus.
+    """
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    packed = df.withColumn("_h", F.xxhash64(c))
+    others = [x for x in df.columns]
+    agg = packed.groupBy("_h").agg(
+        F.min_by(F.struct(*others), F.col(id_col)).alias("_row")
+    )
+    return agg.select(*[F.col(f"_row.{x}").alias(x) for x in others])
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def tokens_expr(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def shingles_expr(text_col, n: int = 3) -> Column:
+    """Word n-gram shingles, all native: sequence + transform + slice."""
+    toks = tokens_expr(text_col)
+    n_sh = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, 0) is DESCENDING [1,0] in Spark — guard the empty case
+    return F.when(n_sh >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles_col, k: int = 64) -> Column:
+    """k-permutation MinHash: sig[i] = min over shingles of xxhash64(s, i).
+
+    k array_min/transform expressions, all codegen'd; empty shingle sets get
+    sig of Long.MaxValue so they never collide with real content.
+    """
+    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    maxlong = F.lit(9223372036854775807).cast("long")
+
+    def _hash_fn(i):
+        # a 2-arg lambda would become an (element, index) HOF in PySpark and
+        # the array index would silently replace the permutation id — close over i
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[
+            F.coalesce(F.array_min(F.transform(c, _hash_fn(i))), maxlong)
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_bands(sig_col, bands: int = 16, rows: int = 4) -> Column:
+    """Band hashes: band j = xxhash64(slice(sig, j*rows+1, rows), j)."""
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[F.xxhash64(F.slice(c, j * rows + 1, rows), F.lit(j)) for j in range(bands)]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_shingle: int = 3, bands: int = 16, rows: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) + estimated Jaccard from signatures.
+
+    Plan: shingle -> sig -> explode bands -> self-join per band bucket ->
+    distinct pairs -> sig-agreement estimate. The band join is an equi-join
+    on (band_idx, band_hash): shuffles only bucket ids + signatures.
+    """
+    k = bands * rows
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .withColumn("sh", shingles_expr("t", n_shingle))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature("sh", k))
+        .select(
+            "id", "sig",
+            F.posexplode(lsh_bands("sig", bands, rows)).alias("band_idx", "band_hash"),
+        )
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+                    "band_idx", "band_hash")
+    b = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                    "band_idx", "band_hash")
+    pairs = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double") / F.lit(float(k))
+    )
+    return pairs.withColumn("est_jaccard", est).drop("sig_a", "sig_b")
+
+
+def minhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8, **kw,
+) -> DataFrame:
+    """Return df minus docs having a near-duplicate with a smaller id
+    (greedy keep-first; deterministic)."""
+    pairs = minhash_candidates(df, text_col, id_col, **kw)
+    drop = (
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_shingle: int = 3, bands: int = 16, rows: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard for LSH candidate pairs (verification stage):
+    |A ∩ B| / |A ∪ B| with array_intersect/array_union — native."""
+    cands = minhash_candidates(df, text_col, id_col, n_shingle, bands, rows)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_expr(text_col, n_shingle)).alias("sh"),
+    )
+    out = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+                   on="id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+              on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return out.select("id_a", "id_b", "est_jaccard", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: explode tokens, one groupBy with 64 ±1 bit sums,
+    rebuild the fingerprint with bit ops — single shuffle, all native."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming64(a, b) -> Column:
+    """Popcount of a XOR b via bit_count (native)."""
+    x = (F.col(a) if isinstance(a, str) else a).bitwiseXOR(F.col(b) if isinstance(b, str) else b)
+    return F.bit_count(x)
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (any pair within
+    hamming<=3 shares at least one identical chunk), verify exact hamming."""
+    sh = simhash64(df, text_col, id_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                      "chunk_idx", "chunk")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                      "chunk_idx", "chunk")
+    return (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64("sh_a", "sh_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (see similarity.py for the ANN machinery)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.95,
+                        planes: int = 16, seed: int = 42) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH bucketing + exact
+    cosine verification on bucket-mates."""
+    from .similarity import cosine_expr, hyperplane_bucket
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucketed = hyperplane_bucket(base, "v", planes=planes, seed=seed)
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", cosine_expr("v_a", "v_b"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,135 @@
+"""Priority frontier + per-host politeness scheduling (SURVEY.md §2.6 O1, §2.10 T2).
+
+Reference semantics: a strict FIFO deque consumed one URL at a time under a
+global semaphore of 8 (/root/reference/cache.py:138-148, worker.py:31,154-169).
+The distributed re-expression is wave-based:
+
+- the frontier is a table ``(url, canonical_url, host, salt, url_hash,
+  priority, wave, seq, status)`` where ``seq`` is the global discovery
+  order (FIFO-equivalent total order, deterministic),
+- each wave schedules, per host, the first ``budget(host)`` pending URLs in
+  ``(priority DESC, seq ASC)`` order — the north rule's per-host politeness
+  upgrade of the reference's single global semaphore,
+- hot hosts are salted: rows are sharded as ``(host, salt)`` with
+  ``n_salts(host)`` proportional to the host's frontier mass, so the
+  politeness window shuffle stays even at 10^10 rows. Budget accounting is
+  computed pre-salt (per host) and enforced post-salt by ranking over the
+  un-salted host key but partition-pruned by the salted key first: a cheap
+  per-(host,salt) pre-rank caps each shard at ``budget`` rows before the
+  exact per-host rank, so the per-host window never sees more than
+  ``budget * n_salts`` rows regardless of skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+DEFAULT_BUDGET = 8  # reference MAX_CONCURRENT_SCRAPES (worker.py:31)
+DEFAULT_SALTS = 16
+
+
+def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS,
+              hash_col: str = "url_hash") -> DataFrame:
+    """Deterministic shard id within a host (hash-derived, not random)."""
+    return df.withColumn("salt", F.pmod(F.col(hash_col), F.lit(n_salts)).cast("int"))
+
+
+def host_histogram(frontier: DataFrame) -> DataFrame:
+    """Hot-host histogram used to pick n_salts(host) (SURVEY §4 custom-2)."""
+    return frontier.groupBy("host").agg(F.count("*").alias("n_pending"))
+
+
+def schedule_wave(
+    pending: DataFrame,
+    budgets: DataFrame | None = None,
+    default_budget: int = DEFAULT_BUDGET,
+    salted: bool = True,
+) -> DataFrame:
+    """Pick this wave's fetch set: per host the first ``budget`` pending URLs
+    by (priority DESC, seq ASC); FIFO equality with the reference holds when
+    priorities are constant (order then = discovery seq, cache.py:138-148).
+
+    ``budgets``: optional small DataFrame (host, budget) — broadcast-joined.
+    Returns the scheduled subset with a ``sched_rank`` column.
+    """
+    df = pending
+    if budgets is not None:
+        df = df.join(F.broadcast(budgets), on="host", how="left")
+        df = df.withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
+    else:
+        df = df.withColumn("budget", F.lit(default_budget))
+
+    if salted and "salt" in df.columns:
+        # stage 1: cap each (host, salt) shard at `budget` rows — bounds the
+        # rows entering the exact per-host rank to budget * n_salts even for
+        # pathological hosts, keeping the final window partition tiny.
+        w_shard = W.partitionBy("host", "salt").orderBy(
+            F.col("priority").desc(), F.col("seq").asc()
+        )
+        df = (
+            df.withColumn("_shard_rank", F.row_number().over(w_shard))
+            .filter(F.col("_shard_rank") <= F.col("budget"))
+            .drop("_shard_rank")
+        )
+
+    w_host = W.partitionBy("host").orderBy(F.col("priority").desc(), F.col("seq").asc())
+    return (
+        df.withColumn("sched_rank", F.row_number().over(w_host))
+        .filter(F.col("sched_rank") <= F.col("budget"))
+        .drop("budget")
+    )
+
+
+def assign_global_seq(
+    candidates: DataFrame,
+    base_seq: int,
+    order_cols: tuple[str, ...] = ("parent_seq", "link_idx"),
+) -> DataFrame:
+    """Assign the contiguous global FIFO ``seq`` to newly discovered URLs.
+
+    Discovery order within a wave = (parent_seq, link_idx) — exactly the
+    order the reference would have enqueued them one at a time
+    (scraper.py:64-76). A zipWithIndex-free implementation: rank via a
+    global window is exact but single-partitions; instead we do the
+    scalable 2-phase: per-partition ordered row_number + partition offsets.
+    For wave-sized batches (≤ millions) a range-partitioned sort keeps this
+    even; the total order is deterministic either way.
+    """
+    ordering = [F.col(c).asc() for c in order_cols]
+    # range-partition by the ordering keys so the sort is distributed, then
+    # compute exact offsets from partition sizes (two narrow passes).
+    sorted_df = candidates.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(*ordering)
+
+    def attach_index(pdf_iter):
+        import pandas as pd  # noqa: F401 (executor-side)
+        for pdf in pdf_iter:
+            pdf = pdf.copy()
+            pdf["_local_idx"] = range(len(pdf))
+            yield pdf
+
+    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id())
+    # build a fresh StructType: .add() would mutate the DataFrame's cached schema
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(with_pid.schema.fields) + [T.StructField("_local_idx", T.LongType())]
+    )
+    indexed = with_pid.mapInPandas(attach_index, schema=schema)
+    offsets = (
+        indexed.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        indexed.join(F.broadcast(offsets), on="_pid")
+        .withColumn("seq", (F.lit(base_seq) + F.col("_offset") + F.col("_local_idx")).cast("long"))
+        .drop("_pid", "_local_idx", "_offset")
+    )

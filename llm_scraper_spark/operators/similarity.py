@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (reference J6,
+/root/reference/src/llm_scraper/vectors/engine.py:80-91 — cosine top-k
+against a query vector; here generalized to distributed ANN).
+
+- cosine_expr       — native dot/norm via zip_with + aggregate (no UDF)
+- brute_force_topk  — exact top-k for a query vector (the correctness baseline)
+- hyperplane_bucket — random-hyperplane LSH bucket id (numpy matmul in one
+                      Arrow-batched pandas UDF — the only Python, vectorized)
+- ann_topk          — LSH-bucketed approximate top-k with multi-probe
+- knn_join          — per-row top-k neighbor join between two tables
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def cosine_expr(a, b) -> Column:
+    """Cosine similarity of two array<float|double> columns, fully native."""
+    ca = (F.col(a) if isinstance(a, str) else a).cast("array<double>")
+    cb = (F.col(b) if isinstance(b, str) else b).cast("array<double>")
+    dot = F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ca, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(cb, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k vs a broadcast query vector. The scan is a single
+    narrow pass (no shuffle); top-k is a TakeOrdered, not a full sort."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(dim, planes).astype(np.float64)
+
+
+def hyperplane_bucket(df: DataFrame, vec_col: str, planes: int = 16,
+                      seed: int = 42, out_col: str = "bucket") -> DataFrame:
+    """Sign-of-projection LSH bucket (one int64 of `planes` sign bits).
+
+    numpy matmul over the whole Arrow batch — vectorized, executor-side.
+    """
+    sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if sample is None:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    dim = sample["d"]
+    mat = _planes(dim, planes, seed)
+    bc = df.sparkSession.sparkContext.broadcast(mat)
+    weights = np.array([1 << i for i in range(planes)], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def bucket_of(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())            # (batch, dim)
+        signs = (m.astype(np.float64) @ bc.value) > 0   # (batch, planes)
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return df.withColumn(out_col, bucket_of(F.col(vec_col)))
+
+
+def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             planes: int = 8, seed: int = 42, probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: restrict the exact cosine to LSH buckets within
+    ``probe_hamming`` bits of the query's bucket (multi-probe), then rank.
+    At 100 TB this prunes the scan to ~(1+planes)/2^planes of the corpus;
+    partition-prune further by writing the table bucketed on `bucket`."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(query_vec)
+    mat = _planes(dim, planes, seed)
+    qbits = int(((q @ mat) > 0).astype(np.int64) @ np.array(
+        [1 << i for i in range(planes)], dtype=np.int64))
+    probes = [qbits] + (
+        [qbits ^ (1 << i) for i in range(planes)] if probe_hamming >= 1 else []
+    )
+    bucketed = hyperplane_bucket(df, vec_col, planes, seed)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
+             vec_col: str = "embedding", left_id: str = "vec_id",
+             right_id: str = "vec_id", planes: int = 8, seed: int = 42) -> DataFrame:
+    """For each left row, its k most-cosine-similar right rows sharing an LSH
+    bucket. Equi-join on bucket + per-left-row window top-k."""
+    lb = hyperplane_bucket(
+        left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv")),
+        "lv", planes, seed)
+    rb = hyperplane_bucket(
+        right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv")),
+        "rv", planes, seed)
+    joined = (
+        lb.join(rb, on="bucket")
+        .filter(F.col("lid") != F.col("rid"))
+        .withColumn("cos_sim", cosine_expr("lv", "rv"))
+    )
+    w = W.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "cos_sim", "rank")
+    )

@@ -1,0 +1,122 @@
+"""Text analysis for training-data pipelines — all native Spark expressions.
+
+- language_id     — stopword-hit heuristic over a small per-language lexicon
+- quality_score   — length / punctuation / stopword / word-length signals
+                    (reference QualitySignals fields, articles.py:118-122,
+                    are declared but never computed — this implements them)
+- token_count_*   — whitespace + BPE-ish regex token counts
+- fingerprint     — min-hash-of-word-3-grams document fingerprint (md5-based
+                    so a DuckDB oracle can replicate it exactly)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+           "on", "with", "as", "was", "at", "by", "an", "be", "this", "are"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den",
+           "von", "mit", "auf", "für", "im", "nicht", "sich", "auch"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans",
+           "que", "pour", "qui", "sur", "pas", "au", "plus"),
+    "es": ("el", "la", "los", "las", "de", "y", "es", "un", "una", "en",
+           "que", "por", "con", "para", "no", "se", "su"),
+    "vi": ("và", "của", "là", "có", "được", "cho", "này", "một", "những",
+           "các", "với", "không", "người", "trong"),
+}
+
+
+def _tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def stopword_hits(col, lang: str = "en") -> Column:
+    toks = _tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def language_id(col) -> Column:
+    """argmax over languages of stopword-hit count; 'und' when no hits.
+
+    greatest-of-structs trick keeps it a single codegen'd expression."""
+    toks = _tokens(col)
+    scored = []
+
+    def _hit_fn(sw):
+        # NB: a 2-arg lambda (even with a default) becomes an (element, index)
+        # higher-order function in PySpark — close over sw instead
+        return lambda t: F.array_contains(sw, t)
+
+    for lang in STOPWORDS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, _hit_fn(sw)))
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(col))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish regex token count (letters / digits / punct as separate
+    tokens) — pattern chosen to behave identically under Java regex and
+    DuckDB's RE2 so the oracle can replicate it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def mean_word_len(col) -> Column:
+    toks = _tokens(col)
+    total = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                        F.lit(0), lambda a, x: a + x)
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic:
+    0.25*length_sat + 0.25*stopword_density + 0.25*punct_sanity + 0.25*word_len_sanity.
+    Deterministic arithmetic only (oracle-replicable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_words = token_count_ws(c)
+    length_sat = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+    sw_density = F.least(
+        stopword_hits(c, lang).cast("double")
+        / F.greatest(n_words, F.lit(1)) * F.lit(4.0),
+        F.lit(1.0),
+    )
+    p = punct_ratio(c)
+    punct_sanity = F.when((p >= 0.005) & (p <= 0.2), F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_len(c)
+    wl_sanity = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.25) * length_sat + F.lit(0.25) * sw_density
+        + F.lit(0.25) * punct_sanity + F.lit(0.25) * wl_sanity, 6)
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: lexicographic min of md5(word-3-gram) over the
+    doc — a rolling-hash winnowing degenerate (window = whole doc). md5 so
+    Spark and DuckDB agree byte-for-byte; swap for xxhash64 at scale."""
+    toks = F.split(F.col(col) if isinstance(col, str) else col, " ")
+    n = F.size(toks) - F.lit(2)
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard docs with < 3 words
+    return F.when(n >= 1, F.array_min(grams)).otherwise(F.lit(None).cast("string"))

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local mode is the sandbox proxy for a multi-executor cluster; every knob here
+is chosen so the same code scales to a 1000-executor deployment:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- runtime Bloom-filter join pushdown (first line of the seen-set pre-filter)
+- Arrow batches for every pandas UDF (the only Python in the engine)
+- UTC session timezone so results compare exactly against DuckDB oracles
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "llm_scraper_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply engine conf to an externally-created session (driver harness)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # conf may be static on a live session; defaults are fine
+    return spark

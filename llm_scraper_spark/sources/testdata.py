@@ -1,0 +1,28 @@
+"""Readers for the driver-provided parquet tables (TESTDATA.md)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, name: str, base_dir: str | None = None) -> DataFrame:
+    base = base_dir or sf_dir()
+    return spark.read.parquet(f"{base}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, base_dir: str | None = None) -> None:
+    for t in TABLES:
+        load_table(spark, t, base_dir).createOrReplaceTempView(t)
