@@ -264,6 +264,30 @@ def q_ann_topk(spark, sf_dir):
                     planes=6).select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_extract_articles(spark, sf_dir):
+    """P1-P17 extraction pipeline: synthetic HTML built natively from the
+    documents table, extracted via the stdlib-DOM pandas UDF; the oracle
+    reconstructs title/content with plain SQL string ops."""
+    from llm_scraper_spark.operators.extraction.pipeline import extract_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.concat(F.lit("https://ex.com/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("ex.com").alias("domain"),
+        F.concat(
+            F.lit('<html><head><meta property="og:title" content="Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit('"/></head><body><main><p>'),
+            F.col("text"),
+            F.lit("</p></main></body></html>"),
+        ).alias("raw_html"),
+    )
+    out = extract_documents(raw, {}, output_format="markdown")
+    return out.select(
+        "url", "title", "content", F.size("spans").alias("n_spans")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -285,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "spans_documents": q_spans_documents,
         "ann_topk": q_ann_topk,
+        "extract_articles": q_extract_articles,
     }
 
 
@@ -417,6 +442,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*) AS n_events
             FROM x GROUP BY user_id
+        """,
+        "extract_articles": r"""
+            SELECT 'https://ex.com/' || doc_id AS url,
+                   'Doc ' || doc_id AS title,
+                   trim(regexp_replace(regexp_replace(text, '[\r\n\t]+', ' ', 'g'),
+                                       ' {2,}', ' ', 'g')) AS content,
+                   1 AS n_spans
+            FROM documents
         """,
         # language_id / minhash_neardup / simhash / spans_documents / ann_topk:
         # intentionally no oracle (xxhash64 / UDF-chunker / engine-defined
