@@ -232,7 +232,9 @@ def q_minhash_neardup(spark, sf_dir):
     from llm_scraper_spark.operators.dedup import minhash_candidates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_candidates(docs, bands=8, rows=4).select(
+    # rows=8 = high-precision LSH regime: the synthetic corpus has a 31-word
+    # vocab so at rows=4 nearly everything collides (quadratic buckets)
+    return minhash_candidates(docs, bands=4, rows=8).select(
         "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
     )
 

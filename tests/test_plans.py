@@ -1,0 +1,83 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast, codegen.
+
+Correct results with the wrong plan fail here — the 100 TB contract is
+about plan shape as much as output values.
+"""
+
+from pyspark.sql import functions as F
+
+from llm_scraper_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    count_shuffles,
+    has_codegen,
+)
+
+
+def test_filter_pushdown_to_parquet(spark, sf_mid):
+    li = spark.read.parquet(f"{sf_mid}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") < 24).select("l_orderkey", "l_quantity")
+    assert_pushed_filter(q, "l_quantity")
+
+
+def test_column_pruning(spark, sf_mid):
+    li = spark.read.parquet(f"{sf_mid}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_extendedprice")
+    assert_read_schema_only(q, {"l_orderkey", "l_extendedprice"})
+
+
+def test_config_join_is_broadcast(spark, sf_mid):
+    """J1: the configs/dims side must broadcast, never shuffle."""
+    orders = spark.read.parquet(f"{sf_mid}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_mid}/customer.parquet")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert_broadcast_join(j)
+    assert count_shuffles(j) == 0
+
+
+def test_robots_gate_broadcasts(spark):
+    from llm_scraper_spark.operators.robots import gate_frontier
+
+    frontier = spark.createDataFrame(
+        [("u", "https://h.com/a", "h.com")],
+        "url string, canonical_url string, host string")
+    robots = spark.createDataFrame(
+        [("h.com", ["/ok"], ["/no"])],
+        "host string, allow_prefixes array<string>, disallow_prefixes array<string>")
+    gated = gate_frontier(frontier, robots)
+    assert_broadcast_join(gated)
+    assert_no_cartesian(gated)
+
+
+def test_exact_dedup_single_shuffle(spark, sf_mid):
+    from llm_scraper_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select("doc_id", "text")
+    out = exact_dedup(docs)
+    assert count_shuffles(out) == 1  # one hash exchange, nothing else
+    # NB min_by(struct) plans as SortAggregate (TypedImperative, no
+    # codegen); measured faster than the min+semijoin alternative, so the
+    # single-shuffle shape is the contract here, not codegen.
+
+
+def test_first_occurrence_dedup_single_shuffle(spark, sf_mid):
+    from llm_scraper_spark.operators.seen import first_occurrence_dedup
+
+    ev = spark.read.parquet(f"{sf_mid}/events.parquet").select(
+        "user_id", "event_id", "event_type")
+    out = first_occurrence_dedup(ev, "user_id", "event_id")
+    assert count_shuffles(out) == 1
+
+
+def test_textstats_no_shuffle_no_udf(spark, sf_mid):
+    from llm_scraper_spark.functions.text import token_estimate, word_count
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet")
+    q = docs.select("doc_id", word_count("text").alias("w"),
+                    token_estimate("text").alias("t"))
+    assert count_shuffles(q) == 0
+    from llm_scraper_spark.plans.explain import physical_plan
+    assert "BatchEvalPython" not in physical_plan(q, "simple")
+    assert "ArrowEvalPython" not in physical_plan(q, "simple")
