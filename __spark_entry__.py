@@ -290,6 +290,57 @@ def q_extract_articles(spark, sf_dir):
     )
 
 
+def q_pagination(spark, sf_dir):
+    """O5 pagination: ORDER BY + LIMIT/OFFSET (api.py:190-292)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.orderBy("event_id").select("event_id", "event_type")
+            .offset(100).limit(50))
+
+
+def q_task_lookup(spark, sf_dir):
+    """J5: task id-list joined back to full rows (api.py:231-266)."""
+    ids = spark.range(0, 50, 3).select(F.col("id").alias("doc_id"))
+    docs = _t(spark, sf_dir, "documents")
+    return docs.join(ids, on="doc_id").select("doc_id", "source", "n_chars")
+
+
+def q_rag_documents(spark, sf_dir):
+    """C3: spans -> RAG chunk docs with {doc_id}-chunk-{i} ids
+    (articles.py:299-319); rows-only (ids derive from the chunker UDF)."""
+    from llm_scraper_spark.operators.chunker import to_rag_documents
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    return to_rag_documents(docs).select(
+        "id", "doc_id", "chunk_index", F.length("text").alias("n_chars")
+    )
+
+
+def q_discovery_parse(spark, sf_dir):
+    """S2-S5: sitemap/RSS/robots feed parsing UDFs over a synthetic
+    feeds_raw table derived from documents (deterministic XML bodies)."""
+    from llm_scraper_spark.operators.discovery import discover_from_feeds
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+              'schemas/sitemap/0.9"><url><loc>https://'),
+        F.col("source"), F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        F.lit("</loc></url><url><loc>https://"),
+        F.col("source"), F.lit(".example.com/q/"), F.col("doc_id").cast("string"),
+        F.lit("</loc></url></urlset>"),
+    ).cast("binary")
+    feeds = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/sitemap.xml")).alias("feed_url"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.lit("sitemap").alias("kind"),
+        body.alias("body"),
+    )
+    return discover_from_feeds(feeds).select("feed_url", "link_idx", "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -312,6 +363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_documents": q_spans_documents,
         "ann_topk": q_ann_topk,
         "extract_articles": q_extract_articles,
+        "pagination": q_pagination,
+        "task_lookup": q_task_lookup,
+        "rag_documents": q_rag_documents,
+        "discovery_parse": q_discovery_parse,
     }
 
 
@@ -452,6 +507,24 @@ def oracle_sql() -> dict[str, str]:
                                        ' {2,}', ' ', 'g')) AS content,
                    1 AS n_spans
             FROM documents
+        """,
+        "pagination": """
+            SELECT event_id, event_type FROM events
+            ORDER BY event_id LIMIT 50 OFFSET 100
+        """,
+        "discovery_parse": """
+            SELECT 'https://' || source || '.example.com/sitemap.xml' AS feed_url,
+                   0 AS link_idx,
+                   'https://' || source || '.example.com/p/' || doc_id AS url
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT 'https://' || source || '.example.com/sitemap.xml',
+                   1, 'https://' || source || '.example.com/q/' || doc_id
+            FROM documents WHERE doc_id < 200
+        """,
+        "task_lookup": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id < 50 AND doc_id % 3 = 0
         """,
         # language_id / minhash_neardup / simhash / spans_documents / ann_topk:
         # intentionally no oracle (xxhash64 / UDF-chunker / engine-defined

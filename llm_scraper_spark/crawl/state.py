@@ -83,6 +83,23 @@ class CrawlState:
             return None
         return self.spark.read.parquet(*paths)
 
+    def expire_results(self, keep_last_n_waves: int) -> list[int]:
+        """T5 retention (reference TTL, cache.py:229-263): drop result
+        tables (documents / schedule_log / metrics) for waves older than
+        the last N. Crawl STATE (frontier snapshots, seen deltas) is never
+        expired — the seen set must stay exact."""
+        import shutil
+
+        ledger = self.read_ledger()
+        waves = sorted(w["wave"] for w in ledger["waves"] if w["wave"] >= 0)
+        expired = waves[:-keep_last_n_waves] if keep_last_n_waves else waves
+        for w in expired:
+            for table in ("documents", "schedule_log", "metrics"):
+                path = self._p(table, w)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+        return expired
+
     def read_all(self, table: str) -> DataFrame | None:
         base = os.path.join(self.dir, table)
         if not os.path.exists(base):

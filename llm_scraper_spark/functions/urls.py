@@ -137,6 +137,25 @@ def cache_key_expr(col, algorithm: str = "md5"):
     return F.md5(col)
 
 
+def hmac_sha256_udf(secret: str):
+    """hmac-sha256 cache key (reference cache.py:39-42) — no native Spark
+    expr exists, so an Arrow-batched UDF; only used when reference-equality
+    of an hmac-keyed seen set is required."""
+    import hashlib
+    import hmac as hmac_mod
+
+    key = secret.encode("utf-8")
+
+    @F.pandas_udf("string")
+    def _udf(values: pd.Series) -> pd.Series:
+        return values.map(
+            lambda v: hmac_mod.new(key, str(v).encode("utf-8"),
+                                   hashlib.sha256).hexdigest()
+        )
+
+    return _udf
+
+
 def same_domain_filter(df: DataFrame, domain_col: str = "domain",
                        host_col: str = "host") -> DataFrame:
     """Keep links whose host ∈ {domain, www.domain}

@@ -255,6 +255,33 @@ def with_spans(df, text_col: str = "text", media_col=None, out_col: str = "spans
     return df.withColumn(out_col, spans_from_text(F.col(text_col), media))
 
 
+def to_rag_documents(df, doc_id_col: str = "doc_id", spans_col: str = "spans",
+                     title_col: str | None = None, url_col: str | None = None,
+                     domain_col: str | None = None):
+    """C3 (articles.py:299-319 / worker.py:402-412): explode text spans to
+    RAG chunk docs with ids ``{doc_id}-chunk-{index}`` where index is the
+    chunk order among TEXT spans (media spans carry no chunk index)."""
+    from pyspark.sql import Window as W
+
+    text_spans = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        *([F.col(title_col).alias("title")] if title_col else []),
+        *([F.col(url_col).alias("source_url")] if url_col else []),
+        *([F.col(domain_col).alias("domain")] if domain_col else []),
+        F.explode(F.filter(F.col(spans_col), lambda s: s.kind == F.lit("text"))).alias("sp"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("sp.offset"))
+    return (
+        text_spans.withColumn("chunk_index", F.row_number().over(w) - 1)
+        .withColumn(
+            "id",
+            F.concat("doc_id", F.lit("-chunk-"), F.col("chunk_index").cast("string")),
+        )
+        .withColumn("text", F.col("sp.text"))
+        .drop("sp")
+    )
+
+
 def chunk_counts(df, spans_col: str = "spans"):
     """Per-document span stats (native exprs; A5 analogue, worker.py:381-436)."""
     sc = F.col(spans_col)

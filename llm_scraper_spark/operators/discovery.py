@@ -82,6 +82,23 @@ def find_sitemaps_from_robots(robots_txt: str, base_url: str) -> list[str]:
     return sitemaps
 
 
+def find_rss_feeds(html: str, base_url: str) -> list[str]:
+    """S4 (discovery.py:63-75): <link type="application/rss+xml|atom+xml">
+    hrefs from the page head, absolutized — over the engine DOM."""
+    from .extraction.dom import parse_html
+
+    feeds = []
+    root = parse_html(html)
+    for link in root.find_all("link"):
+        if (link.get("type") or "") in (
+            "application/rss+xml", "application/atom+xml"
+        ):
+            href = link.get("href")
+            if href:
+                feeds.append(urljoin(base_url, href))
+    return feeds
+
+
 @F.pandas_udf(URLS_TYPE)
 def parse_sitemap_udf(bodies: pd.Series) -> pd.Series:
     return bodies.map(lambda b: parse_sitemap(bytes(b) if b is not None else None))

@@ -36,6 +36,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    # shuffle/spill to tmpfs when available: the sandbox VM's virtio disk
+    # serializes shuffle I/O (a ~20s sys-time floor on the 8M-URL bench);
+    # on a real cluster this models executor-local NVMe
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -46,13 +55,15 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         # local mode = driver-only: this is executor memory; undersizing it
         # turns concurrent task allocation into GC thrash (measured 2x
         # slowdown at local[32] with 8g on the 2M-seed frontier bench)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

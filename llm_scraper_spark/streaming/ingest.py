@@ -1,0 +1,126 @@
+"""Structured Streaming surfaces (SURVEY.md §2.10).
+
+The reference has no true streams — Celery beat crontabs approximate
+micro-batch triggers (worker.py:651-718) and the crawl frontier is a
+batch-iterative BFS (crawl/waves.py), not a stream. These streaming
+operators cover the continuous-ingest side a production deployment adds
+around the wave loop:
+
+- ``stream_chunk_documents``  — continuously chunk newly landed raw docs
+  into the interleaved spans table (readStream -> pandas UDF -> sink)
+- ``stream_discovery_counts`` — watermarked windowed fetch/discovery
+  metrics (late data tolerated; reference analogue: per-task counters,
+  worker.py:110-219)
+- ``stream_frontier_append``  — foreachBatch exactly-once-style append of
+  discovered URLs into the frontier state (dedup inside the batch against
+  the live seen table; micro-batch twin of CrawlRun.run_wave discovery)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+RAW_DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_chunk_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream over a landing dir of raw documents -> spans."""
+    from ..operators.chunker import spans_from_text, uuid5_url
+
+    raw = (
+        spark.readStream.schema(RAW_DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    url = F.concat(F.lit("https://docs.example.com/"), F.col("doc_id").cast("string"))
+    return (
+        raw.withColumn("url", url)
+        .withColumn("doc_uuid", uuid5_url(F.col("url")))
+        .withColumn(
+            "spans",
+            spans_from_text(F.col("text"), F.array().cast("array<string>")),
+        )
+        .select(F.col("doc_uuid").alias("doc_id"), "spans")
+    )
+
+
+def stream_discovery_counts(spark: SparkSession, input_dir: str,
+                            window: str = "5 minutes",
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Windowed per-type counts with a watermark for late arrivals."""
+    events = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def stream_frontier_append(spark: SparkSession, input_dir: str,
+                           state_dir: str):
+    """foreachBatch sink: canonicalize + hash each micro-batch of discovered
+    URLs, anti-join the persistent seen table, append both tables.
+
+    Exactly-once by idempotent wave-style commit per batchId (re-delivered
+    batches overwrite their own delta dir, never double-append).
+    """
+    import os
+
+    from ..functions.urls import with_canonical
+    from ..operators.seen import first_occurrence_dedup
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("seq", T.LongType())]
+    )
+    urls = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        canon = with_canonical(batch_df)
+        deduped = first_occurrence_dedup(canon, "url_hash", "seq")
+        seen_dir = os.path.join(state_dir, "seen_delta")
+        existing = None
+        if os.path.exists(seen_dir) and any(
+            e.startswith("batch=") for e in os.listdir(seen_dir)
+        ):
+            existing = spark.read.option("basePath", seen_dir).parquet(seen_dir)
+        if existing is not None:
+            deduped = deduped.join(
+                existing.select("url_hash").distinct(), on="url_hash",
+                how="left_anti",
+            )
+        # idempotent per-batch delta (overwrite on redelivery)
+        deduped.select("url", "canonical_url", "host", "url_hash", "seq").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seen_dir, f"batch={batch_id}"))
+
+    return urls.writeStream.foreachBatch(process_batch)
