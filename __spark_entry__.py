@@ -84,6 +84,35 @@ def q_top_customer_revenue(spark, sf_dir):
     )
 
 
+def q_regional_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (fact x fact x 4 broadcast dims) with
+    local-supplier predicate — exercises Catalyst join reordering +
+    broadcast selection over the star schema."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
 def q_revenue_filter(spark, sf_dir):
     """P13-style predicate + single agg (TPC-H Q6 shape; pushdown check)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -219,8 +248,8 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_language_id(spark, sf_dir):
-    """Stopword-lexicon language ID (rows-only: argmax tie-break is
-    engine-defined)."""
+    """Stopword-lexicon language ID (argmax over per-language stopword
+    hits, (hits, lang) tie-break — DuckDB-oracled via struct max)."""
     from llm_scraper_spark.operators.text_analysis import language_id
 
     docs = _t(spark, sf_dir, "documents")
@@ -345,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "top_customer_revenue": q_top_customer_revenue,
+        "regional_supplier_volume": q_regional_supplier_volume,
         "revenue_filter": q_revenue_filter,
         "doc_textstats": q_doc_textstats,
         "dedup_exact": q_dedup_exact,
@@ -392,6 +422,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY nation_revenue DESC
             LIMIT 10
+        """,
+        "regional_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC
         """,
         "revenue_filter": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
@@ -526,9 +572,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id < 50 AND doc_id % 3 = 0
         """,
-        # language_id / minhash_neardup / simhash / spans_documents / ann_topk:
+        # Exact twin of operators/text_analysis.py language_id: tokens =
+        # split(lower(trim(text)), '\s+'); per-language stopword-hit count;
+        # argmax with (hits, lang) tie-break = struct max (DuckDB struct
+        # comparison is field-by-field, same as Spark greatest-of-structs).
+        "language_id": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), per AS (
+              SELECT doc_id, 'en' AS lang,
+                   len(list_filter(t, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for', 'on', 'with', 'as', 'was', 'at', 'by', 'an', 'be', 'this', 'are'], x))) AS hits
+              FROM toks
+              UNION ALL
+              SELECT doc_id, 'de' AS lang,
+                   len(list_filter(t, x -> list_contains(['der', 'die', 'das', 'und', 'ist', 'ein', 'eine', 'zu', 'den', 'von', 'mit', 'auf', 'für', 'im', 'nicht', 'sich', 'auch'], x))) AS hits
+              FROM toks
+              UNION ALL
+              SELECT doc_id, 'fr' AS lang,
+                   len(list_filter(t, x -> list_contains(['le', 'la', 'les', 'de', 'des', 'et', 'est', 'un', 'une', 'dans', 'que', 'pour', 'qui', 'sur', 'pas', 'au', 'plus'], x))) AS hits
+              FROM toks
+              UNION ALL
+              SELECT doc_id, 'es' AS lang,
+                   len(list_filter(t, x -> list_contains(['el', 'la', 'los', 'las', 'de', 'y', 'es', 'un', 'una', 'en', 'que', 'por', 'con', 'para', 'no', 'se', 'su'], x))) AS hits
+              FROM toks
+              UNION ALL
+              SELECT doc_id, 'vi' AS lang,
+                   len(list_filter(t, x -> list_contains(['và', 'của', 'là', 'có', 'được', 'cho', 'này', 'một', 'những', 'các', 'với', 'không', 'người', 'trong'], x))) AS hits
+              FROM toks
+            ), best AS (
+              SELECT doc_id, max({'hits': hits, 'lang': lang}) AS b
+              FROM per GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+            FROM best
+        """,
+        # minhash_neardup / simhash / spans_documents / ann_topk:
         # intentionally no oracle (xxhash64 / UDF-chunker / engine-defined
-        # tie-breaks have no DuckDB equivalent) -> rows-only check.
+        # semantics have no DuckDB equivalent) -> rows-only check.
     }
 
 

@@ -39,6 +39,35 @@ def host_histogram(frontier: DataFrame) -> DataFrame:
     return frontier.groupBy("host").agg(F.count("*").alias("n_pending"))
 
 
+def with_adaptive_salt(df: DataFrame, rows_per_shard: int = 100_000,
+                       max_salts: int = 256,
+                       hash_col: str = "url_hash") -> DataFrame:
+    """Skew-aware salting: n_salts(host) = clamp(ceil(n_pending(host) /
+    rows_per_shard), 1, max_salts), derived from the live host histogram
+    and broadcast back. Cold hosts get salt 0 (no fan-out); hot hosts
+    shard so no (host, salt) partition exceeds ~rows_per_shard rows —
+    the explicit skew control the north rule demands on a 10^10 frontier
+    (AQE skew-join splitting is the runtime backstop, but the politeness
+    window needs deterministic shards for budget accounting).
+    """
+    hist = (
+        df.groupBy("host").agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_n_salts",
+            F.least(
+                F.greatest(F.ceil(F.col("_n") / F.lit(rows_per_shard)), F.lit(1)),
+                F.lit(max_salts),
+            ).cast("int"),
+        )
+        .select("host", "_n_salts")
+    )
+    out = df.join(F.broadcast(hist), on="host", how="left")
+    return out.withColumn(
+        "salt",
+        F.pmod(F.col(hash_col), F.coalesce(F.col("_n_salts"), F.lit(1))).cast("int"),
+    ).drop("_n_salts")
+
+
 def schedule_wave(
     pending: DataFrame,
     budgets: DataFrame | None = None,
