@@ -285,6 +285,31 @@ def q_spans_documents(spark, sf_dir):
     return chunk_counts(docs).select("doc_id", "n_spans", "n_text_spans", "n_media_spans")
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end (rows-only: decode is a documented
+    deterministic stub — image/audio codecs absent in this container):
+    interleaved docs -> media spans -> binary assets -> image meta UDF +
+    feature vectors + frame sampling."""
+    from llm_scraper_spark.operators.multimodal import (
+        extract_features, image_meta_udf, sample_frames, synth_assets)
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    assets = synth_assets(spark, docs)
+    with_meta = assets.withColumn("img", image_meta_udf(fake=True)(F.col("payload")))
+    feats = extract_features(with_meta)
+    frames = sample_frames(feats, n_frames=2)
+    return frames.select(
+        "asset_id", "doc_id", "media_ref", "mime",
+        F.col("img.width").alias("width"),
+        F.col("img.height").alias("height"),
+        F.col("img.ok").alias("decoded_ok"),
+        F.size("features").alias("feature_dim"),
+        "frame_idx", "frame_offset",
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path of q_embedding_topk)."""
     from llm_scraper_spark.operators.similarity import ann_topk
@@ -391,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "spans_documents": q_spans_documents,
+        "multimodal_features": q_multimodal_features,
         "ann_topk": q_ann_topk,
         "extract_articles": q_extract_articles,
         "pagination": q_pagination,
