@@ -59,3 +59,14 @@ def test_histogram(spark):
     fr = _skewed_frontier(spark, n=20_000)
     hist = host_histogram(fr).orderBy(F.col("n_pending").desc()).first()
     assert hist["host"] == "hot.example.com"
+
+
+def test_window_group_limit_in_plan(spark):
+    """The politeness top-k must plan as WindowGroupLimit with a Partial
+    (pre-shuffle) pass — this is what makes the unsalted window skew-immune
+    (each map task ships <= budget rows per host into the exchange)."""
+    fr = _skewed_frontier(spark, n=10_000)
+    plan = schedule_wave(fr, default_budget=8)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
