@@ -45,7 +45,8 @@ def test_batch_agrees_with_scalar_on_cases():
 
 
 URL_CHARS = st.text(
-    alphabet="abcXYZ019.-_/:?#@%[]~ ", min_size=0, max_size=60)
+    alphabet="abcXYZ019.-_/:?#@%[]~ \t\n\x0b\x1c  é", min_size=0,
+    max_size=60)
 
 
 @given(st.lists(URL_CHARS, min_size=1, max_size=50))
