@@ -285,6 +285,23 @@ def q_spans_documents(spark, sf_dir):
     return chunk_counts(docs).select("doc_id", "n_spans", "n_text_spans", "n_media_spans")
 
 
+def q_vector_upsert(spark, sf_dir):
+    """Document-store upsert semantics (reference S10: insert_many keyed
+    by _id — incoming batch replaces matched rows, engine.py:53-78): one
+    broadcast anti-join + union."""
+    from llm_scraper_spark.operators.vectors import upsert
+
+    emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.select("vec_id", F.lit("old").alias("source"),
+                          F.size("embedding").alias("dim"))
+    incoming = (
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id", F.lit("new").alias("source"),
+                F.size("embedding").alias("dim"))
+    )
+    return upsert(existing, incoming, id_col="vec_id")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end (rows-only: decode is a documented
     deterministic stub — image/audio codecs absent in this container):
@@ -416,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "spans_documents": q_spans_documents,
+        "vector_upsert": q_vector_upsert,
         "multimodal_features": q_multimodal_features,
         "ann_topk": q_ann_topk,
         "extract_articles": q_extract_articles,
@@ -597,6 +615,13 @@ def oracle_sql() -> dict[str, str]:
         "task_lookup": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id < 50 AND doc_id % 3 = 0
+        """,
+        "vector_upsert": """
+            SELECT vec_id, 'new' AS source, len(embedding) AS dim
+            FROM embeddings WHERE vec_id % 7 = 0
+            UNION ALL
+            SELECT vec_id, 'old' AS source, len(embedding) AS dim
+            FROM embeddings WHERE vec_id % 7 <> 0
         """,
         # Exact twin of operators/text_analysis.py language_id: tokens =
         # split(lower(trim(text)), '\s+'); per-language stopword-hit count;
