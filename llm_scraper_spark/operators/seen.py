@@ -51,8 +51,10 @@ class NumpyBloom:
 
     @staticmethod
     def _mix(h: np.ndarray, i: int) -> np.ndarray:
-        # splitmix64 finalizer with a per-probe offset
-        z = h + np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1)
+        # splitmix64 finalizer with a per-probe offset; the offset is
+        # reduced mod 2^64 in Python int space (same value as uint64
+        # wraparound, without numpy's scalar-overflow RuntimeWarning)
+        z = h + np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return z ^ (z >> np.uint64(31))
