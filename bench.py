@@ -328,12 +328,12 @@ def render_scaling_md() -> None:
             + (
                 f"**Host-normalized scaling efficiency: {norm_best}**\n"
                 "(median over rep pairs of job-throughput ratio divided by\n"
-                "the concurrently-measured hardware cycle-delivery ratio).\n"
-                f"During the best reps the host delivered {hw_eff_best:.2f}\n"
-                f"parallel efficiency for {n}->{n4} procs, so the raw number\n"
-                "is bounded by contention, not by the job. The normalized\n"
-                "value is the cluster-predictive one: executors on a real\n"
-                "cluster get proportional cycles. Per-rep normalized values: "
+                "the concurrently-measured hardware cycle-delivery ratio —\n"
+                "what the job's scaling looks like once the shared host's\n"
+                "uneven cycle delivery is divided out; a real cluster's\n"
+                "executors get proportional cycles). During the best reps\n"
+                f"the host delivered {hw_eff_best:.2f} parallel efficiency\n"
+                f"for {n}->{n4} procs. Per-rep normalized values: "
                 f"{per_rep_norm}.\n\n" if norm_best else ""
             )
             + peak_line
