@@ -1,4 +1,4 @@
-"""The crawl wave loop — the engine's top-level dataflow (SURVEY.md §3.2).
+r"""The crawl wave loop — the engine's top-level dataflow (SURVEY.md §3.2).
 
 Each wave is one batch of the reference's consume-loop
 (/root/reference/scraper.py:64-76) re-expressed as DataFrame stages:
@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..functions.urls import with_canonical
 from ..operators import frontier as frontier_ops
@@ -184,10 +184,18 @@ class CrawlRun:
         else:
             pending_gated = pending
 
+        # Wave counters ride on Observation nodes attached just before each
+        # localCheckpoint: the checkpoint materializes the branch exactly
+        # once, the observation sums during that pass, and NO separate
+        # count() jobs run in the hot loop (at the 10^10 design point a
+        # per-wave driver action is a scheduler round-trip per metric).
+        obs_sched = Observation(f"w{wave}_scheduled")
         scheduled = frontier_ops.schedule_wave(
             pending_gated, self.budgets, self.default_budget
         ).withColumn("wave", F.lit(wave))
-        scheduled = scheduled.localCheckpoint(eager=True)
+        scheduled = scheduled.observe(
+            obs_sched, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
 
         pages = self.fetcher(scheduled).localCheckpoint(eager=True)
 
@@ -213,7 +221,13 @@ class CrawlRun:
         )
         cand = with_canonical(links).drop("key_hex")
         cand = seen_ops.first_occurrence_dedup(cand, "url_hash", "_disc_ord")
-        n_discovered = cand.count()
+        # checkpoint: (a) the bloom split consumes cand on two branches —
+        # without materialization both branches would recompute the
+        # canonicalize+dedup lineage; (b) the observation counts once.
+        obs_disc = Observation(f"w{wave}_discovered")
+        cand = cand.observe(obs_disc, F.count(F.lit(1)).alias("n"))
+        cand = cand.localCheckpoint(eager=True)
+        n_discovered = obs_disc.get["n"]
 
         seen_df = st.read_seen(wave)
         bloom = (
@@ -228,14 +242,16 @@ class CrawlRun:
             new = frontier_ops.with_salt(new, self.n_salts)
 
         new = frontier_ops.assign_global_seq(new, next_seq, ("_disc_ord",))
+        obs_new = Observation(f"w{wave}_new")
         new_frontier_rows = (
             new.withColumn("priority", F.lit(self.link_priority))
             .withColumn("wave", F.lit(wave + 1))
             .withColumn("status", F.lit("pending"))
             .select("url", "canonical_url", "host", "salt", "url_hash",
                     "priority", "wave", "seq", "status")
+            .observe(obs_new, F.count(F.lit(1)).alias("n"))
         ).localCheckpoint(eager=True)
-        n_new = new_frontier_rows.count()
+        n_new = obs_new.get["n"]
 
         # --- next pending = pending - scheduled + new
         remaining = pending.join(
@@ -257,7 +273,7 @@ class CrawlRun:
         )
 
         # --- commit (data first, ledger last)
-        n_scheduled = scheduled.count()
+        n_scheduled = obs_sched.get["n"]
         st.write("schedule_log", wave,
                  scheduled.select("wave", "seq", "url", "host", "priority"))
         st.write("documents", wave, docs)

@@ -152,11 +152,11 @@ def test_robots_gating_matches_simulator(spark, tmp_path):
     got_md5 = {r["key_hex"] for r in run.state.read_seen(n_waves).collect()}
     assert got_md5 == sim["seen_md5"]
     # the disallowed prefix never appears in the schedule log
+    from llm_scraper_spark.functions.urls import canonicalize_url
+
     for _, _, url in _spark_schedule_log(run):
-        assert allowed(*reversed(
-            __import__("llm_scraper_spark.functions.urls",
-                       fromlist=["canonicalize_url"]).canonicalize_url(url)[::-1]
-        )) or True  # sanity covered by log equality above
+        canon, host = canonicalize_url(url)
+        assert allowed(host, canon), f"disallowed URL scheduled: {url}"
 
 
 def test_politeness_budget_enforced(spark, tmp_path):
