@@ -28,6 +28,16 @@ def get_spark(
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
     """
+    # make the package importable inside Python UDF workers regardless of
+    # the driver's cwd (workers inherit PYTHONPATH, not driver sys.path;
+    # on a cluster this is the --py-files equivalent)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
