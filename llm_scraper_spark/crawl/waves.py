@@ -140,6 +140,24 @@ class CrawlRun:
         self.n_salts = n_salts
         self.use_bloom = use_bloom
         self.link_priority = link_priority
+        self._bloom = None  # standing ShardedBloom, OR-updated per wave
+
+    # ------------------------------------------------------------------
+    def _standing_bloom(self, seen_df: DataFrame | None):
+        """Maintain the seen-set Bloom across waves: build executor-side
+        from the full seen table only when missing (fresh run / resume) or
+        saturated; otherwise the per-wave delta OR (in run_wave) keeps it
+        current without touching the 10^10-row table (VERDICT #4)."""
+        if not self.use_bloom or seen_df is None:
+            return None
+        if self._bloom is None or self._bloom.saturated():
+            # next_seq == total URLs ever enqueued == |seen| (seq is
+            # assigned per enqueue), so capacity needs no counting job
+            n_seen = max(self.state.read_ledger()["next_seq"], 1)
+            self._bloom = seen_ops.build_bloom_distributed(
+                seen_df, capacity=max(2 * n_seen, 100_000)
+            )
+        return self._bloom
 
     # ------------------------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
@@ -230,9 +248,7 @@ class CrawlRun:
         n_discovered = obs_disc.get["n"]
 
         seen_df = st.read_seen(wave)
-        bloom = (
-            seen_ops.build_bloom(seen_df) if (self.use_bloom and seen_df is not None) else None
-        )
+        bloom = self._standing_bloom(seen_df)
         new = seen_ops.filter_unseen(cand, seen_df, bloom=bloom)
         if self.robots is not None:
             new = gate_frontier(
@@ -252,6 +268,14 @@ class CrawlRun:
             .observe(obs_new, F.count(F.lit(1)).alias("n"))
         ).localCheckpoint(eager=True)
         n_new = obs_new.get["n"]
+
+        # incremental bloom: OR in a delta built (executor-side, against the
+        # already-checkpointed new rows) with the standing bloom's geometry
+        if self._bloom is not None and n_new > 0:
+            delta = seen_ops.build_bloom_distributed(
+                new_frontier_rows, geometry=self._bloom.geometry()
+            )
+            self._bloom.or_(delta)
 
         # --- next pending = pending - scheduled + new
         remaining = pending.join(

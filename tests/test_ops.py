@@ -205,6 +205,71 @@ def test_numpy_bloom_no_false_negatives():
     assert fp_rate < 0.05
 
 
+def test_sharded_bloom_union_and_geometry():
+    from llm_scraper_spark.operators.seen import ShardedBloom
+
+    rng = np.random.RandomState(12)
+    a_items = rng.randint(-2**62, 2**62, size=4000).astype(np.int64)
+    b_items = rng.randint(-2**62, 2**62, size=4000).astype(np.int64)
+    absent = rng.randint(-2**62, 2**62, size=5000).astype(np.int64)
+
+    a = ShardedBloom(10_000, fpp=0.01)
+    a.add_many(a_items)
+    b = ShardedBloom(10_000, fpp=0.01)
+    b.add_many(b_items)
+    a.or_(b)  # same capacity -> same geometry -> merge allowed
+    assert a.contains_many(a_items).all()
+    assert a.contains_many(b_items).all()
+    assert a.contains_many(absent).mean() < 0.05
+    assert a.items == 8000
+
+    mismatched = ShardedBloom(999_999, fpp=0.01)
+    with pytest.raises(ValueError):
+        a.or_(mismatched)
+
+
+def test_sharded_bloom_distributed_build_over_driver_limit(spark):
+    """VERDICT #4: build the bloom from MORE hashes than the old
+    driver-side ceiling (50M) with no driver materialization of rows —
+    the only collect is the finished shard bitmaps. Then verify the
+    incremental delta-OR path gives bit-identical state to a fresh build."""
+    from llm_scraper_spark.operators.seen import build_bloom_distributed
+
+    n = 51_000_000  # > the removed BLOOM_MAX_ITEMS_DRIVER = 50M
+    df = spark.range(n).select(F.xxhash64("id").alias("url_hash"))
+    bloom = build_bloom_distributed(df, capacity=n, fpp=0.01)
+    assert bloom.items == n
+    assert bloom.n_shards > 1  # genuinely sharded at this size
+
+    # no false negatives on a sample of members; fpp sane on non-members
+    sample = (
+        spark.range(0, n, n // 20_000).select(F.xxhash64("id").alias("h"))
+        .toPandas()["h"].to_numpy(dtype=np.int64)
+    )
+    assert bloom.contains_many(sample).all()
+    absent = (
+        spark.range(n, n + 20_000)
+        .select(F.xxhash64("id").alias("h"))
+        .toPandas()["h"].to_numpy(dtype=np.int64)
+    )
+    assert bloom.contains_many(absent).mean() < 0.05
+
+
+def test_sharded_bloom_incremental_equals_fresh(spark):
+    from llm_scraper_spark.operators.seen import build_bloom_distributed
+
+    base = spark.range(100_000).select(F.xxhash64("id").alias("url_hash"))
+    delta = spark.range(100_000, 130_000).select(F.xxhash64("id").alias("url_hash"))
+    standing = build_bloom_distributed(base, capacity=300_000)
+    d = build_bloom_distributed(delta, geometry=standing.geometry())
+    standing.or_(d)
+    fresh = build_bloom_distributed(base.unionAll(delta), capacity=300_000)
+    assert standing.geometry() == fresh.geometry()
+    assert standing.items == fresh.items == 130_000
+    for s1, s2 in zip(standing.shards, fresh.shards):
+        assert np.array_equal(s1, s2)
+
+
 def test_parse_robots_txt_groups():
     txt = """
 User-agent: Googlebot
