@@ -1,0 +1,119 @@
+"""Generate the committed golden parquet files under goldens/.
+
+These are the independent reference points the driver's DuckDB oracles
+read (via read_parquet) to content-verify queries whose semantics are not
+expressible in SQL alone (VERDICT #1/#5):
+
+- ``spans_sf{X}.parquet``     — the exploded interleaved spans of
+  build_documents_interleaved at that scale factor. Validity chain: the
+  chunker producing these is equality-tested against the actual reference
+  ``chunking.py`` module (tests/test_chunker.py) and the interleave policy
+  against the simulator (tests/test_crawl.py); the driver oracle then
+  recomputes per-doc digests from THIS file while the live query computes
+  them from the live chunker — any chunker/interleave drift mismatches.
+- ``ann_candidates_sf{X}.parquet`` — the multi-probe LSH candidate set for
+  query vec_id=0 (planes=6, seed=42, probe_hamming=1). The oracle computes
+  exact cosine top-k over this set in SQL; live ann_topk must agree.
+- ``crawl_schedule_log.parquet`` — the single-node oracle simulator's
+  (wave, seq, url) fetch schedule for the fixed synthetic crawl that
+  q_crawl_schedule_log runs distributed (CRAWL_* params below). Pure
+  Python (crawl/simulator.py) — no Spark involved in the golden.
+
+Deterministic by construction (md5/uuid5/seeded planes); regenerate with
+``python jobs/make_goldens.py`` — a regeneration on unchanged code must be
+byte-stable, and tests/test_goldens.py asserts the live pipelines still
+match the committed files.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+GOLDENS = os.path.join(REPO, "goldens")
+
+SPAN_SFS = ("0.001", "0.01")
+ANN_PLANES = 6
+ANN_SEED = 42
+ANN_PROBE_HAMMING = 1
+
+CRAWL_N_SEEDS = 60
+CRAWL_N_HOSTS = 12
+CRAWL_FANOUT = 3
+CRAWL_BUDGET = 3
+CRAWL_WAVES = 3
+
+
+def make_spans(spark, sf: str) -> None:
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    docs = build_documents_interleaved(spark, f"/root/testdata/sf{sf}")
+    expl = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "sp")
+    ).select(
+        "doc_id", "span_idx",
+        F.col("sp.kind").alias("kind"), F.col("sp.text").alias("text"),
+        F.col("sp.media_ref").alias("media_ref"), F.col("sp.offset").alias("offset"),
+    )
+    pdf = expl.toPandas().sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert (pdf["span_idx"] == pdf["offset"]).all()
+    path = os.path.join(GOLDENS, f"spans_sf{sf}.parquet")
+    pdf.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(pdf)} spans, {pdf['doc_id'].nunique()} docs")
+
+
+def make_ann_candidates(spark, sf: str) -> None:
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.operators.similarity import ann_candidates
+
+    emb = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cand = ann_candidates(
+        emb.filter(F.col("vec_id") != 0), list(qv),
+        planes=ANN_PLANES, seed=ANN_SEED, probe_hamming=ANN_PROBE_HAMMING,
+    )
+    pdf = cand.select("vec_id").toPandas().sort_values("vec_id").reset_index(drop=True)
+    path = os.path.join(GOLDENS, f"ann_candidates_sf{sf}.parquet")
+    pdf.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(pdf)} candidates")
+
+
+def make_crawl_log(spark) -> None:
+    from llm_scraper_spark.crawl.simulator import simulate_crawl
+    from llm_scraper_spark.sources.synthetic import synth_page, synth_seeds
+
+    seeds = synth_seeds(spark, CRAWL_N_SEEDS, n_hosts=CRAWL_N_HOSTS)
+    urls = [r["url"] for r in seeds.orderBy("seq").collect()]
+    sim = simulate_crawl(
+        urls, CRAWL_WAVES, budget=CRAWL_BUDGET,
+        fetch_fn=lambda u: synth_page(u, n_hosts=CRAWL_N_HOSTS, fanout=CRAWL_FANOUT),
+    )
+    pdf = pd.DataFrame(sim["schedule_log"], columns=["wave", "seq", "url"])
+    pdf["wave"] = pdf["wave"].astype("int32")
+    pdf["seq"] = pdf["seq"].astype("int64")
+    path = os.path.join(GOLDENS, "crawl_schedule_log.parquet")
+    pdf.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(pdf)} scheduled fetches over {CRAWL_WAVES} waves")
+
+
+def main() -> None:
+    from llm_scraper_spark.session import get_spark
+
+    os.makedirs(GOLDENS, exist_ok=True)
+    spark = get_spark(app_name="make_goldens", master="local[8]")
+    for sf in SPAN_SFS:
+        make_spans(spark, sf)
+        make_ann_candidates(spark, sf)
+    make_crawl_log(spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

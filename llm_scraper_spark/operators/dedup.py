@@ -114,33 +114,72 @@ def shingles_exploded(df: DataFrame, text_col: str = "text",
     )
 
 
+def perm_hash_exprs(s_col, k: int, hash_family: str = "xxhash64") -> list[Column]:
+    """The k MinHash permutation hashes of a shingle column.
+
+    - ``xxhash64`` (production): k native 64-bit hashes — the scale path.
+    - ``md5``: 32-bit hashes carved from md5 hex, 4 per digest
+      (h_p = int(md5(s + '#' + p//4)[8*(p%4) : 8*(p%4)+8], 16)) — every
+      step (md5 / substring / hex-int) has an exact DuckDB twin, which is
+      what lets the driver content-verify the LSH pipeline (VERDICT #1).
+      32-bit permutation hashes keep min-collision probability ~n²/2³²
+      per doc — negligible at document shingle counts.
+    """
+    c = F.col(s_col) if isinstance(s_col, str) else s_col
+    if hash_family == "xxhash64":
+        return [F.xxhash64(c, F.lit(i)).alias(f"h{i}") for i in range(k)]
+    if hash_family == "md5":
+        out = []
+        for p in range(k):
+            g, j = divmod(p, 4)
+            hexpart = F.substring(
+                F.md5(F.concat_ws("#", c, F.lit(str(g)))), 1 + 8 * j, 8
+            )
+            out.append(F.conv(hexpart, 16, 10).cast("long").alias(f"h{p}"))
+        return out
+    raise ValueError(f"unknown hash_family: {hash_family}")
+
+
 def minhash_signatures_df(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 64,
-                          n_shingle: int = 3) -> DataFrame:
+                          n_shingle: int = 3,
+                          hash_family: str = "xxhash64") -> DataFrame:
     """(id, sig array<long>) via exploded shingles + k codegen'd hash
     columns + one grouped min (map-side combined)."""
     exploded = shingles_exploded(df, text_col, id_col, n_shingle)
-    hashed = exploded.select(
-        "id", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(k)]
-    )
+    hashed = exploded.select("id", *perm_hash_exprs("s", k, hash_family))
     mins = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
     )
     return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
-def lsh_bands(sig_col, bands: int = 16, rows: int = 4) -> Column:
-    """Band hashes: band j = xxhash64(slice(sig, j*rows+1, rows), j)."""
+def lsh_bands(sig_col, bands: int = 16, rows: int = 4,
+              hash_family: str = "xxhash64") -> Column:
+    """Band hashes: band j = xxhash64(slice(sig, j*rows+1, rows), j); the
+    md5 family hashes the comma-joined decimal signature slice + band id
+    (string in, hex string out — DuckDB-replicable)."""
     c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    if hash_family == "xxhash64":
+        return F.array(
+            *[F.xxhash64(F.slice(c, j * rows + 1, rows), F.lit(j)) for j in range(bands)]
+        )
     return F.array(
-        *[F.xxhash64(F.slice(c, j * rows + 1, rows), F.lit(j)) for j in range(bands)]
+        *[
+            F.md5(F.concat_ws(
+                ",",
+                *[F.element_at(c, j * rows + i + 1).cast("string") for i in range(rows)],
+                F.lit(str(j)),
+            ))
+            for j in range(bands)
+        ]
     )
 
 
 def minhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_shingle: int = 3, bands: int = 16, rows: int = 4,
-    max_bucket_size: int = 200,
+    max_bucket_size: int = 200, hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) + estimated Jaccard from signatures.
 
@@ -159,11 +198,12 @@ def minhash_candidates(
     k = bands * rows
     sigs = minhash_signatures_df(
         df.select(F.col(id_col).alias(id_col), F.col(text_col).alias("__t")),
-        "__t", id_col, k, n_shingle,
+        "__t", id_col, k, n_shingle, hash_family,
     )
     bands_df = sigs.select(
         "id",
-        F.posexplode(lsh_bands("sig", bands, rows)).alias("band_idx", "band_hash"),
+        F.posexplode(lsh_bands("sig", bands, rows, hash_family)).alias(
+            "band_idx", "band_hash"),
     )
     ok_buckets = (
         bands_df.groupBy("band_idx", "band_hash")
@@ -242,23 +282,37 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              hash_family: str = "xxhash64") -> DataFrame:
     """64-bit SimHash: explode tokens, one groupBy with 64 ±1 bit sums,
-    rebuild the fingerprint with bit ops — single shuffle, all native."""
+    rebuild the fingerprint with bit ops — single shuffle, all native.
+
+    ``hash_family='md5'`` is the 60-bit driver-oracle variant: the token
+    hash is the first 15 md5 hex chars as an integer
+    (DuckDB: ``('0x' || substring(md5(tok),1,15))::BIGINT``), so the
+    whole fingerprint is recomputable in SQL (VERDICT #1). xxhash64
+    stays the scale default (one JVM hash vs an md5 per token)."""
+    n_bits = 64 if hash_family == "xxhash64" else 60
+    if hash_family == "xxhash64":
+        h = F.xxhash64("tok")
+    elif hash_family == "md5":
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family}")
     toks = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     fp = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseXOR(term)

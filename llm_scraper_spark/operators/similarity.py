@@ -70,6 +70,34 @@ def hyperplane_bucket(df: DataFrame, vec_col: str, planes: int = 16,
     return df.withColumn(out_col, bucket_of(F.col(vec_col)))
 
 
+def ann_candidates(df: DataFrame, query_vec: list[float],
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   planes: int = 8, seed: int = 42,
+                   probe_hamming: int = 1) -> DataFrame:
+    """The multi-probe LSH candidate set for a query vector: rows whose
+    hyperplane bucket is within ``probe_hamming`` bits of the query's
+    (all bit-flip combinations up to that radius — at radius 2 over p
+    planes that is 1 + p + p(p-1)/2 buckets, still a vanishing corpus
+    fraction at scale while lifting near-neighbor recall from ~0.8 to
+    ~0.99 for cos≈0.96 neighbors)."""
+    from itertools import combinations
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(query_vec)
+    mat = _planes(dim, planes, seed)
+    qbits = int(((q @ mat) > 0).astype(np.int64) @ np.array(
+        [1 << i for i in range(planes)], dtype=np.int64))
+    probes = [qbits]
+    for radius in range(1, probe_hamming + 1):
+        for flips in combinations(range(planes), radius):
+            mask = 0
+            for b in flips:
+                mask |= 1 << b
+            probes.append(qbits ^ mask)
+    bucketed = hyperplane_bucket(df, vec_col, planes, seed)
+    return bucketed.filter(F.col("bucket").isin(probes))
+
+
 def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              planes: int = 8, seed: int = 42, probe_hamming: int = 1) -> DataFrame:
@@ -77,16 +105,8 @@ def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     ``probe_hamming`` bits of the query's bucket (multi-probe), then rank.
     At 100 TB this prunes the scan to ~(1+planes)/2^planes of the corpus;
     partition-prune further by writing the table bucketed on `bucket`."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    dim = len(query_vec)
-    mat = _planes(dim, planes, seed)
-    qbits = int(((q @ mat) > 0).astype(np.int64) @ np.array(
-        [1 << i for i in range(planes)], dtype=np.int64))
-    probes = [qbits] + (
-        [qbits ^ (1 << i) for i in range(planes)] if probe_hamming >= 1 else []
-    )
-    bucketed = hyperplane_bucket(df, vec_col, planes, seed)
-    cand = bucketed.filter(F.col("bucket").isin(probes))
+    cand = ann_candidates(df, query_vec, vec_col, id_col, planes, seed,
+                          probe_hamming)
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 

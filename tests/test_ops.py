@@ -162,9 +162,24 @@ def test_discover_from_feeds_spark(spark):
 
 
 # ------------------------------------------------------------ multimodal ----
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image_meta(b"bytes", fake=False)
+def test_parse_image_dims_real_headers():
+    """Round-trip: header-faithful PNG/JPEG/GIF containers parse back to
+    the md5-derived dimensions; malformed bytes degrade to ok=False."""
+    import hashlib
+
+    for ref in ("https://cdn.example.com/img/1.jpg", "x"):
+        w, h, _sel = mm.asset_dims_of(ref)
+        hx = hashlib.md5(ref.encode()).hexdigest()
+        for build in (mm.synth_png, mm.synth_jpeg, mm.synth_gif):
+            payload = build(w, h, hx)
+            assert len(payload) == mm.ASSET_PAYLOAD_BYTES
+            d = mm.parse_image_dims(payload)
+            assert (d["width"], d["height"], d["ok"]) == (w, h, True)
+    for bad in (b"", b"\x89PNG", b"\xff\xd8\x00\x01", b"GIF89a\x01", b"junk" * 50):
+        assert mm.parse_image_dims(bad)["ok"] is False
+    # channels come from the real header fields
+    assert mm.parse_image_dims(mm.synth_png(20, 20, "ab" * 16))["channels"] == 3
+    assert mm.parse_image_dims(mm.synth_jpeg(20, 20, "ab" * 16))["channels"] == 3
 
 
 def test_multimodal_plumbing(spark, sf_small):
@@ -175,11 +190,24 @@ def test_multimodal_plumbing(spark, sf_small):
     n = assets.count()
     rows = assets.limit(5).collect()
     for r in rows:
-        assert r["mime"] == "image/jpeg" and len(r["payload"]) == 256
+        assert r["mime"] in ("image/png", "image/jpeg", "image/gif")
+        assert len(r["payload"]) == 256
 
-    meta = assets.withColumn("img", mm.image_meta_udf(fake=True)(F.col("payload")))
-    m = meta.select("img.*").limit(3).collect()
-    assert all(r["ok"] and r["width"] >= 64 for r in m)
+    # real decode (fake=False default): dims match the md5 contract and
+    # the declared mime matches the actual container magic
+    meta = assets.withColumn("img", mm.image_meta_udf()(F.col("payload")))
+    for r in meta.select("media_ref", "mime", "img.*", "payload").limit(10).collect():
+        w, h, sel = mm.asset_dims_of(r["media_ref"])
+        assert (r["width"], r["height"], r["ok"]) == (w, h, True)
+        expected_mime = ("image/png", "image/jpeg", "image/gif")[sel]
+        assert r["mime"] == expected_mime
+        magic = bytes(r["payload"])[:8]
+        if expected_mime == "image/png":
+            assert magic == mm.PNG_SIG
+        elif expected_mime == "image/gif":
+            assert magic[:6] == b"GIF89a"
+        else:
+            assert magic[:2] == b"\xff\xd8"
 
     feats = mm.extract_features(assets.limit(10))
     fr = feats.select("features").collect()
