@@ -5,9 +5,13 @@
 and return span statistics.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-from SURVEY.md §2 (+ the training-data ops). Oracles are ANSI SQL for
-DuckDB over the same parquet views; ops whose core hash (xxhash64) has no
-DuckDB twin are registered without an oracle (rows-only check, by design).
+from SURVEY.md §2 (+ the training-data ops). EVERY query has a content
+oracle: plain ANSI SQL over the parquet views where expressible; md5-twin
+hash families (minhash/simhash) where the production hash (xxhash64) has
+no DuckDB equivalent; and committed golden parquets under goldens/ as the
+independent reference point for UDF-chunker spans, the ANN candidate set,
+decoded image metadata, and the crawl schedule log (see
+jobs/make_goldens.py for each golden's validity chain).
 """
 
 from __future__ import annotations

@@ -103,10 +103,56 @@ def make_crawl_log(spark) -> None:
     print(f"wrote {path}: {len(pdf)} scheduled fetches over {CRAWL_WAVES} waves")
 
 
+def make_fixture_goldens() -> None:
+    """Pin the extraction pipeline's current output on the reference's 7
+    real fixture pages (VERDICT #7): the reference itself cannot run
+    in-sandbox (bs4/lxml absent), so byte-fidelity vs upstream is
+    unprovable — but pinning makes any DRIFT in our own pipeline
+    detectable (tests/test_fixtures_real.py::test_fixture_extraction_pinned).
+    Pure Python, no Spark."""
+    import glob
+    import hashlib
+    import json
+
+    from llm_scraper_spark.operators.extraction.pipeline import (
+        config_for_domain, extract_article, load_parser_configs)
+
+    configs = load_parser_configs("/root/reference/src/llm_scraper/parsers/configs")
+    out = {}
+    for path in sorted(glob.glob("/root/reference/fixtures/**/*.json", recursive=True)):
+        try:
+            with open(path) as f:
+                obj = json.load(f)
+        except Exception:
+            continue
+        if not (isinstance(obj, dict) and {"url", "domain", "raw_html"} <= set(obj)):
+            continue
+        cfg = config_for_domain(configs, obj["domain"])
+        rec = extract_article(obj["raw_html"], obj["url"], cfg)
+        out[obj["url"]] = {
+            "domain": obj["domain"],
+            "status": rec["status"],
+            "title": rec.get("title"),
+            "published_at": rec.get("published_at"),
+            "authors": rec.get("authors"),
+            "tags": rec.get("tags"),
+            "topics": rec.get("topics"),
+            "language": rec.get("language"),
+            "content_len": len(rec.get("content") or ""),
+            "content_md5": hashlib.md5(
+                (rec.get("content") or "").encode("utf-8")).hexdigest(),
+        }
+    path = os.path.join(GOLDENS, "fixture_extraction.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True, ensure_ascii=False)
+    print(f"wrote {path}: {len(out)} fixtures pinned")
+
+
 def main() -> None:
     from llm_scraper_spark.session import get_spark
 
     os.makedirs(GOLDENS, exist_ok=True)
+    make_fixture_goldens()
     spark = get_spark(app_name="make_goldens", master="local[8]")
     for sf in SPAN_SFS:
         make_spans(spark, sf)

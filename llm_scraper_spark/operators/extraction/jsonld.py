@@ -18,6 +18,26 @@ from .meta import REJECTED_TOPICS
 ARTICLE_TYPES = {"Article", "NewsArticle", "WebPage", "BlogPosting", "Report"}
 
 
+def normalize_dict(obj) -> dict:
+    """Tolerant dict coercion — standalone twin of the reference
+    ``normalize_dict`` (/root/reference/src/llm_scraper/utils/normalization.py:82-92):
+    dict passes through; bytes decode utf-8 (strict, as upstream — a
+    decode error propagates); str json-parses; parse failure or any other
+    type -> {}. The Spark column analogue is
+    ``coalesce(from_json(c, schema), empty)`` — this is the Python-side
+    form the extraction UDFs use."""
+    if isinstance(obj, dict):
+        return obj
+    if isinstance(obj, (bytes, bytearray)):
+        obj = bytes(obj).decode("utf-8")
+    if isinstance(obj, str):
+        try:
+            return json.loads(obj)
+        except json.JSONDecodeError:
+            pass
+    return {}
+
+
 def _iter_schemas(raw):
     """Flatten top-level lists and @graph containers into schema dicts."""
     if isinstance(raw, list):

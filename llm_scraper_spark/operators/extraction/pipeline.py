@@ -34,11 +34,15 @@ from .markdown import to_markdown, to_plain_text
 from .meta import normalize_str_ref, response_meta
 from .values import extract_value
 
-# final safety-cleanup selectors (reference uses its COMMON_CLEANUP_SELECTORS
-# list, presets.py:9-35; ours is the engine's own boilerplate list)
+# final safety-cleanup selectors — byte-matched to the reference
+# COMMON_CLEANUP_SELECTORS (/root/reference/src/llm_scraper/presets.py:9-35)
 SAFETY_CLEANUP_SELECTORS = (
-    ".ads", ".advertisement", ".google-ads", ".popup", ".related",
-    ".social-bar", ".sponsor", ".table-of-contents", "figure.wp-block-embed",
+    ".ads-center", ".ads_middle", ".adscontent", ".adv", ".ap_container",
+    ".google-ads", ".google-auto-placed", ".popup", ".popup-detail-content",
+    ".related", ".social-bar", ".sponsor", ".table-of-contents", ".toc-plus",
+    ".toc-subnav", ".tts-player", ".youtube-video", ".print-link",
+    ".comment-links", "figure.wp-block-embed",
+    ".tdb_single_content .tdb-block-inner.td-fix-index",
 )
 
 # ParserConfig extraction-field order (models/selector.py:96-106)

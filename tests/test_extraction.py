@@ -202,6 +202,18 @@ class TestComplex:
         assert result == ["https://example.com/article/css-basics",
                           "https://example.com/article/xpath-guide"]
 
+    def test_avoid_sidebar_links(self, root):
+        """Parent scoping excludes sidebar links (reference
+        tests/test_xpath_selector.py:337-369, assertions byte-exact)."""
+        result_all = _extract_element(
+            root, {"selector": "a", "attribute": "href", "all": True}, None)
+        assert "/about" in result_all or "/contact" in result_all
+        result_scoped = _extract_element(root, {"selector": [
+            {"query": "a", "selector_type": "css", "attribute": "href",
+             "parent": ".byline"}], "all": True}, None)
+        assert "/about" not in result_scoped
+        assert "/author/john" in result_scoped
+
     def test_full_parser_config(self, root):
         config = {
             "domain": "example.com",
@@ -283,6 +295,25 @@ SAMPLE_HTML = """
 </body>
 </html>
 """
+
+
+def test_normalize_dict_twin():
+    """Standalone normalize_dict matches the reference semantics
+    (utils/normalization.py:82-92): dict pass-through, bytes decode,
+    str json-parse, tolerant {} on failure/other types."""
+    import pytest as _pytest
+
+    from llm_scraper_spark.operators.extraction.jsonld import normalize_dict
+
+    assert normalize_dict({"a": 1}) == {"a": 1}
+    assert normalize_dict('{"a": 1}') == {"a": 1}
+    assert normalize_dict(b'{"b": 2}') == {"b": 2}
+    assert normalize_dict("not json") == {}
+    assert normalize_dict(None) == {}
+    assert normalize_dict(42) == {}
+    assert normalize_dict("[1, 2]") == [1, 2]  # upstream returns the parse as-is
+    with _pytest.raises(UnicodeDecodeError):  # strict decode, as upstream
+        normalize_dict(b"\xff\xfe{")
 
 
 class TestArticlePipeline:

@@ -55,6 +55,38 @@ def test_fixture_titles_and_metadata(fixtures, configs):
     assert dated >= 4
 
 
+def test_fixture_extraction_pinned(fixtures, configs):
+    """Regression goldens (VERDICT #7): the pipeline's output on every real
+    fixture is pinned in goldens/fixture_extraction.json — any drift in
+    selectors, cleanup, normalization, or markdown rendering fails here.
+    Regenerate deliberately with jobs/make_goldens.py after an intended
+    behavior change."""
+    import hashlib
+    import json
+
+    with open("/root/repo/goldens/fixture_extraction.json") as f:
+        golden = json.load(f)
+    assert len(golden) >= 6
+    for row in fixtures:
+        g = golden[row["url"]]
+        cfg = config_for_domain(configs, row["domain"])
+        rec = extract_article(row["raw_html"], row["url"], cfg)
+        content = rec.get("content") or ""
+        got = {
+            "domain": row["domain"],
+            "status": rec["status"],
+            "title": rec.get("title"),
+            "published_at": rec.get("published_at"),
+            "authors": rec.get("authors"),
+            "tags": rec.get("tags"),
+            "topics": rec.get("topics"),
+            "language": rec.get("language"),
+            "content_len": len(content),
+            "content_md5": hashlib.md5(content.encode("utf-8")).hexdigest(),
+        }
+        assert got == g, f"extraction drift on {row['url']}"
+
+
 def test_fixture_spans_pipeline(spark, fixtures):
     """End-to-end through the Spark UDF surface: documents_raw -> extract ->
     spans; text spans equal the production chunker run on the content."""
