@@ -141,6 +141,7 @@ def make_fixture_goldens() -> None:
             "content_len": len(rec.get("content") or ""),
             "content_md5": hashlib.md5(
                 (rec.get("content") or "").encode("utf-8")).hexdigest(),
+            "meta_nest": rec.get("meta_nest"),
         }
     path = os.path.join(GOLDENS, "fixture_extraction.json")
     with open(path, "w") as f:

@@ -93,6 +93,33 @@ def response_meta(root: Node) -> dict:
         )
     topics = normalize_list_str(md.get("article:section"), REJECTED_TOPICS)
 
+    # full nested OG/article/twitter surface (Meta.from_soup,
+    # /root/reference/src/llm_scraper/models/meta.py:282-306): plain dicts
+    # with None values dropped; twitter:* keys prefix-stripped (we keep the
+    # raw k:v map where the reference's pydantic TwitterCard would validate)
+    article_data = {
+        k: md.get(f"article:{k}")
+        for k in ("published_time", "modified_time", "author", "section", "tag")
+        if md.get(f"article:{k}") is not None
+    }
+    og_data = {
+        k: md.get(f"og:{k}")
+        for k in ("title", "description", "url", "site_name", "locale")
+        if md.get(f"og:{k}") is not None
+    }
+    if md.get("og:image"):
+        og_data["image"] = {"image": md.get("og:image")}
+    twitter_data = {
+        k[len("twitter:"):]: v for k, v in md.items() if k.startswith("twitter:")
+    }
+    nest = {}
+    if article_data:
+        nest["article"] = article_data
+    if og_data:
+        nest["open_graph"] = og_data
+    if twitter_data:
+        nest["twitter"] = twitter_data
+
     return {
         "title": normalize_str_ref(title) or None,
         "description": normalize_str_ref(description) or None,
@@ -105,5 +132,6 @@ def response_meta(root: Node) -> dict:
         "tags": tags,
         "topics": topics,
         "image": md.get("og:image") or md.get("twitter:image"),
+        "nest": nest,
         "_meta": md,
     }

@@ -322,6 +322,7 @@ def extract_article(html: str, url: str, config: dict | None,
         "content": content,
         "follow_urls": [f for f in follow if isinstance(f, str)],
         "media_refs": [meta["image"]] if meta["image"] else [],
+        "meta_nest": json.dumps(meta["nest"]) if meta.get("nest") else None,
         **md,
     }
 
@@ -370,7 +371,7 @@ EXTRACT_RESULT_DDL = (
     "authors array<string>, content string, follow_urls array<string>, "
     "media_refs array<string>, tags array<string>, topics array<string>, "
     "main_points array<string>, published_at string, modified_at string, "
-    "schema_org string"
+    "schema_org string, meta_nest string"
 )
 
 _RESULT_FIELDS = [f.split(" ")[0] for f in EXTRACT_RESULT_DDL.split(", ")]

@@ -297,6 +297,32 @@ SAMPLE_HTML = """
 """
 
 
+def test_meta_nest_full_surface():
+    """P15 full nested OG/article/twitter surface (models/meta.py:282-306):
+    None-dropped nests, og:image wrapped, twitter prefix-stripped."""
+    from llm_scraper_spark.operators.extraction.dom import parse_html
+    from llm_scraper_spark.operators.extraction.meta import response_meta
+
+    html = """<html><head>
+      <meta property="og:title" content="T"/>
+      <meta property="og:image" content="https://x.com/i.png"/>
+      <meta property="og:site_name" content="Site"/>
+      <meta property="article:published_time" content="2024-01-15T10:00:00Z"/>
+      <meta property="article:section" content="News"/>
+      <meta name="twitter:card" content="summary"/>
+      <meta name="twitter:title" content="TwT"/>
+    </head><body></body></html>"""
+    nest = response_meta(parse_html(html))["nest"]
+    assert nest["open_graph"] == {
+        "title": "T", "site_name": "Site", "image": {"image": "https://x.com/i.png"}}
+    assert nest["article"] == {
+        "published_time": "2024-01-15T10:00:00Z", "section": "News"}
+    assert nest["twitter"] == {"card": "summary", "title": "TwT"}
+    # absent groups are omitted entirely
+    bare = response_meta(parse_html("<html><body><p>x</p></body></html>"))["nest"]
+    assert bare == {}
+
+
 def test_normalize_dict_twin():
     """Standalone normalize_dict matches the reference semantics
     (utils/normalization.py:82-92): dict pass-through, bytes decode,

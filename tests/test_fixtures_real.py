@@ -83,6 +83,7 @@ def test_fixture_extraction_pinned(fixtures, configs):
             "language": rec.get("language"),
             "content_len": len(content),
             "content_md5": hashlib.md5(content.encode("utf-8")).hexdigest(),
+            "meta_nest": rec.get("meta_nest"),
         }
         assert got == g, f"extraction drift on {row['url']}"
 
