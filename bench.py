@@ -429,6 +429,10 @@ if __name__ == "__main__":
     if "--render" in sys.argv:
         render_scaling_md()
     elif "--scaling" in sys.argv:
-        run_scaling()
+        reps = (
+            int(sys.argv[sys.argv.index("--reps") + 1])
+            if "--reps" in sys.argv else 3
+        )
+        run_scaling(reps=reps)
     else:
         print(json.dumps(run_bench()))
