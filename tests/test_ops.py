@@ -298,6 +298,43 @@ def test_sharded_bloom_incremental_equals_fresh(spark):
         assert np.array_equal(s1, s2)
 
 
+def test_alias_generation_matches_reference():
+    """Import the ACTUAL reference aliases module by path (stdlib-only, so
+    it runs in-sandbox) and assert name-for-name equality, plus the
+    DataFrame column-rename surface."""
+    import importlib.util
+
+    from llm_scraper_spark.functions import aliases as ours
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_aliases", "/root/reference/src/llm_scraper/utils/aliases.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    cases = [
+        "doc_id", "docId", "DocID", "HTTPResponseCode", "already_snake",
+        "With Spaces  and-dash", "punct!ed.name", "_leading", "a1B2c3D",
+        "XMLHttpRequest", "", "UPPER", "mixed_Case_words",
+    ]
+    for name in cases:
+        assert ours.clean(name) == ref.AliasGenerator.clean(name), name
+        assert ours.clean(name, True) == ref.AliasGenerator.clean(name, True), name
+        assert ours.to_snake_case(name) == ref.AliasGenerator.to_snake_case(name), name
+        assert ours.to_camel_case(name) == ref.AliasGenerator.to_camel_case(name), name
+        assert ours.to_pascal_case(name) == ref.AliasGenerator.to_pascal_case(name), name
+
+
+def test_alias_columns_rename(spark):
+    from llm_scraper_spark.functions.aliases import alias_columns
+
+    df = spark.createDataFrame([(1, "x")], "docId long, SourceURL string")
+    assert alias_columns(df, "snake").columns == ["doc_id", "source_url"]
+    assert alias_columns(
+        spark.createDataFrame([(1,)], "doc_id long"), "camel").columns == ["docId"]
+    assert alias_columns(
+        spark.createDataFrame([(1,)], "doc_id long"), "pascal").columns == ["DocId"]
+
+
 def test_parse_robots_txt_groups():
     txt = """
 User-agent: Googlebot
