@@ -261,6 +261,26 @@ def q_language_id(spark, sf_dir):
 
 
 def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH candidate pairs on the production xxhash64 family (the
+    scale path bench.py times). xxhash64 has no DuckDB twin, so the oracle
+    is the committed golden parquet (goldens/minhash_pairs_sf*.parquet,
+    regenerated by jobs/make_goldens.py and pinned by tests/test_goldens) —
+    drift in shingling/banding/bucketing/estimation mismatches the golden.
+    Full independent recomputation lives in minhash_neardup_md5."""
+    from llm_scraper_spark.operators.dedup import minhash_candidates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # rows=8 = high-precision LSH regime: the synthetic corpus has a 31-word
+    # vocab so at rows=4 nearly everything collides (quadratic buckets)
+    pairs = minhash_candidates(docs, bands=4, rows=8, hash_family="xxhash64")
+    return pairs.select(
+        "id_a", "id_b",
+        (F.col("est_jaccard") * 32).cast("int").alias("n_match"),
+        "est_jaccard",
+    )
+
+
+def q_minhash_neardup_md5(spark, sf_dir):
     """MinHash+LSH candidate pairs, md5 hash family: every stage
     (shingle -> 32 permutation hashes -> banded buckets -> bucket-capped
     pair join -> signature-agreement estimate) is recomputed exactly by
@@ -268,8 +288,6 @@ def q_minhash_neardup(spark, sf_dir):
     from llm_scraper_spark.operators.dedup import minhash_candidates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # rows=8 = high-precision LSH regime: the synthetic corpus has a 31-word
-    # vocab so at rows=4 nearly everything collides (quadratic buckets)
     pairs = minhash_candidates(docs, bands=4, rows=8, hash_family="md5")
     # n_match/32 is a dyadic rational — exact in doubles on both engines,
     # so no rounding (round() half-up vs half-even would diverge at .5)
@@ -582,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "language_id": q_language_id,
         "minhash_neardup": q_minhash_neardup,
+        "minhash_neardup_md5": q_minhash_neardup_md5,
         "simhash": q_simhash,
         "spans_documents": q_spans_documents,
         "vector_upsert": q_vector_upsert,
@@ -811,7 +830,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
             FROM best
         """,
-        "minhash_neardup": _minhash_oracle_sql(),
+        "minhash_neardup": """
+            SELECT id_a, id_b, n_match::INT AS n_match, est_jaccard
+            FROM read_parquet('/root/repo/goldens/minhash_pairs_sf0.01.parquet')
+        """,
+        "minhash_neardup_md5": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         # golden-backed oracles: DuckDB recomputes from committed parquet
         # reference points (goldens/ — see jobs/make_goldens.py for the

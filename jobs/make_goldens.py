@@ -14,6 +14,12 @@ expressible in SQL alone (VERDICT #1/#5):
 - ``ann_candidates_sf{X}.parquet`` — the multi-probe LSH candidate set for
   query vec_id=0 (planes=6, seed=42, probe_hamming=1). The oracle computes
   exact cosine top-k over this set in SQL; live ann_topk must agree.
+- ``minhash_pairs_sf{X}.parquet`` — q_minhash_neardup's candidate pairs on
+  the production xxhash64 family (bands=4, rows=8). xxhash64 has no DuckDB
+  twin; validity chain: the md5-family twin of the SAME pipeline is fully
+  recomputed by the driver's minhash_neardup_md5 oracle, and
+  tests/test_goldens.py pins the live xxhash64 output to this file so any
+  drift in shingling/banding/bucketing/estimation is caught.
 - ``crawl_schedule_log.parquet`` — the single-node oracle simulator's
   (wave, seq, url) fetch schedule for the fixed synthetic crawl that
   q_crawl_schedule_log runs distributed (CRAWL_* params below). Pure
@@ -83,6 +89,24 @@ def make_ann_candidates(spark, sf: str) -> None:
     path = os.path.join(GOLDENS, f"ann_candidates_sf{sf}.parquet")
     pdf.to_parquet(path, index=False)
     print(f"wrote {path}: {len(pdf)} candidates")
+
+
+def make_minhash_pairs(spark, sf: str) -> None:
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.operators.dedup import minhash_candidates
+
+    docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet").select(
+        "doc_id", "text")
+    pairs = minhash_candidates(docs, bands=4, rows=8, hash_family="xxhash64").select(
+        "id_a", "id_b",
+        (F.col("est_jaccard") * 32).cast("int").alias("n_match"),
+        "est_jaccard",
+    )
+    pdf = pairs.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    path = os.path.join(GOLDENS, f"minhash_pairs_sf{sf}.parquet")
+    pdf.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(pdf)} candidate pairs")
 
 
 def make_crawl_log(spark) -> None:
@@ -158,6 +182,7 @@ def main() -> None:
     for sf in SPAN_SFS:
         make_spans(spark, sf)
         make_ann_candidates(spark, sf)
+        make_minhash_pairs(spark, sf)
     make_crawl_log(spark)
     spark.stop()
 

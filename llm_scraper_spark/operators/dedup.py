@@ -147,7 +147,31 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
     """(id, sig array<long>) via exploded shingles + k codegen'd hash
     columns + one grouped min (map-side combined)."""
     exploded = shingles_exploded(df, text_col, id_col, n_shingle)
-    hashed = exploded.select("id", *perm_hash_exprs("s", k, hash_family))
+    if hash_family == "md5":
+        # stage the k/4 digests in their own projection so each md5 is
+        # computed once and its 4 8-hex-char windows are carved in a second
+        # projection; CollapseProject keeps non-cheap aliases referenced
+        # more than once un-inlined, so the staged plan runs k/4 md5 calls
+        # per shingle instead of relying on codegen subexpr elimination
+        n_dig = (k + 3) // 4
+        staged = exploded.select(
+            "id",
+            *[
+                F.md5(F.concat_ws("#", F.col("s"), F.lit(str(g)))).alias(f"d{g}")
+                for g in range(n_dig)
+            ],
+        )
+        hashed = staged.select(
+            "id",
+            *[
+                F.conv(F.substring(F.col(f"d{p // 4}"), 1 + 8 * (p % 4), 8), 16, 10)
+                .cast("long")
+                .alias(f"h{p}")
+                for p in range(k)
+            ],
+        )
+    else:
+        hashed = exploded.select("id", *perm_hash_exprs("s", k, hash_family))
     mins = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
     )

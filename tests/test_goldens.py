@@ -40,6 +40,28 @@ def test_spans_golden_matches_live_pipeline(spark):
     pd.testing.assert_frame_equal(live, golden, check_dtype=False)
 
 
+def test_minhash_golden_matches_live_pipeline(spark):
+    from llm_scraper_spark.operators.dedup import minhash_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text")
+    live = (
+        minhash_candidates(docs, bands=4, rows=8, hash_family="xxhash64")
+        .select("id_a", "id_b",
+                (F.col("est_jaccard") * 32).cast("int").alias("n_match"),
+                "est_jaccard")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    golden = (
+        pd.read_parquet(f"{GOLDENS}/minhash_pairs_sf0.001.parquet")
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(live, golden, check_dtype=False)
+
+
 def test_crawl_golden_matches_simulator(spark):
     from jobs.make_goldens import (
         CRAWL_BUDGET, CRAWL_FANOUT, CRAWL_N_HOSTS, CRAWL_N_SEEDS, CRAWL_WAVES)
