@@ -69,7 +69,8 @@ def bench_frontier(spark, n_seeds: int, n_hosts: int, budget: int = 32) -> dict:
 
     t0 = time.time()
     seeds = synth_seeds(spark, n_seeds, n_hosts=n_hosts)
-    canon = with_canonical(seeds.select("url", "priority", "seq"))
+    canon = with_canonical(seeds.select("url", "priority", "seq"),
+                           key_hex=False)
     frontier = with_salt(first_occurrence_dedup(canon, "url_hash", "seq"))
     # materialize once — the wave loop persists frontier state between
     # stages (crawl/state.py); without this every action below would
@@ -96,7 +97,7 @@ def bench_frontier(spark, n_seeds: int, n_hosts: int, budget: int = 32) -> dict:
     # form) — narrows the dedup shuffle rows by ~1/3; no persist: the
     # candidate branch has exactly one consumer (the anti-join), so a
     # cache materialization would only add a full extra write pass
-    cand = with_canonical(links).drop("key_hex", "url")
+    cand = with_canonical(links, key_hex=False).drop("url")
     cand = first_occurrence_dedup(cand, "url_hash", "disc_ord")
     new = cand.join(frontier.select("url_hash"), on="url_hash", how="left_anti")
     n_new = new.count()

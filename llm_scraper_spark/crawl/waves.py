@@ -163,7 +163,8 @@ class CrawlRun:
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """Wave -1 'commit': canonicalize seeds, first-occurrence dedup,
         mark seen at enqueue (reference add_url semantics, cache.py:78-92)."""
-        canon = with_canonical(seeds.select("url", "priority", "seq"))
+        canon = with_canonical(seeds.select("url", "priority", "seq"),
+                               key_hex=False)
         deduped = seen_ops.first_occurrence_dedup(canon, "url_hash", "seq")
         frontier = (
             frontier_ops.with_salt(deduped, self.n_salts)
@@ -237,7 +238,7 @@ class CrawlRun:
                 F.col("parent_seq") * F.lit(1_000_000) + F.col("link_idx"),
             )
         )
-        cand = with_canonical(links).drop("key_hex")
+        cand = with_canonical(links, key_hex=False)
         cand = seen_ops.first_occurrence_dedup(cand, "url_hash", "_disc_ord")
         # checkpoint: (a) the bloom split consumes cand on two branches —
         # without materialization both branches would recompute the

@@ -171,11 +171,17 @@ def _native_canonical(u):
 
 
 def with_canonical(df: DataFrame, url_col: str = "url",
-                   native_fast_path: bool = False) -> DataFrame:
-    """Attach canonical_url, host and the two hash keys.
+                   native_fast_path: bool = False,
+                   key_hex: bool = True) -> DataFrame:
+    """Attach canonical_url, host and the hash key(s).
 
     - ``url_hash``: xxhash64(canonical_url) — the 64-bit engine key (native)
-    - ``key_hex``: md5(raw url) — reference seen-set key (cache.py:34)
+    - ``key_hex``: md5(raw url) — reference seen-set key (cache.py:34).
+      Pass ``key_hex=False`` on pre-dedup branches: the crawl loop only
+      needs the md5 key for rows that SURVIVE first-occurrence dedup
+      (seen_delta writes recompute it there), so hashing every candidate
+      wastes one md5 per duplicate and widens the dedup shuffle rows by a
+      32-char column.
 
     Default is the single-pass Arrow-UDF plan — measured ~2x faster than
     the all-native split-union (see module comment). ``native_fast_path``
@@ -186,28 +192,27 @@ def with_canonical(df: DataFrame, url_col: str = "url",
     u = F.col(url_col)
     if not native_fast_path:
         c = canonicalize_urls(u).alias("_c")
-        return (
+        out = (
             df.withColumn("_c", c)
             .withColumn("canonical_url", F.col("_c.canonical_url"))
             .withColumn("host", F.col("_c.host"))
             .drop("_c")
             .withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
-            .withColumn("key_hex", F.md5(u))
         )
+        return out.withColumn("key_hex", F.md5(u)) if key_hex else out
     eligible = u.isNotNull() & u.rlike(_NATIVE_ELIGIBLE)
     canon, host = _native_canonical(u)
     fast = (
         df.filter(eligible)
         .withColumn("canonical_url", canon)
         .withColumn("host", host)
+        .withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
     )
+    if key_hex:
+        fast = fast.withColumn("key_hex", F.md5(u))
     slow = with_canonical(df.filter(~eligible | u.isNull()), url_col,
-                          native_fast_path=False)
-    return (
-        fast.withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
-        .withColumn("key_hex", F.md5(u))
-        .unionByName(slow)
-    )
+                          native_fast_path=False, key_hex=key_hex)
+    return fast.unionByName(slow)
 
 
 def cache_key_expr(col, algorithm: str = "md5"):
