@@ -225,6 +225,16 @@ def q_quality_score(spark, sf_dir):
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality filters (dup-line / dup-3-gram /
+    top-2-gram fractions) — training-data-pipeline tier; the DuckDB oracle
+    recomputes all three from scratch (list ops + unnest aggregation)."""
+    from llm_scraper_spark.operators.text_analysis import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs)
+
+
 def q_events_daily(spark, sf_dir):
     """T1-style time bucketing (UTC-pinned date strings for oracle parity)."""
     ev = _t(spark, sf_dir, "events")
@@ -596,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
+        "repetition_signals": q_repetition_signals,
         "events_daily": q_events_daily,
         "sessionize": q_sessionize,
         "language_id": q_language_id,
@@ -742,6 +753,43 @@ def oracle_sql() -> dict[str, str]:
                        + 0.25 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END),
                      6) AS quality
             FROM s
+        """,
+        "repetition_signals": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), tri_rows AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, greatest(len(w) - 2, 0) + 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM toks
+            ), tri_agg AS (
+              SELECT doc_id,
+                     1 - (count(DISTINCT s)::DOUBLE / count(*)) AS dup_3gram_frac
+              FROM tri_rows GROUP BY doc_id
+            ), bi_rows AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, greatest(len(w) - 1, 0) + 1),
+                       i -> w[i] || ' ' || w[i+1])) AS s
+              FROM toks
+            ), bi_counts AS (
+              SELECT doc_id, s, count(*) AS c FROM bi_rows GROUP BY doc_id, s
+            ), bi_agg AS (
+              SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_2gram_frac
+              FROM bi_counts GROUP BY doc_id
+            ), lines AS (
+              SELECT doc_id,
+                     1 - (len(list_distinct(string_split(text, chr(10))))::DOUBLE
+                          / len(string_split(text, chr(10)))) AS dup_line_frac
+              FROM documents
+            )
+            SELECT l.doc_id, l.dup_line_frac,
+                   coalesce(t.dup_3gram_frac, 0.0) AS dup_3gram_frac,
+                   coalesce(b.top_2gram_frac, 0.0) AS top_2gram_frac
+            FROM lines l
+            LEFT JOIN tri_agg t USING (doc_id)
+            LEFT JOIN bi_agg b USING (doc_id)
         """,
         "events_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -120,3 +120,66 @@ def fingerprint(col) -> Column:
     )
     # sequence(1, 0) is DESCENDING in Spark — guard docs with < 3 words
     return F.when(n >= 1, F.array_min(grams)).otherwise(F.lit(None).cast("string"))
+
+
+def dup_line_frac(col) -> Column:
+    """Fraction of lines that repeat an earlier line:
+    1 - distinct_lines/lines. Pure array expression — zero shuffle. One of
+    the Gopher repetition filters (Rae et al. 2021 §A1.1); the reference
+    declares no quality-filter stage, so this is part of the
+    training-data-pipeline tier, not reference parity."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    return (
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / F.size(lines)
+    )
+
+
+def repetition_signals(df, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals, per document:
+
+    - ``dup_line_frac``  — 1 - distinct lines / lines (no shuffle)
+    - ``dup_3gram_frac`` — 1 - distinct word-3-grams / word-3-grams
+    - ``top_2gram_frac`` — share of 2-gram occurrences taken by the most
+      frequent 2-gram
+
+    Shingling reuses the HOF-free posexplode + lead plan from
+    ``operators.dedup.shingles_exploded`` (codegen'd projections, one
+    UnsafeRow window pass per n). Aggregations are map-side-combined
+    groupBys keyed on the document id, so at 100 TB this is two bounded
+    doc_id shuffles — no joins wider than the document count. Docs too
+    short for an n-gram get 0.0 (left join + coalesce), matching the
+    DuckDB oracle in __spark_entry__.py.
+    """
+    from llm_scraper_spark.operators.dedup import shingles_exploded
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        dup_line_frac(text_col).alias("dup_line_frac"),
+    )
+    tri = (
+        shingles_exploded(df, text_col, id_col, n=3)
+        .groupBy("id")
+        .agg((
+            F.lit(1.0)
+            - F.count_distinct(F.col("s")).cast("double") / F.count(F.lit(1))
+        ).alias("dup_3gram_frac"))
+    )
+    bi = (
+        shingles_exploded(df, text_col, id_col, n=2)
+        .groupBy("id", "s").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_2gram_frac"))
+    )
+    return (
+        base.join(tri, on="id", how="left")
+        .join(bi, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "dup_line_frac",
+            F.coalesce("dup_3gram_frac", F.lit(0.0)).alias("dup_3gram_frac"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )

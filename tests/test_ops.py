@@ -351,3 +351,27 @@ Sitemap: https://h.com/sm.xml
     assert r["allow_prefixes"] == ["/private/ok"]
     assert r["crawl_delay"] == 2.5
     assert r["sitemaps"] == ["https://h.com/sm.xml"]
+
+
+def test_repetition_signals_exact_values(spark):
+    from llm_scraper_spark.operators.text_analysis import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, "dup" twice -> dup_line 1-3/4; tokens: a b a b a b:
+            # 3-grams [aba,bab,aba,bab(x? )] -> tokens a b a b a b ->
+            # trigrams: "a b a","b a b","a b a","b a b" -> 1-2/4 = 0.5
+            # bigrams: "a b","b a","a b","b a","a b" -> top "a b" 3/5
+            (1, "a b a b a b"),
+            (2, "dup\nuniq\ndup\nlast"),
+            (3, "x"),          # too short for any n-gram -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert got[1]["dup_3gram_frac"] == 0.5
+    assert abs(got[1]["top_2gram_frac"] - 3 / 5) < 1e-12
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == 0.25
+    assert got[3]["dup_3gram_frac"] == 0.0
+    assert got[3]["top_2gram_frac"] == 0.0
