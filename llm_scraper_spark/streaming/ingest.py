@@ -14,6 +14,9 @@ around the wave loop:
 - ``stream_frontier_append``  — foreachBatch exactly-once-style append of
   discovered URLs into the frontier state (dedup inside the batch against
   the live seen table; micro-batch twin of CrawlRun.run_wave discovery)
+- ``stream_host_budget``      — applyInPandasWithState custom stateful
+  operator: per-host lifetime fetch budget across micro-batches (the
+  cross-trigger politeness cap no windowed agg can express)
 """
 
 from __future__ import annotations
@@ -124,3 +127,58 @@ def stream_frontier_append(spark: SparkSession, input_dir: str,
         ).parquet(os.path.join(seen_dir, f"batch={batch_id}"))
 
     return urls.writeStream.foreachBatch(process_batch)
+
+def stream_host_budget(spark: SparkSession, input_dir: str,
+                       budget: int = 8) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-host LIFETIME fetch budget enforced across micro-batches.
+
+    The batch engine's politeness cap (`frontier.schedule_wave`) is a
+    per-wave window — it resets every wave. A continuous deployment also
+    wants a cross-trigger cap ("never fetch more than N URLs from host H
+    over the stream's life") which no windowed aggregation can express:
+    it needs per-key mutable state that survives triggers. State here is
+    one long per host (URLs admitted so far); each micro-batch admits
+    rows in seq order until the remaining budget is exhausted, then
+    drops. At scale the state store shards by host hash across
+    executors — the same key distribution the politeness shuffle already
+    uses, so no new skew surface.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("used", T.LongType())])
+
+    def admit(key, pdfs, state):
+        used = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if used >= budget:
+                break
+            pdf = pdf.sort_values("seq")
+            out = pdf.head(budget - used)
+            used += len(out)
+            if len(out):
+                yield out[["host", "url", "seq"]]
+        state.update((used,))
+
+    urls = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return urls.groupBy("host").applyInPandasWithState(
+        admit, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

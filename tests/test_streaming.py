@@ -72,3 +72,38 @@ def test_stream_frontier_append_dedups_across_batches(spark, tmp_path):
         str(state / "seen_delta"))
     urls = sorted(r["canonical_url"] for r in seen.collect())
     assert urls == ["https://h.com/a", "https://h.com/b", "https://h.com/c"]
+
+
+def test_stream_host_budget_carries_state_across_batches(spark, tmp_path):
+    from llm_scraper_spark.streaming.ingest import stream_host_budget
+
+    in_dir = tmp_path / "budget_in"
+    in_dir.mkdir()
+    out = stream_host_budget(spark, str(in_dir), budget=3)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("budget_stream")
+         .option("checkpointLocation", str(tmp_path / "cp_budget")).start())
+    try:
+        # batch 1: h1 x2, h2 x1 -> all admitted (under budget)
+        spark.createDataFrame(
+            [("https://h1/a", "h1", 0), ("https://h1/b", "h1", 1),
+             ("https://h2/a", "h2", 2)],
+            "url string, host string, seq long",
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        q.processAllAvailable()
+        # batch 2: h1 x3 more -> only ONE admitted (state: 2 used of 3);
+        # a per-batch/windowed cap would wrongly admit all three
+        spark.createDataFrame(
+            [("https://h1/c", "h1", 3), ("https://h1/d", "h1", 4),
+             ("https://h1/e", "h1", 5)],
+            "url string, host string, seq long",
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from budget_stream").collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r["seq"])
+    assert sorted(by_host["h1"]) == [0, 1, 3]  # budget 3, seq order, cross-batch
+    assert sorted(by_host["h2"]) == [2]
