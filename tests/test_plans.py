@@ -81,3 +81,19 @@ def test_textstats_no_shuffle_no_udf(spark, sf_mid):
     from llm_scraper_spark.plans.explain import physical_plan
     assert "BatchEvalPython" not in physical_plan(q, "simple")
     assert "ArrowEvalPython" not in physical_plan(q, "simple")
+
+
+def test_repetition_signals_two_shuffles_no_python(spark, sf_mid):
+    """The three Gopher repetition fractions cost exactly one exchange per
+    shingle branch (the doc_id window; downstream groupBys reuse its
+    partitioning) and zero Python stages. The per-doc agg joins are
+    AQE-sized (broadcast at test scale, SMJ on id at 100 TB)."""
+    from llm_scraper_spark.operators.text_analysis import repetition_signals
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "text")
+    q = repetition_signals(docs)
+    assert count_shuffles(q) == 2
+    p = physical_plan(q, "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
