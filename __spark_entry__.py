@@ -197,6 +197,24 @@ def q_embedding_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-ANN machinery content check: kmeans|| coarse quantizer +
+    nearest-centroid inverted lists, probed EXHAUSTIVELY (nprobe = k) so
+    the result provably equals exact cosine top-k regardless of where the
+    centroids land — which is what lets a plain SQL oracle verify the
+    whole assign/probe/rank pipeline. Partial-probe recall (the scale
+    path) is measured in tests/test_goldens.py."""
+    from llm_scraper_spark.operators.similarity import (
+        ivf_fit_centroids, ivf_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 1).select("embedding").first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 1)
+    cents = ivf_fit_centroids(corpus, k_centroids=8, max_iter=3)
+    top = ivf_topk(corpus, list(qv), cents, k=5, nprobe=len(cents))
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (md5 3-gram min)."""
     from llm_scraper_spark.operators.text_analysis import fingerprint
@@ -603,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_topk": q_politeness_topk,
         "url_canonicalize": q_url_canonicalize,
         "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
@@ -703,6 +722,17 @@ def oracle_sql() -> dict[str, str]:
                    lower(source) || '.example.com' AS host,
                    md5('HTTP://' || upper(source) || '.Example.COM:80/path/' || doc_id || '#frag') AS key_hex
             FROM documents
+        """,
+        "ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 1
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 5
         """,
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

@@ -105,3 +105,23 @@ def test_ann_recall_at_10_on_planted_neighbors(spark):
               ann_topk(df, qv, k=10, planes=6, probe_hamming=2).collect()}
     recall = len(exact & approx) / 10
     assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_ivf_recall_and_full_probe_exactness(spark):
+    from llm_scraper_spark.operators.similarity import (
+        brute_force_topk, ivf_fit_centroids, ivf_topk)
+
+    qv, rows = _planted_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_fit_centroids(df, k_centroids=8, max_iter=3)
+    exact = {r["vec_id"] for r in brute_force_topk(df, qv, k=10).collect()}
+    # full probe degenerates to exact — the driver-oracle invariant
+    full = {r["vec_id"] for r in
+            ivf_topk(df, qv, cents, k=10, nprobe=len(cents)).collect()}
+    assert full == exact
+    # partial probe (the scale path): planted neighbors cluster around q,
+    # so 2 of 8 inverted lists must already hold >=90% of the true top-10
+    approx = {r["vec_id"] for r in
+              ivf_topk(df, qv, cents, k=10, nprobe=2).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.9, f"IVF recall@10 = {recall}"
