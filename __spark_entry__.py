@@ -197,6 +197,38 @@ def q_embedding_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation funnel — the composition a real
+    corpus build runs: language gate (en) -> quality floor -> repetition
+    ceiling -> exact dedup (lowest doc_id per normalized text) -> per-source
+    corpus stats. Every stage is an individually-oracled operator; the
+    oracle recomputes the whole funnel in one SQL pipeline, so the driver
+    checks the COMPOSITION, not just the parts."""
+    from llm_scraper_spark.operators.dedup import exact_dedup
+    from llm_scraper_spark.operators.text_analysis import (
+        dup_line_frac, language_id, quality_score)
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", "text",
+        language_id("text").alias("lang"),
+        quality_score("text").alias("quality"),
+        dup_line_frac("text").alias("dlf"),
+    ).filter(
+        (F.col("lang") == "en") & (F.col("quality") >= 0.5)
+        & (F.col("dlf") <= 0.2)
+    )
+    kept = exact_dedup(scored)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-ANN machinery content check: kmeans|| coarse quantizer +
     nearest-centroid inverted lists, probed EXHAUSTIVELY (nprobe = k) so
@@ -529,6 +561,75 @@ def q_discovery_parse(spark, sf_dir):
 # generated oracle SQL (md5-twin pipelines too wide to hand-write)
 # ---------------------------------------------------------------------------
 
+def _curation_oracle_sql() -> str:
+    """Full SQL recomputation of q_curation_pipeline: language argmax,
+    quality composite, dup-line fraction, the en/>=0.5/<=0.2 funnel,
+    min-doc_id-per-normalized-text dedup, per-source aggregate. The
+    per-language hit CTEs are generated from the SAME STOPWORDS dict the
+    Spark operator uses — one source of truth, no transcription drift."""
+    from llm_scraper_spark.operators.text_analysis import STOPWORDS
+
+    def lex(lang):
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    per = "\n              UNION ALL\n".join(
+        f"              SELECT doc_id, '{lang}' AS lang,\n"
+        f"                len(list_filter(t, x -> list_contains({lex(lang)}, x))) AS hits\n"
+        f"              FROM toks"
+        for lang in STOPWORDS
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, source, text,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ), per AS (
+{per}
+        ), best AS (
+          SELECT doc_id, max({{'hits': hits, 'lang': lang}}) AS b
+          FROM per GROUP BY doc_id
+        ), lang AS (
+          SELECT doc_id,
+                 CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+          FROM best
+        ), qsig AS (
+          SELECT doc_id, len(t) AS nw,
+                 len(list_filter(t, x -> list_contains({lex('en')}, x))) AS hits,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                   / greatest(length(text), 1) AS pr,
+                 list_sum(list_transform(t, x -> length(x)))::DOUBLE
+                   / greatest(len(t), 1) AS mwl
+          FROM toks
+        ), qual AS (
+          SELECT doc_id,
+                 round(0.25 * least(nw / 100.0, 1.0)
+                     + 0.25 * least(hits::DOUBLE / greatest(nw, 1) * 4.0, 1.0)
+                     + 0.25 * (CASE WHEN pr >= 0.005 AND pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END),
+                   6) AS quality
+          FROM qsig
+        ), lines AS (
+          SELECT doc_id,
+                 1 - (len(list_distinct(string_split(text, chr(10))))::DOUBLE
+                      / len(string_split(text, chr(10)))) AS dlf
+          FROM documents
+        ), filtered AS (
+          SELECT d.doc_id, d.source, d.text, q.quality
+          FROM documents d
+          JOIN lang USING (doc_id) JOIN qual q USING (doc_id)
+          JOIN lines USING (doc_id)
+          WHERE lang_pred = 'en' AND q.quality >= 0.5 AND dlf <= 0.2
+        ), deduped AS (
+          SELECT * FROM filtered
+          QUALIFY row_number() OVER (
+            PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1
+        )
+        SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+        FROM deduped GROUP BY source ORDER BY source
+    """
+
+
 def _minhash_oracle_sql(bands: int = 4, rows: int = 8, n_shingle: int = 3,
                         max_bucket: int = 200) -> str:
     """DuckDB recomputation of q_minhash_neardup: 3-gram shingles, 32
@@ -622,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
+        "curation_pipeline": q_curation_pipeline,
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
@@ -913,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/goldens/minhash_pairs_sf0.01.parquet')
         """,
         "minhash_neardup_md5": _minhash_oracle_sql(),
+        "curation_pipeline": _curation_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         # golden-backed oracles: DuckDB recomputes from committed parquet
         # reference points (goldens/ — see jobs/make_goldens.py for the
