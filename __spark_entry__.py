@@ -150,6 +150,55 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(docs).select("doc_id").orderBy("doc_id")
 
 
+BOILER_HEAD = "home | about | contact"
+BOILER_TAIL = "(c) example corp\nsubscribe to our newsletter"
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-corpus line dedup. The synthetic corpus has no
+    naturally shared lines, so the query injects the real-world scenario —
+    identical boilerplate header/footer lines on every page — and checks
+    that each boilerplate line survives only in doc 0 while every body
+    line (unique per doc) is untouched. Output is per-doc line counts plus
+    an md5 digest of the reassembled deduped text, so the driver verifies
+    the exact surviving-line content and order."""
+    from llm_scraper_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(BOILER_HEAD + "\n"), F.col("text"), F.lit("\n" + BOILER_TAIL)
+        ).alias("text"),
+    )
+    return (
+        line_dedup(docs)
+        .select("doc_id", "n_lines", "n_kept", F.md5("text").alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """Benchmark-decontamination signal: corpus docs (doc_id % 10 != 0)
+    scored by the fraction of their distinct 8-gram shingles that appear
+    anywhere in the held-out 'benchmark' slice (doc_id % 10 == 0)."""
+    from llm_scraper_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = ngram_contamination(corpus, bench, n=8)
+    # exact integer ppm instead of the operator's rounded double: Spark
+    # rounds half-up, DuckDB half-even — k/n can land exactly on the 6th
+    # decimal's half-digit (1/128 = 0.0078125) and hash-mismatch
+    return out.select(
+        "doc_id", "n_ngrams", "n_hits",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.floor(F.col("n_hits") * 1000000 / F.col("n_ngrams")),
+        ).otherwise(F.lit(0)).cast("long").alias("contamination_ppm"),
+    ).orderBy("doc_id")
+
+
 def q_first_event_per_user(spark, sf_dir):
     """D3 first-occurrence dedup as min_by aggregation."""
     from llm_scraper_spark.operators.seen import first_occurrence_dedup
@@ -630,6 +679,77 @@ def _curation_oracle_sql() -> str:
     """
 
 
+def _line_dedup_oracle_sql() -> str:
+    """DuckDB recomputation of q_line_dedup: same boilerplate injection,
+    first-occurrence-wins line dedup ordered by (doc_id, pos), per-doc
+    reassembly in original order, md5 digest of the surviving text."""
+    head = BOILER_HEAD.replace("'", "''")
+    tail = BOILER_TAIL.replace("'", "''").replace("\n", "' || chr(10) || '")
+    return f"""
+        WITH boiler AS (
+          SELECT doc_id,
+                 '{head}' || chr(10) || text || chr(10) || '{tail}' AS text
+          FROM documents
+        ), lines AS (
+          SELECT doc_id, s.pos, s.line FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, chr(10)),
+                                         (x, i) -> {{'pos': i, 'line': x}})) AS s
+            FROM boiler
+          )
+        ), kept AS (
+          SELECT doc_id, pos, line FROM lines
+          QUALIFY row_number() OVER (
+            PARTITION BY trim(line) ORDER BY doc_id, pos) = 1
+        ), reass AS (
+          SELECT doc_id, count(*)::INT AS n_kept,
+                 md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, len(string_split(b.text, chr(10)))::INT AS n_lines,
+               r.n_kept, r.text_md5
+        FROM boiler b JOIN reass r USING (doc_id)
+        ORDER BY b.doc_id
+    """
+
+
+def _contamination_oracle_sql(n: int = 8) -> str:
+    """DuckDB recomputation of q_ngram_contamination: same tokenizer as the
+    Spark operator (lower/trim + \\s+ split), word n-grams via the indexed
+    list_transform trick, distinct per doc, membership vs the distinct
+    benchmark-slice n-gram set."""
+    parts = " || ' ' || ".join(f"w[i+{d}]" for d in range(n))
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                                i -> {parts}) AS s
+          FROM toks
+        ), doc_g AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 != 0)
+        ), bench_g AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0)
+        ), scored AS (
+          SELECT d.doc_id, count(*) AS n_ngrams,
+                 sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+          FROM doc_g d LEFT JOIN bench_g b USING (g) GROUP BY d.doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(s.n_ngrams, 0) AS n_ngrams,
+               coalesce(s.n_hits, 0) AS n_hits,
+               coalesce(floor(s.n_hits * 1000000 / s.n_ngrams), 0)::BIGINT
+                 AS contamination_ppm
+        FROM toks t LEFT JOIN scored s USING (doc_id)
+        WHERE t.doc_id % 10 != 0
+        ORDER BY t.doc_id
+    """
+
+
 def _minhash_oracle_sql(bands: int = 4, rows: int = 8, n_shingle: int = 3,
                         max_bucket: int = 200) -> str:
     """DuckDB recomputation of q_minhash_neardup: 3-gram shingles, 32
@@ -724,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "curation_pipeline": q_curation_pipeline,
+        "line_dedup": q_line_dedup,
+        "ngram_contamination": q_ngram_contamination,
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
@@ -1016,6 +1138,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_neardup_md5": _minhash_oracle_sql(),
         "curation_pipeline": _curation_oracle_sql(),
+        "line_dedup": _line_dedup_oracle_sql(),
+        "ngram_contamination": _contamination_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         # golden-backed oracles: DuckDB recomputes from committed parquet
         # reference points (goldens/ — see jobs/make_goldens.py for the

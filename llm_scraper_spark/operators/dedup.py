@@ -400,3 +400,122 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document line-level dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Cross-corpus line deduplication: every distinct (trimmed) line
+    survives only at its global first occurrence — lowest ``id_col``, then
+    lowest line position — and is dropped everywhere else, including later
+    repeats inside the same document. Returns one row per document that
+    keeps >= 1 line: (id, text with survivors rejoined in original order,
+    n_lines, n_kept).
+
+    CCNet-style paragraph/line dedup is the single highest-yield cleanup on
+    web corpora (boilerplate nav/footer lines repeat across millions of
+    pages). The reference has no content-level dedup at all (only URL seen,
+    cache.py:110-136); this is the scale extension.
+
+    Scale shape: posexplode (no shuffle) -> groupBy(line hash) min_by
+    (ONE shuffle with map-side partial agg — skew-safe even for the empty
+    line that appears in every document, unlike a window over the hash,
+    whose hot partition would hold one row per corpus document) -> join
+    survivors back on the hash (AQE skew-join splits the hot probe side)
+    -> groupBy(id) to reassemble. Lines shuffle as (hash, id, pos) slim
+    rows, never full text.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_h", F.xxhash64(F.trim(F.col("line"))))
+    first = lines.groupBy("_h").agg(
+        F.min(F.struct("id", "pos")).alias("_first")
+    )
+    kept = lines.join(first, "_h").filter(
+        (F.col("id") == F.col("_first.id")) & (F.col("pos") == F.col("_first.pos"))
+    )
+    n_lines = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_ls"),
+        )
+        # small per-doc array post-aggregation: the interpreted HOF cost is
+        # per-document, not per-line (cf. shingles_exploded's rationale)
+        .select(
+            "id",
+            F.array_join(F.transform("_ls", lambda s: s["line"]), "\n").alias(text_col),
+            F.size("_ls").alias("n_kept"),
+        )
+        .join(n_lines, "id")
+        .select(F.col("id").alias(id_col), text_col, "n_lines", "n_kept")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(df: DataFrame, bench_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        bench_id_col: str | None = None,
+                        n: int = 8) -> DataFrame:
+    """Per-document benchmark-contamination signal: the fraction of the
+    document's DISTINCT word n-grams that also occur anywhere in
+    ``bench_df`` (the eval/benchmark corpus). Docs with fewer than ``n``
+    tokens have zero n-grams and score 0.0. Returns
+    (id, n_ngrams, n_hits, contamination).
+
+    Decontamination is a standard training-corpus step (the n-gram-overlap
+    check popularized by GPT-3 appendix C / PaLM): any doc whose n-grams
+    collide with an eval set is flagged before training.
+
+    Scale shape: both sides shingle via the HOF-free explode+lead plan,
+    reduce to DISTINCT 64-bit shingle hashes (slim), and equi-join on the
+    hash. The benchmark side is an eval set — tiny vs the corpus — so it
+    is broadcast after distinct; the corpus side never shuffles full
+    shingle strings, only (id, hash). Aggregation is a map-side-combined
+    groupBy(id).
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+    doc_sh = (
+        shingles_exploded(df, text_col, id_col, n)
+        .select("id", F.xxhash64("s").alias("_h"))
+        .distinct()
+    )
+    bench_sh = (
+        shingles_exploded(bench_df, bench_text_col, bench_id_col, n)
+        .select(F.xxhash64("s").alias("_h"))
+        .distinct()
+    )
+    hit = doc_sh.join(
+        F.broadcast(bench_sh).withColumn("_hit", F.lit(1)), "_h", "left"
+    )
+    scored = hit.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+    )
+    # docs with < n tokens have no shingles — surface them with score 0.0
+    # rather than dropping them from the corpus-wide signal
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits") / F.col("n_ngrams"), F.lit(0.0)), 6
+            ).alias("contamination"),
+        )
+    )

@@ -375,3 +375,53 @@ def test_repetition_signals_exact_values(spark):
     assert got[2]["dup_line_frac"] == 0.25
     assert got[3]["dup_3gram_frac"] == 0.0
     assert got[3]["top_2gram_frac"] == 0.0
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    # "footer" is shared by all three docs -> survives only in doc 1;
+    # "dup" repeats inside doc 2 -> later in-doc copy dropped too;
+    # doc 3's text is entirely non-first -> doc 3 vanishes from the output.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nfooter"),
+            (2, "dup\nbeta\ndup\nfooter"),
+            (3, "footer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.line_dedup(df).collect()}
+    assert sorted(out) == [1, 2]
+    assert out[1]["text"] == "alpha\nfooter"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["text"] == "dup\nbeta"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (4, 2)
+
+
+def test_line_dedup_trims_for_identity_keeps_original(spark):
+    # identity is the TRIMMED line, but the surviving text keeps the
+    # original (untrimmed) first-occurrence bytes
+    df = spark.createDataFrame(
+        [(1, "  pad  \nx"), (2, "pad\ny")], "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dd.line_dedup(df).collect()}
+    assert out[1] == "  pad  \nx"
+    assert out[2] == "y"
+
+
+def test_ngram_contamination_exact_fractions(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [
+            # 4 trigrams, 2 of which ("one two three", "two three four")
+            # occur in the benchmark doc
+            (1, "one two three four nope nope2"),
+            (2, "totally separate words here"),
+            (3, "short doc"),  # < n tokens -> 0 ngrams, score 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.ngram_contamination(df, bench, n=3).collect()}
+    assert (out[1]["n_ngrams"], out[1]["n_hits"]) == (4, 2)
+    assert out[1]["contamination"] == 0.5
+    assert (out[2]["n_ngrams"], out[2]["n_hits"]) == (2, 0)
+    assert out[3]["n_ngrams"] == 0 and out[3]["contamination"] == 0.0

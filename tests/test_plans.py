@@ -97,3 +97,40 @@ def test_repetition_signals_two_shuffles_no_python(spark, sf_mid):
     assert count_shuffles(q) == 2
     p = physical_plan(q, "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_line_dedup_two_shuffles_no_python(spark, sf_mid):
+    """Cross-corpus line dedup: lines explode shuffle-free; first-occurrence
+    is ONE map-side-combined exchange on the line hash (skew-safe for the
+    universal boilerplate/empty lines — a window over the hash would pile
+    the whole corpus' hot line into one partition); reassembly reuses /
+    adds one exchange on doc id. No Python stages anywhere."""
+    from llm_scraper_spark.operators.dedup import line_dedup
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "text")
+    q = line_dedup(docs)
+    assert count_shuffles(q) <= 3
+    p = physical_plan(q, "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert_no_cartesian(q)
+
+
+def test_ngram_contamination_broadcasts_bench_no_python(spark, sf_mid):
+    """Decontamination: the benchmark n-gram set (eval sets are tiny vs the
+    corpus) reaches the membership join as a broadcast — the corpus side
+    never shuffles for the probe; only slim (id, hash) rows shuffle for
+    distinct + the per-doc agg. No Python stages."""
+    from llm_scraper_spark.operators.dedup import ngram_contamination
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "text")
+    q = ngram_contamination(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"), n=8)
+    p = physical_plan(q, "simple")
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert count_shuffles(q) <= 4
+    assert_no_cartesian(q)
