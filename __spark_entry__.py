@@ -199,6 +199,31 @@ def q_ngram_contamination(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing over the corpus. The synthetic docs carry no PII, so
+    the query injects a deterministic contact footer (email + intl phone +
+    IPv4 derived from doc_id) and verifies class counts plus the md5 of
+    the redacted text — i.e. the exact output bytes of the scrub chain."""
+    from llm_scraper_spark.operators.text_analysis import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncontact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return docs.select(
+        "doc_id",
+        *pii_counts("text"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 def q_first_event_per_user(spark, sf_dir):
     """D3 first-occurrence dedup as min_by aggregation."""
     from llm_scraper_spark.operators.seen import first_occurrence_dedup
@@ -750,6 +775,44 @@ def _contamination_oracle_sql(n: int = 8) -> str:
     """
 
 
+def _pii_oracle_sql() -> str:
+    """DuckDB recomputation of q_pii_redact: same injected contact footer,
+    the same email -> ipv4 -> phone count+replace chain, built from the
+    SAME PII_PATTERNS tuple the Spark operator uses (patterns restricted
+    to the Java/RE2-identical regex subset)."""
+    from llm_scraper_spark.operators.text_analysis import PII_PATTERNS
+
+    ctes = ["""inj AS (
+          SELECT doc_id,
+                 text || chr(10) || 'contact: user' || doc_id::VARCHAR
+                      || '@example.com or +1 555-01'
+                      || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                      || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS t0
+          FROM documents
+        )"""]
+    counts = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"""r{i + 1} AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t{i}, '{p}'))::INT AS n_{name},
+                 regexp_replace(t{i}, '{p}', '{repl}', 'g') AS t{i + 1}
+          FROM r{i} """.replace("FROM r0", "FROM inj") + ")"
+        )
+        counts.append(f"n_{name}")
+    last = len(PII_PATTERNS)
+    joins = " ".join(
+        f"JOIN r{i + 1} USING (doc_id)" for i in range(last))
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT inj.doc_id, {", ".join(counts)},
+               md5(t{last}) AS redacted_md5
+        FROM inj {joins}
+        ORDER BY inj.doc_id
+    """
+
+
 def _minhash_oracle_sql(bands: int = 4, rows: int = 8, n_shingle: int = 3,
                         max_bucket: int = 200) -> str:
     """DuckDB recomputation of q_minhash_neardup: 3-gram shingles, 32
@@ -846,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "line_dedup": q_line_dedup,
         "ngram_contamination": q_ngram_contamination,
+        "pii_redact": q_pii_redact,
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
@@ -1140,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_oracle_sql(),
         "line_dedup": _line_dedup_oracle_sql(),
         "ngram_contamination": _contamination_oracle_sql(),
+        "pii_redact": _pii_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         # golden-backed oracles: DuckDB recomputes from committed parquet
         # reference points (goldens/ — see jobs/make_goldens.py for the

@@ -425,3 +425,17 @@ def test_ngram_contamination_exact_fractions(spark):
     assert out[1]["contamination"] == 0.5
     assert (out[2]["n_ngrams"], out[2]["n_hits"]) == (2, 0)
     assert out[3]["n_ngrams"] == 0 and out[3]["contamination"] == 0.0
+
+
+def test_pii_redact_exact(spark):
+    from llm_scraper_spark.operators.text_analysis import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co.uk or bob@ex.com, call +1 555-123-4567, "
+             "server 10.0.0.1; not-an-ip 999.1 v1.2.3")],
+        "doc_id long, text string",
+    )
+    r = df.select(*pii_counts("text"), redact_pii("text").alias("t")).first()
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (2, 1, 1)
+    assert r["t"] == ("mail <EMAIL> or <EMAIL>, call <PHONE>, "
+                      "server <IP>; not-an-ip 999.1 v1.2.3")
