@@ -303,6 +303,56 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment — the transitive-closure step after any
+    pairwise candidate generator (pairs a~b, b~c must collapse to ONE keep
+    decision). Builds the line-sharing graph over docs with two injected
+    boilerplate banners (doc_id % 50 and % 40 — their closure is congruence
+    mod gcd=10, so components need multi-hop merging, not just cliques) and
+    labels every doc with its component-minimum via alternating large-star /
+    small-star connected components. The DuckDB oracle recomputes the whole
+    pipeline — line hashing, the megaclique cap, the pair join, and the
+    closure itself via WITH RECURSIVE — so the driver content-verifies the
+    distributed CC algorithm against an independent fixpoint computation."""
+    from llm_scraper_spark.operators.dedup import line_share_clusters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncluster banner padding padding "),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("\nbridge banner padding padding "),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("text"),
+    )
+    return line_share_clusters(docs, hash_family="md5").orderBy("doc_id")
+
+
+MIX_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.1}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixture sampling: per-language keep rates (the
+    training-mixture table) decided by a 60-bit md5 hash of doc_id — a pure
+    function of (key, seed), invariant under repartitioning, which is what
+    makes corpus builds reproducible (Spark's native df.sample is
+    partition-layout-dependent). Also tags the deterministic train/eval
+    split. The oracle recomputes exact membership row-for-row, so the
+    driver verifies WHICH docs were kept, not just how many."""
+    from llm_scraper_spark.operators.sampling import (
+        split_train_eval, stratified_sample)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    kept = stratified_sample(docs, MIX_RATES, strata_col="lang",
+                             key_col="doc_id", seed="mix")
+    return (
+        split_train_eval(kept, eval_frac=0.02, key_col="doc_id")
+        .select("doc_id", "lang", "source", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-ANN machinery content check: kmeans|| coarse quantizer +
     nearest-centroid inverted lists, probed EXHAUSTIVELY (nprobe = k) so
@@ -775,6 +825,77 @@ def _contamination_oracle_sql(n: int = 8) -> str:
     """
 
 
+def _dedup_clusters_oracle_sql(min_len: int = 30, cap: int = 200) -> str:
+    """DuckDB recomputation of q_dedup_clusters: same banner injection, same
+    60-bit md5 line hash, same >=2 / <=cap line-sharing window, same pair
+    join — and the connected-components closure itself recomputed as a
+    WITH RECURSIVE min-label fixpoint, independently of the distributed
+    alternating-star algorithm under test."""
+    return f"""
+        WITH RECURSIVE banner AS (
+          SELECT doc_id,
+                 text || chr(10) || 'cluster banner padding padding ' ||
+                   (doc_id % 50)::VARCHAR
+                      || chr(10) || 'bridge banner padding padding ' ||
+                   (doc_id % 40)::VARCHAR AS text
+          FROM documents
+        ), ld AS (
+          SELECT DISTINCT
+                 ('0x' || substring(md5(trim(line)), 1, 15))::BIGINT AS h,
+                 doc_id
+          FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM banner)
+          WHERE length(trim(line)) >= {min_len}
+        ), ok AS (
+          SELECT h FROM ld GROUP BY h
+          HAVING count(*) >= 2 AND count(*) <= {cap}
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM ld a JOIN ld b ON a.h = b.h JOIN ok ON ok.h = a.h
+          WHERE a.doc_id < b.doc_id
+        ), edges AS (
+          SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+        ), reach(node, lab) AS (
+          SELECT u AS node, u AS lab FROM edges
+          UNION
+          SELECT e.u AS node, r.lab FROM edges e JOIN reach r ON r.node = e.v
+        ), cc AS (
+          SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+        ), lab AS (
+          SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        ), sz AS (
+          SELECT cluster_id, count(*) AS cluster_size FROM lab
+          GROUP BY cluster_id
+        )
+        SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+               lab.doc_id = lab.cluster_id AS keep
+        FROM lab JOIN sz USING (cluster_id)
+        ORDER BY lab.doc_id
+    """
+
+
+def _stratified_sample_oracle_sql() -> str:
+    """DuckDB recomputation of q_stratified_sample: the identical 60-bit
+    md5 uniform ((key || '#' || seed) -> first 15 hex chars -> BIGINT /
+    2^60) for both the mixture gate and the train/eval split — exact
+    membership, not a statistical check."""
+    space = float(1 << 60)
+    case = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(MIX_RATES.items())
+    )
+    u = ("(('0x' || substring(md5(doc_id::VARCHAR || '#' || '{seed}'), 1, 15))"
+         f"::BIGINT / {space})")
+    return f"""
+        SELECT doc_id, lang, source,
+               CASE WHEN {u.format(seed='split')} < 0.02
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+        WHERE {u.format(seed='mix')} < CASE lang {case} ELSE 0.0 END
+        ORDER BY doc_id
+    """
+
+
 def _pii_oracle_sql() -> str:
     """DuckDB recomputation of q_pii_redact: same injected contact footer,
     the same email -> ipv4 -> phone count+replace chain, built from the
@@ -907,6 +1028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "curation_pipeline": q_curation_pipeline,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "ngram_contamination": q_ngram_contamination,
         "pii_redact": q_pii_redact,
@@ -1203,6 +1326,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_md5": _minhash_oracle_sql(),
         "curation_pipeline": _curation_oracle_sql(),
         "line_dedup": _line_dedup_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "stratified_sample": _stratified_sample_oracle_sql(),
         "ngram_contamination": _contamination_oracle_sql(),
         "pii_redact": _pii_oracle_sql(),
         "simhash": _simhash_oracle_sql(),

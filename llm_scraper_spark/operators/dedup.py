@@ -519,3 +519,139 @@ def ngram_contamination(df: DataFrame, bench_df: DataFrame,
             ).alias("contamination"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# connected components over a near-dup pair graph (cluster assignment)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b", max_iters: int = 25) -> DataFrame:
+    """Assign every node in an undirected pair graph the MINIMUM node id of
+    its connected component. Returns (node, cluster_id).
+
+    This is the canonical step after LSH candidate generation: MinHash /
+    SimHash / line-sharing emit PAIRS, but "keep one doc per duplicate
+    group" needs the transitive closure (a~b, b~c => {a,b,c} is one group).
+    The reference has no content-level dedup at all (SURVEY §2.2 is a URL
+    seen-set, cache.py:110-136); this is the 100 TB extension.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log d) rounds on the component diameter and, unlike naive min-label
+    propagation, never materializes per-node neighbor arrays: each half-step
+    is a skew-safe groupBy-min (map-side combine) plus an equi-join on the
+    SAME key, so Catalyst reuses the exchange instead of reshuffling.
+    Per-round lineage is cut with localCheckpoint (iterative plans otherwise
+    grow exponentially). Convergence is detected by a (count, hash-sum)
+    fingerprint of the edge set computed in the same action.
+    """
+    e = (
+        pairs.select(F.col(a_col).cast("long").alias("u"),
+                     F.col(b_col).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+        mins = mins.select("u", F.least("_mv", F.col("u")).alias("m"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: orient u=max; every neighbor (and u) links to min(Γ(u))
+        o = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v")).distinct()
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            o.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # xor, not sum: order-independent, immune to ANSI long overflow, and
+        # collision-safe here because the edge set is distinct
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        cur = (fp["n"], fp["h"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iters} rounds")
+    # converged edge set is a star forest: u -> component min; roots map to
+    # themselves
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
+        .distinct()
+    )
+
+
+def line_share_clusters(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", min_len: int = 30,
+                        max_docs_per_line: int = 200,
+                        hash_family: str = "xxhash64") -> DataFrame:
+    """Cluster documents that share any long (>= ``min_len`` chars, trimmed)
+    line — the boilerplate/mirror-detection graph — and assign each doc its
+    component-minimum ``cluster_id``. Returns every input doc as
+    (doc_id, cluster_id, cluster_size, keep) where keep marks the one
+    representative (lowest id) per cluster.
+
+    Scale shape: lines posexplode (no shuffle) -> distinct slim
+    (line-hash, id) rows -> per-hash doc count with a ``max_docs_per_line``
+    cap (drops megaclique lines — a cookie banner shared by 10^8 pages
+    would otherwise emit 10^16 pairs; same rationale as the LSH bucket cap,
+    minhash_candidates) -> capped self-join emits pairs -> alternating-star
+    connected components. Nothing ever shuffles line text, only 64-bit
+    hashes and ids.
+
+    ``hash_family='md5'`` carves the line hash from md5 hex (60 bits) so a
+    DuckDB oracle can recompute the whole pipeline including the closure
+    (via WITH RECURSIVE); production default stays xxhash64.
+    """
+    line = F.trim(F.col("line"))
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5(line), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(line)
+    ld = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .filter(F.length(line) >= min_len)
+        .select(h.alias("_h"), "id")
+        .distinct()
+    )
+    ok = ld.groupBy("_h").agg(F.count(F.lit(1)).alias("_n")).filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_docs_per_line)
+    )
+    capped = ld.join(ok.select("_h"), "_h")
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "_h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    labels = connected_components(pairs)
+    out = (
+        df.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+        )
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        id_col, "cluster_id", "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -1,0 +1,78 @@
+"""Deterministic hash-based sampling for training-data mixture building.
+
+A 100 TB corpus is never trained on uniformly: sources/languages get
+per-stratum sampling rates (data-mixture weights, cf. the Pile / LLaMA
+mixture tables). Spark's ``df.sample`` is seed-dependent on PARTITIONING
+(per-partition XORShift streams), so the same row can flip in/out when the
+input is repartitioned — useless for reproducible corpus builds and
+impossible to oracle. These operators derive the keep/drop decision from a
+content hash of a stable key instead: the sample is a pure function of
+(key, seed), identical on any cluster layout, any engine, any day.
+
+The reference has no sampling at all (it scrapes everything it schedules);
+this is a training-pipeline extension per the brief.
+
+All expressions are native (md5/conv/comparison — whole-stage codegen, no
+Python). The md5-derived 60-bit uniform has an exact DuckDB twin
+(('0x' || substring(md5(k),1,15))::BIGINT), which is what lets the driver
+content-verify the sample membership itself, not just its size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 2^60: the hash below keeps 15 hex chars = 60 bits
+_HASH_SPACE = float(1 << 60)
+
+
+def hash_uniform(key_col, seed: str = "s0") -> Column:
+    """Deterministic uniform [0,1) from a stable key: the first 60 bits of
+    md5(key || '#' || seed). Independent samples = different seeds."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    hexpart = F.substring(
+        F.md5(F.concat_ws("#", k.cast("string"), F.lit(seed))), 1, 15
+    )
+    return F.conv(hexpart, 16, 10).cast("long").cast("double") / F.lit(_HASH_SPACE)
+
+
+def hash_uniform_sql(key_expr: str, seed: str = "s0") -> str:
+    """The DuckDB-exact twin of hash_uniform (for oracle SQL generation)."""
+    return (
+        f"(('0x' || substring(md5({key_expr} || '#' || '{seed}'), 1, 15))::BIGINT"
+        f" / {int(_HASH_SPACE)}.0)"
+    )
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                seed: str = "s0") -> DataFrame:
+    """Keep each row iff hash_uniform(key) < rate. Reproducible under any
+    repartitioning; no shuffle, no Python — a codegen'd filter that stacks
+    under whatever scan pushdown is already happening."""
+    return df.filter(hash_uniform(key_col, seed) < F.lit(rate))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str, key_col: str = "doc_id",
+                      seed: str = "s0",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum sampling rates (the data-mixture table): keep a row iff
+    hash_uniform(key) < rates[stratum]. Strata absent from ``rates`` get
+    ``default_rate``. The rate table is a literal CASE expression — no join,
+    no broadcast, stays inside codegen next to the scan."""
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.filter(hash_uniform(key_col, seed) < rate)
+
+
+def split_train_eval(df: DataFrame, eval_frac: float = 0.01,
+                     key_col: str = "doc_id", seed: str = "split") -> DataFrame:
+    """Deterministic train/eval split as a column (no data movement): the
+    same doc lands in the same split on every run and every cluster, which
+    is the property that makes downstream decontamination auditable."""
+    return df.withColumn(
+        "split",
+        F.when(hash_uniform(key_col, seed) < F.lit(eval_frac), F.lit("eval"))
+        .otherwise(F.lit("train")),
+    )

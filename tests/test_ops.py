@@ -439,3 +439,101 @@ def test_pii_redact_exact(spark):
     assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (2, 1, 1)
     assert r["t"] == ("mail <EMAIL> or <EMAIL>, call <PHONE>, "
                       "server <IP>; not-an-ip 999.1 v1.2.3")
+
+
+# ------------------------------------------------- connected components ----
+def test_connected_components_chain_and_clique(spark):
+    # components: chain {1,3,5,2} (via 1-3, 3-5, 5-2), clique {10,11,12},
+    # pair {20,21}; 7,8 isolated (not in pairs -> not in output)
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (5, 2), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_adversarial_path(spark):
+    # a 64-node path with ids ordered against the labeling direction:
+    # naive one-hop min-label needs ~64 rounds; alternating star must
+    # converge within the 25-round cap (O(log d))
+    n = 64
+    pairs = spark.createDataFrame(
+        [(n - i, n - i - 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = dd.connected_components(pairs).collect()
+    assert len(got) == n and all(r["cluster_id"] == 1 for r in got)
+
+
+def test_line_share_clusters(spark):
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    docs = [
+        (1, f"unique one\n{boiler}\nmore text"),
+        (2, f"{boiler}\nunique two"),
+        (3, "nothing shared here at all\nshort"),
+        (4, f"unique four\nall rights reserved by the example corporation\nx"),
+        (5, "all rights reserved by the example corporation\nunique five"),
+        (6, f"{boiler}\nall rights reserved by the example corporation"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+           for r in dd.line_share_clusters(df).collect()}
+    # 6 bridges {1,2} and {4,5} into one cluster rooted at 1; 3 is singleton
+    assert out[1] == (1, 5, True)
+    assert out[2] == (1, 5, False) and out[6] == (1, 5, False)
+    assert out[4] == (1, 5, False) and out[5] == (1, 5, False)
+    assert out[3] == (3, 1, True)
+
+
+def test_line_share_megaclique_cap(spark):
+    shared = "this exact boilerplate line appears in every single document"
+    df = spark.createDataFrame(
+        [(i, f"{shared}\ndoc {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = dd.line_share_clusters(df, max_docs_per_line=5).collect()
+    # the 10-doc line exceeds the cap -> no pairs -> all singletons
+    assert all(r["cluster_size"] == 1 and r["keep"] for r in out)
+
+
+# ----------------------------------------------------- hash sampling -------
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from llm_scraper_spark.operators import sampling as sp
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    a = set(r["doc_id"] for r in sp.hash_sample(df, 0.25).collect())
+    b = set(r["doc_id"] for r in
+            sp.hash_sample(df.repartition(17), 0.25).collect())
+    assert a == b  # membership is a pure function of (key, seed)
+    assert abs(len(a) / 20000 - 0.25) < 0.02
+    c = set(r["doc_id"] for r in sp.hash_sample(df, 0.25, seed="s1").collect())
+    assert a != c  # different seed -> independent sample
+    assert abs(len(c) / 20000 - 0.25) < 0.02
+
+
+def test_stratified_sample_rates(spark):
+    from llm_scraper_spark.operators import sampling as sp
+
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de").otherwise("fr").alias("lang"),
+    )
+    out = sp.stratified_sample(
+        df, {"en": 0.5, "de": 0.1}, strata_col="lang").groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    assert abs(got["en"] / 10000 - 0.5) < 0.03
+    assert abs(got["de"] / 10000 - 0.1) < 0.02
+    assert "fr" not in got  # default_rate=0 drops unlisted strata
+
+
+def test_split_train_eval_stable(spark):
+    from llm_scraper_spark.operators import sampling as sp
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    s1 = sp.split_train_eval(df, eval_frac=0.02)
+    n_eval = s1.filter(F.col("split") == "eval").count()
+    assert 100 <= n_eval <= 320
+    # column, not a filter: every row present exactly once
+    assert s1.count() == 10000

@@ -134,3 +134,21 @@ def test_ngram_contamination_broadcasts_bench_no_python(spark, sf_mid):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert count_shuffles(q) <= 4
     assert_no_cartesian(q)
+
+
+def test_stratified_sample_no_shuffle_no_python(spark, sf_mid):
+    """The mixture gate is a pure codegen'd filter over the scan: the md5
+    uniform + CASE rate table must introduce no exchange and no Python
+    stage, so it composes with pushdown/pruning at any scale."""
+    from llm_scraper_spark.operators.sampling import (
+        split_train_eval, stratified_sample)
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "lang")
+    q = split_train_eval(
+        stratified_sample(docs, {"en": 0.5, "de": 0.1}, strata_col="lang"))
+    assert count_shuffles(q) == 0
+    plan = physical_plan(q, "simple")
+    assert "EvalPython" not in plan
+    assert "*(1)" in plan  # one whole-stage-codegen span over the scan
