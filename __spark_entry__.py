@@ -353,6 +353,32 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: every non-purchase event attached to the same user's
+    most recent purchase at-or-before its timestamp. Spark has no ASOF
+    JOIN; the operator is the canonical union+window re-expression (one
+    shuffle, no join node — plan-asserted in tests). DuckDB DOES have a
+    native ASOF LEFT JOIN, so the oracle checks the operator against a
+    completely independent implementation of the semantics."""
+    from llm_scraper_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "event_type", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value")
+    out = asof_join(left, right)
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.col("asof_purchase_id").alias("purchase_id"),
+        # NTZ -> timestamp is exact under the engine's pinned UTC session tz
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+         ).alias("us_since_purchase"),
+        F.round("asof_value", 6).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-ANN machinery content check: kmeans|| coarse quantizer +
     nearest-centroid inverted lists, probed EXHAUSTIVELY (nprobe = k) so
@@ -896,6 +922,23 @@ def _stratified_sample_oracle_sql() -> str:
     """
 
 
+def _asof_oracle_sql() -> str:
+    """Oracle for q_asof_join via DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent implementation of backward as-of semantics (greatest right
+    ts <= left ts per user), not a recomputation of the union+window plan
+    under test."""
+    return """
+        SELECT l.event_id, l.user_id, l.event_type,
+               r.event_id AS purchase_id,
+               epoch_us(l.ts) - epoch_us(r.ts) AS us_since_purchase,
+               round(r.value, 6) AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+    """
+
+
 def _pii_oracle_sql() -> str:
     """DuckDB recomputation of q_pii_redact: same injected contact footer,
     the same email -> ipv4 -> phone count+replace chain, built from the
@@ -1030,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "asof_join": q_asof_join,
         "line_dedup": q_line_dedup,
         "ngram_contamination": q_ngram_contamination,
         "pii_redact": q_pii_redact,
@@ -1328,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "asof_join": _asof_oracle_sql(),
         "ngram_contamination": _contamination_oracle_sql(),
         "pii_redact": _pii_oracle_sql(),
         "simhash": _simhash_oracle_sql(),

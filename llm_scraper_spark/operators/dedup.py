@@ -542,7 +542,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     is a skew-safe groupBy-min (map-side combine) plus an equi-join on the
     SAME key, so Catalyst reuses the exchange instead of reshuffling.
     Per-round lineage is cut with localCheckpoint (iterative plans otherwise
-    grow exponentially). Convergence is detected by a (count, hash-sum)
+    grow exponentially). Convergence is detected by a (count, hash-xor)
     fingerprint of the edge set computed in the same action.
     """
     e = (

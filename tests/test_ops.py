@@ -537,3 +537,44 @@ def test_split_train_eval_stable(spark):
     assert 100 <= n_eval <= 320
     # column, not a filter: every row present exactly once
     assert s1.count() == 10000
+
+
+# ----------------------------------------------------------- as-of join ----
+def test_asof_join_backward_semantics(spark):
+    from llm_scraper_spark.operators.asof import asof_join, asof_join_tolerance
+
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (1, 50, 5.0), (2, 100, 1.0)],
+        "user_id long, t long, lv double",
+    ).select("user_id", F.timestamp_micros(F.col("t") * 1000000).alias("ts"), "lv")
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 150, "b"), (3, 10, "z")],
+        "user_id long, t long, tag string",
+    ).select("user_id", F.timestamp_micros(F.col("t") * 1000000).alias("ts"), "tag")
+
+    out = {(r["user_id"], r["lv"]): r["asof_tag"]
+           for r in asof_join(left, right).collect()}
+    assert out[(1, 10.0)] == "a"   # equal ts matches (at-or-before)
+    assert out[(1, 20.0)] == "b"   # latest prior wins
+    assert out[(1, 5.0)] is None   # nothing earlier
+    assert out[(2, 1.0)] is None   # key never on right side
+
+    tol = {(r["user_id"], r["lv"]): r["asof_tag"]
+           for r in asof_join_tolerance(left, right, tolerance_us=10_000_000)
+           .collect()}
+    assert tol[(1, 10.0)] == "a"   # age 0 <= 10s
+    assert tol[(1, 20.0)] is None  # age 50s > 10s -> nulled
+
+
+def test_asof_join_single_shuffle_no_python(spark):
+    from llm_scraper_spark.operators.asof import asof_join
+    from llm_scraper_spark.plans.explain import physical_plan
+    from tests.test_plans import count_shuffles
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    q = asof_join(ev.filter(F.col("event_type") != "purchase"),
+                  ev.filter(F.col("event_type") == "purchase"))
+    plan = physical_plan(q, "simple")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan            # no join operator at all: union+window
+    assert count_shuffles(q) == 1        # the single window exchange
