@@ -379,6 +379,33 @@ def q_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-5 salient terms per source (TF-IDF). The 'ratio' idf mode keeps
+    every score a product/quotient of integers — IEEE-identical across
+    engines, so the oracle reproduces the exact doubles AND therefore the
+    exact ranking (a log-based idf can rank-flip on the last ulp)."""
+    from llm_scraper_spark.operators.corpus import tf_idf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return tf_idf_top_terms(docs, group_col="source", k=5).orderBy(
+        "source", "rank")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chunk packing geometry: per-source document
+    streams cut into 512-token training sequences; every doc reports its
+    (seq_id, offset, end_seq, straddles-a-cut). Pure integer window math —
+    the oracle recomputes it with the same SQL window."""
+    from llm_scraper_spark.operators.corpus import pack_sequences
+    from llm_scraper_spark.operators.text_analysis import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_ws("text").alias("n_tokens"))
+    return pack_sequences(
+        docs, "n_tokens", capacity=512, order_col="doc_id", by_col="source"
+    ).orderBy("doc_id")
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-ANN machinery content check: kmeans|| coarse quantizer +
     nearest-centroid inverted lists, probed EXHAUSTIVELY (nprobe = k) so
@@ -939,6 +966,64 @@ def _asof_oracle_sql() -> str:
     """
 
 
+def _tfidf_oracle_sql(k: int = 5) -> str:
+    """DuckDB recomputation of q_tfidf_terms: same tokenizer, same grouped
+    counts, the same (N+1)/(df+1) ratio idf computed in the same operation
+    order (so the doubles are bit-identical), same (score desc, term asc)
+    ranking."""
+    return rf"""
+        WITH toks AS (
+          SELECT source AS grp,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT grp, term, count(*) AS tf FROM toks
+          WHERE term <> '' GROUP BY grp, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), ng AS (
+          SELECT count(DISTINCT source) AS n FROM documents
+        ), scored AS (
+          SELECT grp, term, tf, df,
+                 tf::DOUBLE * ((n + 1)::DOUBLE / (df + 1)::DOUBLE) AS score
+          FROM tf JOIN dfreq USING (term), ng
+        ), ranked AS (
+          SELECT grp AS source, term, tf, df, score,
+                 row_number() OVER (
+                   PARTITION BY grp ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT * FROM ranked WHERE rank <= {k} ORDER BY source, rank
+    """
+
+
+def _pack_oracle_sql(capacity: int = 512) -> str:
+    """DuckDB recomputation of q_pack_sequences: the same per-source
+    running-sum window and the same floor/mod integer geometry."""
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
+                   AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT *, coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS cum0
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               floor(cum0 / {capacity})::BIGINT AS seq_id,
+               (cum0 % {capacity})::BIGINT AS seq_offset,
+               floor((cum0 + greatest(n_tokens, 1) - 1) / {capacity})::BIGINT
+                 AS end_seq_id,
+               floor((cum0 + greatest(n_tokens, 1) - 1) / {capacity})
+                 > floor(cum0 / {capacity}) AS spans_boundary
+        FROM c ORDER BY doc_id
+    """
+
+
 def _pii_oracle_sql() -> str:
     """DuckDB recomputation of q_pii_redact: same injected contact footer,
     the same email -> ipv4 -> phone count+replace chain, built from the
@@ -1074,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "asof_join": q_asof_join,
+        "tfidf_terms": q_tfidf_terms,
+        "pack_sequences": q_pack_sequences,
         "line_dedup": q_line_dedup,
         "ngram_contamination": q_ngram_contamination,
         "pii_redact": q_pii_redact,
@@ -1373,6 +1460,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "asof_join": _asof_oracle_sql(),
+        "tfidf_terms": _tfidf_oracle_sql(),
+        "pack_sequences": _pack_oracle_sql(),
         "ngram_contamination": _contamination_oracle_sql(),
         "pii_redact": _pii_oracle_sql(),
         "simhash": _simhash_oracle_sql(),

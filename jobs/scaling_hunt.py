@@ -62,6 +62,32 @@ def probe_ratio() -> float:
     return hw[4] / hw[1] / 4.0
 
 
+def other_spark_work_running() -> bool:
+    """True if a pytest / another bench / spark-submit is alive on this
+    host. Launching an attempt alongside them measures process contention,
+    not the job's scaling — the polluted rep still lands in the ledger, so
+    the guard's job is to never create one."""
+    me = os.getpid()
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,args"], capture_output=True, text=True,
+            timeout=10,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return False
+    for ln in out.splitlines():
+        parts = ln.strip().split(None, 1)
+        if len(parts) != 2 or not parts[0].isdigit():
+            continue
+        pid, args = int(parts[0]), parts[1]
+        if pid == me:
+            continue
+        if any(s in args for s in ("pytest", "bench.py", "spark-submit",
+                                   "__spark_entry__")):
+            return True
+    return False
+
+
 def main() -> None:
     max_minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 60
     target = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
@@ -72,6 +98,11 @@ def main() -> None:
         if med >= target:
             print(f"target met: median raw eff {med:.3f}", flush=True)
             break
+        if other_spark_work_running():
+            print("[hunt] other spark/pytest work running — holding off",
+                  flush=True)
+            time.sleep(60)
+            continue
         ratio = probe_ratio()
         print(f"[hunt] probe 1->4 hw ratio {ratio:.3f} "
               f"(ledger median {med:.3f}, {len(raw_reps())} reps)", flush=True)

@@ -1,0 +1,99 @@
+"""Corpus-level analytics for training-data builds: per-source salient
+terms (TF-IDF) and context-window sequence packing. All native expressions
+and windows — zero Python, every number integer-or-IEEE-exact so a DuckDB
+oracle reproduces results bit-for-bit.
+
+The reference has per-document word counts only (utils/helpers word_count,
+SURVEY §2.5); corpus-level term statistics and packing are the
+training-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def tf_idf_top_terms(df: DataFrame, text_col: str = "text",
+                     group_col: str = "source", k: int = 10,
+                     idf_mode: str = "ratio") -> DataFrame:
+    """Top-k salient terms per group: tf(term, group) weighted by inverse
+    group frequency. Returns (group, term, tf, df, score, rank), rank<=k.
+
+    ``idf_mode='ratio'`` scores tf * (N+1)/(df+1) — multiplication and
+    division are IEEE-defined, so Spark and any oracle engine produce the
+    IDENTICAL double and the rank order cannot diverge. ``'log'`` uses the
+    textbook ln((N+1)/(df+1))+1 (transcendentals differ in the last ulp
+    across math libs, so 'log' is the production choice and 'ratio' the
+    oracle-exact one).
+
+    Scale shape: tokenization explodes shuffle-free; term counts are ONE
+    map-side-combined groupBy(group, term); document frequency reuses the
+    same aggregate (no second scan); ranking is a per-group window whose
+    WindowGroupLimit pushes the top-k below the exchange (only ~k rows per
+    group per map task shuffle). Ties break on term ascending —
+    deterministic output.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # scalar N as a broadcast 1-row cross join: stays lazy (one job total)
+    # instead of an eager .count() action on the driver
+    ng = df.agg(F.countDistinct(group_col).alias("_n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(ng))
+    num = (F.col("_n") + F.lit(1)).cast("double")
+    den = (F.col("df") + F.lit(1)).cast("double")
+    if idf_mode == "ratio":
+        idf = num / den
+    elif idf_mode == "log":
+        idf = F.log(num / den) + F.lit(1.0)
+    else:
+        raise ValueError(f"unknown idf_mode: {idf_mode}")
+    scored = scored.withColumn("score", F.col("tf").cast("double") * idf)
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "tf", "df",
+                "score", "rank")
+    )
+
+
+def pack_sequences(df: DataFrame, tokens_col: str, capacity: int,
+                   order_col: str = "doc_id",
+                   by_col: str | None = None) -> DataFrame:
+    """GPT-style concat-then-chunk packing: documents are concatenated in
+    ``order_col`` order (per ``by_col`` stream if given) and the token
+    stream is cut every ``capacity`` tokens. Returns every input row plus
+    (seq_id, seq_offset, end_seq_id, spans_boundary): which training
+    sequence the document starts in, at what offset, where it ends, and
+    whether it straddles a cut.
+
+    This is how pretraining corpora are actually batched (documents packed
+    back-to-back, loss-masked at boundaries); the operator makes the
+    batch geometry a queryable column so mixture builders can audit
+    boundary waste per source.
+
+    One window exchange (the running sum per stream); everything else is
+    codegen'd integer arithmetic — exact on any engine, so the oracle
+    recomputes it with the same SQL window.
+    """
+    part = [by_col] if by_col else []
+    w = (
+        Window.partitionBy(*part).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    out = df.withColumn("_cum0", cum_before)
+    cap = F.lit(int(capacity))
+    last_tok = F.col("_cum0") + F.greatest(F.col(tokens_col), F.lit(1)) - F.lit(1)
+    return (
+        out.withColumn("seq_id", F.floor(F.col("_cum0") / cap))
+        .withColumn("seq_offset", F.col("_cum0") % cap)
+        .withColumn("end_seq_id", F.floor(last_tok / cap))
+        .withColumn("spans_boundary", F.col("end_seq_id") > F.col("seq_id"))
+        .drop("_cum0")
+    )

@@ -578,3 +578,39 @@ def test_asof_join_single_shuffle_no_python(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan            # no join operator at all: union+window
     assert count_shuffles(q) == 1        # the single window exchange
+
+
+# --------------------------------------------------- corpus analytics ------
+def test_tf_idf_top_terms_ratio(spark):
+    from llm_scraper_spark.operators.corpus import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [("a", "apple apple banana common common"),
+         ("b", "cherry common common")],
+        "source string, text string",
+    )
+    out = tf_idf_top_terms(df, group_col="source", k=2)
+    got = {(r["source"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+           for r in out.collect()}
+    # idf_ratio = (2+1)/(df+1): apple (3/2)*2=3.0 beats common (3/3)*2=2.0
+    assert got[("a", 1)] == ("apple", 2, 1, 3.0)
+    assert got[("a", 2)] == ("common", 2, 2, 2.0)
+    assert got[("b", 1)] == ("common", 2, 2, 2.0)
+    assert got[("b", 2)] == ("cherry", 1, 1, 1.5)
+
+
+def test_pack_sequences_geometry(spark):
+    from llm_scraper_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 4), (2, 5), (3, 8), (4, 10), (5, 0)],
+        "doc_id long, n_tokens long",
+    )
+    out = {r["doc_id"]: (r["seq_id"], r["seq_offset"], r["end_seq_id"],
+                         r["spans_boundary"])
+           for r in pack_sequences(df, "n_tokens", capacity=10).collect()}
+    assert out[1] == (0, 0, 0, False)
+    assert out[2] == (0, 4, 0, False)
+    assert out[3] == (0, 9, 1, True)    # tokens 9..16 straddle the cut at 10
+    assert out[4] == (1, 7, 2, True)    # tokens 17..26 straddle the cut at 20
+    assert out[5] == (2, 7, 2, False)   # zero-token doc sits at its offset
