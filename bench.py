@@ -118,7 +118,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
     names = ["pricing_summary", "doc_textstats", "dedup_exact", "sessionize",
-             "minhash_neardup", "embedding_topk", "spans_documents"]
+             "minhash_neardup", "embedding_topk", "spans_documents",
+             "line_dedup", "dedup_clusters", "asof_join", "pack_sequences"]
     qs = entry_mod.queries()
     out = {}
     for name in names:

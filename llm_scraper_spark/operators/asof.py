@@ -33,6 +33,10 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
     matters.
     """
     by = list(by_cols)
+    reserved = {"_ts", "_side", "_rv", "_match"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join: rename input columns {sorted(clash)}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in by and c != ts_col]
     payload = F.struct(

@@ -119,6 +119,32 @@ def schedule_wave(
     )
 
 
+def budgets_from_crawl_delay(robots: DataFrame, wave_seconds: float,
+                             default_budget: int = DEFAULT_BUDGET,
+                             max_budget: int = 1024) -> DataFrame:
+    """Turn robots.txt ``Crawl-delay`` directives into per-host wave
+    budgets: a host asking for one request every ``d`` seconds gets
+    ``clamp(floor(wave_seconds / d), 1, max_budget)`` fetches per wave;
+    hosts with no delay directive keep ``default_budget``. Feed the result
+    straight into ``schedule_wave(budgets=...)`` (it is broadcast there —
+    the robots table is one row per host, tiny vs the frontier).
+
+    The reference parses robots.txt for sitemaps only and rate-limits with
+    a single global semaphore (worker.py:31); honoring Crawl-delay
+    per host is the distributed-politeness upgrade the north rule's
+    "per-host politeness budgets" asks for.
+    """
+    d = F.col("crawl_delay")
+    budget = F.when(
+        d.isNotNull() & (d > 0),
+        F.least(
+            F.greatest(F.floor(F.lit(float(wave_seconds)) / d), F.lit(1)),
+            F.lit(int(max_budget)),
+        ),
+    ).otherwise(F.lit(int(default_budget)))
+    return robots.select("host", budget.cast("int").alias("budget"))
+
+
 def assign_global_seq(
     candidates: DataFrame,
     base_seq: int,

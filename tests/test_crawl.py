@@ -166,3 +166,35 @@ def test_politeness_budget_enforced(spark, tmp_path):
         log.groupBy("wave", "host").count().agg(F.max("count")).collect()[0][0]
     )
     assert per_host_wave <= 2
+
+
+def test_budgets_from_crawl_delay(spark):
+    """robots Crawl-delay drives the per-host wave budget, and
+    schedule_wave enforces it exactly."""
+    from llm_scraper_spark.operators.frontier import (
+        budgets_from_crawl_delay, schedule_wave)
+    from llm_scraper_spark.operators.robots import parse_robots_txt
+
+    bodies = {
+        "slow.example": "User-agent: *\nCrawl-delay: 30\n",
+        "fast.example": "User-agent: *\nCrawl-delay: 0.5\n",
+        "plain.example": "User-agent: *\nDisallow: /admin\n",
+    }
+    parsed = [(h, parse_robots_txt(b)["crawl_delay"]) for h, b in bodies.items()]
+    robots = spark.createDataFrame(parsed, "host string, crawl_delay double")
+    budgets = budgets_from_crawl_delay(robots, wave_seconds=60,
+                                       default_budget=8, max_budget=100)
+    got = {r["host"]: r["budget"] for r in budgets.collect()}
+    assert got == {"slow.example": 2,     # floor(60/30)
+                   "fast.example": 100,   # floor(60/0.5)=120 clamped
+                   "plain.example": 8}    # no directive -> default
+
+    pending = spark.createDataFrame(
+        [(f"http://{h}/p{i}", h, 1, i)
+         for h in bodies for i in range(150)],
+        "url string, host string, priority int, seq long",
+    )
+    sched = schedule_wave(pending, budgets=budgets).groupBy("host").count()
+    per_host = {r["host"]: r["count"] for r in sched.collect()}
+    assert per_host == {"slow.example": 2, "fast.example": 100,
+                        "plain.example": 8}
