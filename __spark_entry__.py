@@ -329,6 +329,61 @@ def q_dedup_clusters(spark, sf_dir):
     return line_share_clusters(docs, hash_family="md5").orderBy("doc_id")
 
 
+PAGERANK_HOSTS = 400
+PAGERANK_ITERS = 5
+
+
+def _pagerank_host(tag: str):
+    """60-bit md5 of doc_id+tag mod PAGERANK_HOSTS — the deterministic
+    synthetic host-graph edge endpoint (same derivation in the DuckDB
+    oracle below, bit-for-bit)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % PAGERANK_HOSTS
+    )
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank for crawl prioritization (reference schedules
+    FIFO per host, cache.py:78-148; at 100 TB the politeness budget should
+    go to authoritative hosts first). Iterative join+agg loop with
+    localCheckpoint lineage cuts; INTEGER fixed-point arithmetic
+    (rank micro-units, damping 17/20) makes the distributed result
+    bit-reproducible under any partitioning — which is what lets the
+    DuckDB oracle re-run all 5 iterations as unrolled CTEs and match
+    value-for-value. Edges are derived deterministically from doc_id
+    (md5 60-bit -> host id) since the testdata has no link table."""
+    from llm_scraper_spark.operators.graph import host_pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    ranks = host_pagerank(edges, iterations=PAGERANK_ITERS)
+    return ranks.orderBy(F.desc("rank"), "host").limit(100)
+
+
+def _host_pagerank_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import pagerank_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    return (
+        pagerank_oracle_sql(edges_sql, iterations=PAGERANK_ITERS)
+        + "\nORDER BY rank DESC, host LIMIT 100"
+    )
+
+
 MIX_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.1}
 
 
@@ -1157,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
+        "host_pagerank": q_host_pagerank,
         "stratified_sample": q_stratified_sample,
         "asof_join": q_asof_join,
         "tfidf_terms": q_tfidf_terms,
@@ -1458,6 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_oracle_sql(),
         "line_dedup": _line_dedup_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "host_pagerank": _host_pagerank_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "asof_join": _asof_oracle_sql(),
         "tfidf_terms": _tfidf_oracle_sql(),

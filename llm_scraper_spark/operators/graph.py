@@ -1,0 +1,147 @@
+"""Host-graph PageRank for crawl prioritization.
+
+The reference crawler schedules FIFO within a per-host politeness budget
+(/root/reference/cache.py:78-148) — every host is equally urgent. At
+100 TB frontier scale you want the budget *spent* on authoritative hosts
+first: PageRank over the host link graph is the standard prioritizer
+(Page et al. 1999, "The PageRank Citation Ranking"). The resulting
+``rank`` feeds straight into ``schedule_wave(priority=...)``.
+
+Spark-first shape (and why it survives 100 TB):
+
+- The edge table is deduped, self-loops dropped, and joined to its
+  out-degree ONCE before the loop; that slim ``(src, dst, outd)`` table
+  is persisted and re-read every iteration — the per-iteration work is
+  one hash join against the (hosts-sized, tiny) rank table plus one
+  map-side-combined ``groupBy(dst)``. Hosts are ~1e7-1e8 even for a
+  100 TB web corpus, ~1000x smaller than the page table, so ranks
+  broadcast-join cheaply.
+- Lineage is cut with ``localCheckpoint`` every ``checkpoint_interval``
+  iterations — without it the plan doubles per iteration and the
+  scheduler, not the data, becomes the bottleneck (the classic Spark
+  iterative-algorithm failure mode).
+- **Integer fixed-point arithmetic** so the result is bit-reproducible
+  regardless of partitioning: ranks are BIGINT micro-units (``rank_one``
+  per node at t=0); each step takes ``floor(rank/out_degree)`` per edge
+  and ``base + floor(damping_num * sum(contribs) / damping_den)`` per
+  node. Integer sums are associative-commutative exactly, so Spark's
+  nondeterministic reduce order cannot flip a low bit the way float
+  summation does — which is what lets a DuckDB SQL oracle reproduce the
+  distributed computation value-for-value (see __spark_entry__
+  ``host_pagerank``).
+
+Dangling hosts (no outlinks) leak their damped mass rather than
+redistributing it — the common simplification (e.g. GraphX's default);
+documented here because it changes absolute values, not the ranking use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 1.0 of rank in micro-units. 1e9 leaves 9.2e18/1e9 ~ 9e9 hosts of
+# headroom before the BIGINT sum (x17) could overflow — far above any
+# real host-graph cardinality.
+RANK_ONE = 1_000_000_000
+
+
+def host_pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    rank_one: int = RANK_ONE,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """PageRank over ``edges(src, dst)`` -> ``(host, rank)`` BIGINT ranks.
+
+    ``damping_num/damping_den`` is the damping factor as an exact
+    rational (default 17/20 = 0.85) so every step stays in integer
+    arithmetic end-to-end.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    # (src, dst, outd): the loop-invariant table — computed and persisted
+    # once, reused every iteration.
+    adj = e.join(deg, "src").persist()
+
+    base = rank_one * (damping_den - damping_num) // damping_den
+    ranks = nodes.select("host", F.lit(rank_one).cast("long").alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            adj.join(ranks, adj["src"] == ranks["host"])
+            .select(F.col("dst"), F.expr("rank DIV outd").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["host"] == contribs["dst"], "left"
+        ).select(
+            "host",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_num} * coalesce(s, 0L)) DIV {damping_den}"
+                )
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    rank_one: int = RANK_ONE,
+) -> str:
+    """DuckDB CTE chain recomputing :func:`host_pagerank` exactly.
+
+    The loop is UNROLLED into pr0..prN chained CTEs (portable — no
+    reliance on recursive-CTE iteration-count tricks), each step doing
+    the same integer ``//`` divisions and sums as the Spark side.
+    DuckDB's SUM over BIGINT returns HUGEINT, so it is cast back before
+    the multiply. Returns SQL ending in ``SELECT host, rank FROM prN``
+    (no ORDER BY — callers append their own).
+    """
+    base = rank_one * (damping_den - damping_num) // damping_den
+    parts = [
+        f"""WITH raw_edges AS ({edges_sql}),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+pr0 AS (SELECT host, CAST({rank_one} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+pr{i} AS (
+  SELECT n.host,
+         CAST({base} + ({damping_num} * COALESCE(c.s, 0)) // {damping_den}
+              AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(p.rank // d.outd) AS BIGINT) AS s
+    FROM pr{i - 1} p
+    JOIN deg d ON d.src = p.host
+    JOIN edges e ON e.src = p.host
+    GROUP BY e.dst
+  ) c ON c.dst = n.host
+)"""
+        )
+    parts.append(f"\nSELECT host, rank FROM pr{iterations}")
+    return "".join(parts)

@@ -74,6 +74,17 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # keep the catalog warehouse + derby metastore out of the repo /cwd
+    # (bucketed tables via sinks/bucketed.py need saveAsTable); overridable
+    # for a real deployment where the warehouse is a durable path
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse")
+    builder = (
+        builder.config("spark.sql.warehouse.dir", wh)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={wh}/derby",
+        )
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -614,3 +614,43 @@ def test_pack_sequences_geometry(spark):
     assert out[3] == (0, 9, 1, True)    # tokens 9..16 straddle the cut at 10
     assert out[4] == (1, 7, 2, True)    # tokens 17..26 straddle the cut at 20
     assert out[5] == (2, 7, 2, False)   # zero-token doc sits at its offset
+
+
+def test_host_pagerank_tiny_graph(spark):
+    """Hand-computed integer fixed-point PageRank on the 3-node chain
+    a->b, b->c, c->a plus dangling sink a->d (d leaks its damped mass)."""
+    from llm_scraper_spark.operators.graph import host_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+         ("a", "b"),   # duplicate edge must be ignored
+         ("c", "c")],  # self-loop must be ignored
+        "src string, dst string",
+    )
+    S = 1_000_000_000
+    base = S * 3 // 20
+
+    def step(r):
+        contrib = {
+            "b": r["a"] // 2, "d": r["a"] // 2,
+            "c": r["b"] // 1, "a": r["c"] // 1,
+        }
+        return {n: base + (17 * contrib.get(n, 0)) // 20
+                for n in ("a", "b", "c", "d")}
+
+    expect = {n: S for n in ("a", "b", "c", "d")}
+    for _ in range(3):
+        expect = step(expect)
+
+    got = {r["host"]: r["rank"]
+           for r in host_pagerank(edges, iterations=3).collect()}
+    assert got == expect
+
+
+def test_host_pagerank_zero_iterations(spark):
+    from llm_scraper_spark.operators.graph import RANK_ONE, host_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r["host"]: r["rank"]
+           for r in host_pagerank(edges, iterations=0).collect()}
+    assert got == {"a": RANK_ONE, "b": RANK_ONE}

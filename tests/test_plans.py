@@ -152,3 +152,35 @@ def test_stratified_sample_no_shuffle_no_python(spark, sf_mid):
     plan = physical_plan(q, "simple")
     assert "EvalPython" not in plan
     assert "*(1)" in plan  # one whole-stage-codegen span over the scan
+
+
+def test_bucketed_join_no_exchange(spark, sf_mid, tmp_path):
+    """Two tables co-bucketed on the join key sort-merge-join with ZERO
+    Exchange operators — the wave-loop seen-set join's 100 TB layout
+    (sinks/bucketed.py). Joining a NON-bucketed copy of the same data
+    does shuffle, so the assertion is about bucketing, not size."""
+    from llm_scraper_spark.plans.explain import physical_plan
+    from llm_scraper_spark.sinks.bucketed import colocated_join, write_bucketed
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet")
+    left = docs.select("doc_id", "lang")
+    right = docs.select("doc_id", "n_chars")
+    write_bucketed(left, "bkt_left", ["doc_id"], 8,
+                   path=str(tmp_path / "bkt_left"))
+    write_bucketed(right, "bkt_right", ["doc_id"], 8,
+                   path=str(tmp_path / "bkt_right"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "bkt_left", "bkt_right", on=["doc_id"])
+        plan = physical_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == docs.count()
+
+        shuffled = left.join(right.withColumnRenamed("n_chars", "nc"),
+                             on=["doc_id"])
+        assert "Exchange" in physical_plan(shuffled)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
