@@ -145,6 +145,39 @@ def budgets_from_crawl_delay(robots: DataFrame, wave_seconds: float,
     return robots.select("host", budget.cast("int").alias("budget"))
 
 
+def budgets_from_pagerank(host_ranks: DataFrame, total_budget: int,
+                          min_budget: int = 1,
+                          max_budget: int = 1024,
+                          rank_col: str = "rank") -> DataFrame:
+    """Authority-weighted politeness budgets: split ``total_budget``
+    fetches/wave across hosts proportionally to their PageRank
+    (``operators.graph.host_pagerank`` output), clamped to
+    ``[min_budget, max_budget]``: high-authority hosts drain their
+    frontier queues first while every host keeps crawling.
+
+    ``budget(h) = clamp(floor(total_budget * rank_h / sum(rank)),
+    min_budget, max_budget)`` — integer arithmetic on the fixed-point
+    ranks, so the allocation is deterministic under any partitioning.
+    The rank table is hosts-sized (tiny vs the frontier); the one
+    ``sum`` over it is a scalar agg and the result broadcasts into
+    ``schedule_wave(budgets=...)``. Within a host order stays
+    (priority DESC, seq ASC): rank is a per-host constant, so it
+    allocates ACROSS hosts (budgets) rather than reordering within one.
+    Compose with Crawl-delay caps via
+    ``least(budgets_from_pagerank(...), budgets_from_crawl_delay(...))``
+    joined on host.
+    """
+    total_rank = host_ranks.agg(F.sum(rank_col)).collect()[0][0] or 1
+    share = F.expr(
+        f"({int(total_budget)}L * {rank_col}) DIV {int(total_rank)}L"
+    )
+    budget = F.least(
+        F.greatest(share, F.lit(int(min_budget))),
+        F.lit(int(max_budget)),
+    )
+    return host_ranks.select("host", budget.cast("int").alias("budget"))
+
+
 def assign_global_seq(
     candidates: DataFrame,
     base_seq: int,

@@ -198,3 +198,35 @@ def test_budgets_from_crawl_delay(spark):
     per_host = {r["host"]: r["count"] for r in sched.collect()}
     assert per_host == {"slow.example": 2, "fast.example": 100,
                         "plain.example": 8}
+
+
+def test_budgets_from_pagerank_end_to_end(spark):
+    """host_pagerank -> authority-weighted budgets -> schedule_wave:
+    high-authority hosts get proportionally more of the wave, low ones
+    keep the min_budget floor, and the scheduler enforces the split."""
+    from llm_scraper_spark.operators.frontier import (
+        budgets_from_pagerank, schedule_wave)
+    from llm_scraper_spark.operators.graph import host_pagerank
+
+    # star graph: everyone links to hub.example; spoke0 gets one backlink
+    spokes = [f"spoke{i}.example" for i in range(4)]
+    edges = spark.createDataFrame(
+        [(s, "hub.example") for s in spokes] + [("hub.example", "spoke0.example")],
+        "src string, dst string",
+    )
+    ranks = host_pagerank(edges, iterations=3)
+    budgets = budgets_from_pagerank(ranks, total_budget=100, min_budget=5,
+                                    max_budget=80)
+    got = {r["host"]: r["budget"] for r in budgets.collect()}
+    assert got["hub.example"] > got["spoke0.example"] > got["spoke1.example"]
+    assert got["spoke1.example"] == 5          # share floor(3) lifted to min
+    assert got["hub.example"] <= 80            # cap
+    assert sum(got.values()) <= 100 + 5 * len(spokes)  # floors may exceed shares
+
+    pending = spark.createDataFrame(
+        [(f"http://{h}/p{i}", h, 1, i)
+         for h in got for i in range(200)],
+        "url string, host string, priority int, seq long",
+    )
+    sched = schedule_wave(pending, budgets=budgets).groupBy("host").count()
+    assert {r["host"]: r["count"] for r in sched.collect()} == got
