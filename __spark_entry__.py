@@ -384,6 +384,52 @@ def _host_pagerank_oracle_sql() -> str:
     )
 
 
+WAVE_TOTAL_BUDGET = 50_000
+
+
+def q_authority_budgets(spark, sf_dir):
+    """T2 upgrade: authority-weighted politeness budgets. The reference
+    rate-limits with one global semaphore (worker.py:31); here the global
+    wave budget is split across hosts proportionally to their PageRank
+    share (``budgets_from_pagerank``), clamped to [1, 1024] — the
+    100 TB politeness story: authoritative hosts drain first, every host
+    keeps crawling. Integer arithmetic end-to-end (fixed-point ranks,
+    integer DIV), so the distributed allocation is bit-reproducible and
+    the DuckDB oracle recomputes it exactly."""
+    from llm_scraper_spark.operators.frontier import budgets_from_pagerank
+    from llm_scraper_spark.operators.graph import host_pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    ranks = host_pagerank(edges, iterations=PAGERANK_ITERS)
+    budgets = budgets_from_pagerank(
+        ranks, total_budget=WAVE_TOTAL_BUDGET, min_budget=1, max_budget=1024
+    )
+    return budgets.orderBy("host")
+
+
+def _authority_budgets_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import pagerank_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    pr = pagerank_oracle_sql(edges_sql, iterations=PAGERANK_ITERS)
+    return f"""
+WITH pr AS ({pr}),
+tot AS (SELECT CAST(SUM(rank) AS BIGINT) AS t FROM pr)
+SELECT host,
+       CAST(LEAST(GREATEST(({WAVE_TOTAL_BUDGET} * rank) // t, 1), 1024)
+            AS INT) AS budget
+FROM pr, tot
+ORDER BY host"""
+
+
 MIX_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.1}
 
 
@@ -1213,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
         "host_pagerank": q_host_pagerank,
+        "authority_budgets": q_authority_budgets,
         "stratified_sample": q_stratified_sample,
         "asof_join": q_asof_join,
         "tfidf_terms": q_tfidf_terms,
@@ -1515,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
+        "authority_budgets": _authority_budgets_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "asof_join": _asof_oracle_sql(),
         "tfidf_terms": _tfidf_oracle_sql(),

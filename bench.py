@@ -119,7 +119,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
 
     names = ["pricing_summary", "doc_textstats", "dedup_exact", "sessionize",
              "minhash_neardup", "embedding_topk", "spans_documents",
-             "line_dedup", "dedup_clusters", "asof_join", "pack_sequences"]
+             "line_dedup", "dedup_clusters", "asof_join", "pack_sequences",
+             "host_pagerank"]
     qs = entry_mod.queries()
     out = {}
     for name in names:
