@@ -430,6 +430,98 @@ FROM pr, tot
 ORDER BY host"""
 
 
+ROBOTS_HOSTS = 40
+ROBOTS_SEGMENTS = ["a", "a/x", "b", "b/open", "c", "c/pub", "c/priv", "d"]
+# host % 5 == 0 -> no robots.txt (allowed by default, reference
+# discovery.py:154-155); otherwise ruleset = host % 2.
+ROBOTS_RULESETS = {
+    0: {"allow": ["/a/x", "/c/pub"], "disallow": ["/a", "/c"]},
+    1: {"allow": ["/b/open"], "disallow": ["/b", "/d"]},
+}
+
+
+def q_robots_gating(spark, sf_dir):
+    """North-rule "robots gating": the real ``gate_frontier`` operator
+    (broadcast rules join + native-expression Google-REP longest-match,
+    Allow wins ties, missing robots.txt allows) over a deterministic
+    synthetic frontier derived from doc_id md5 hashes. The DuckDB oracle
+    replays the longest-match decision from the SAME ruleset constants as
+    generated CASE chains — content-verifying the gate's allow/deny
+    semantics, not just its row count. Wildcard ($ / *) paths are
+    pytest-covered; the synthetic rules here are plain prefixes so the
+    SQL twin stays exact."""
+    from llm_scraper_spark.operators.robots import gate_frontier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = (_md5_60bit(F.col("doc_id"), ":rh") % ROBOTS_HOSTS).alias("host")
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in ROBOTS_SEGMENTS]),
+        (_md5_60bit(F.col("doc_id"), ":rp") % len(ROBOTS_SEGMENTS) + 1)
+        .cast("int"),
+    )
+    page = _md5_60bit(F.col("doc_id"), ":rq") % 10
+    frontier = docs.select("doc_id", host).withColumn(
+        "canonical_url",
+        F.concat(
+            F.lit("https://h"), F.col("host").cast("string"),
+            F.lit(".example/"), seg, F.lit("/p"), page.cast("string"),
+        ),
+    )
+    rules_rows = [
+        (h, ROBOTS_RULESETS[h % 2]["allow"],
+         ROBOTS_RULESETS[h % 2]["disallow"])
+        for h in range(ROBOTS_HOSTS) if h % 5 != 0
+    ]
+    robots = spark.createDataFrame(
+        rules_rows,
+        "host long, allow_prefixes array<string>, disallow_prefixes array<string>",
+    )
+    gated = gate_frontier(frontier, robots)
+    return gated.select("doc_id", "host", "canonical_url").orderBy("doc_id")
+
+
+def _md5_60bit(col, tag: str):
+    return (
+        F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit(tag))),
+                           1, 15), 16, 10).cast("long")
+    )
+
+
+def _robots_gating_oracle_sql() -> str:
+    def h(tag: str, mod: int) -> str:
+        return (f"('0x' || substring(md5(doc_id::VARCHAR || '{tag}'), 1, 15))"
+                f"::BIGINT % {mod}")
+
+    segs = ", ".join(f"'{s}'" for s in ROBOTS_SEGMENTS)
+
+    def longest(prefixes: list[str]) -> str:
+        cases = ", ".join(
+            f"CASE WHEN path LIKE '{p}%' THEN {len(p)} ELSE -1 END"
+            for p in prefixes
+        )
+        return f"GREATEST({cases})" if cases else "-1"
+
+    def allowed(rs: dict) -> str:
+        return (f"((({longest(rs['disallow'])}) = -1) OR "
+                f"(({longest(rs['allow'])}) >= ({longest(rs['disallow'])})))")
+
+    return f"""
+WITH frontier AS (
+  SELECT doc_id,
+         {h(':rh', ROBOTS_HOSTS)} AS host,
+         '/' || (ARRAY[{segs}])[({h(':rp', len(ROBOTS_SEGMENTS))})::INT + 1]
+             || '/p' || ({h(':rq', 10)})::VARCHAR AS path
+  FROM documents
+)
+SELECT doc_id, host,
+       'https://h' || host::VARCHAR || '.example' || path AS canonical_url
+FROM frontier
+WHERE host % 5 = 0
+   OR (host % 2 = 0 AND {allowed(ROBOTS_RULESETS[0])})
+   OR (host % 2 = 1 AND {allowed(ROBOTS_RULESETS[1])})
+ORDER BY doc_id"""
+
+
 MIX_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.1}
 
 
@@ -671,6 +763,131 @@ def q_spans_documents(spark, sf_dir):
         "doc_id", "n_spans", "n_text_spans", "n_media_spans",
         _span_digest_expr("spans").alias("span_digest"),
     )
+
+
+RECRAWL_URLS = 200
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness-aware re-crawl scheduling (``recrawl_intervals``):
+    unchanged pages back off exponentially (interval doubles per
+    unchanged observation, cap 2^10 waves), any change resets to
+    every-wave revisits. Fetch history is synthesized deterministically
+    from events: 200 URLs x 50 observations, fingerprints from a 60-bit
+    md5 so change points are reproducible in both engines. One window
+    exchange; integer bit-shift arithmetic — the oracle replays it
+    value-for-value."""
+    from llm_scraper_spark.operators.frontier import recrawl_intervals
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    history = ev.select(
+        F.concat(F.lit("u"), (F.col("event_id") % RECRAWL_URLS)
+                 .cast("string")).alias("url"),
+        F.expr(f"event_id DIV {RECRAWL_URLS}").alias("wave"),
+        (_md5_60bit(F.col("event_id"), ":fp") % 3)
+        .cast("string").alias("fingerprint"),
+    )
+    out = recrawl_intervals(history, max_exponent=10)
+    return out.select(
+        "url", "wave", "fingerprint", "changed", "streak", "interval",
+        "next_due_wave",
+    ).orderBy("url", "wave")
+
+
+def _recrawl_oracle_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT 'u' || (event_id % {RECRAWL_URLS})::VARCHAR AS url,
+         event_id // {RECRAWL_URLS} AS wave,
+         (('0x' || substring(md5(event_id::VARCHAR || ':fp'), 1, 15))::BIGINT
+          % 3)::VARCHAR AS fingerprint
+  FROM events
+),
+a AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY wave) AS obs,
+         (LAG(fingerprint) OVER (PARTITION BY url ORDER BY wave) IS NULL
+          OR fingerprint <> LAG(fingerprint)
+               OVER (PARTITION BY url ORDER BY wave)) AS changed
+  FROM h
+),
+b AS (
+  SELECT *,
+         CAST(obs - MAX(CASE WHEN changed THEN obs END) OVER (
+             PARTITION BY url ORDER BY wave
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             AS streak
+  FROM a
+)
+SELECT url, wave, fingerprint, changed, streak,
+       CAST(1 << LEAST(streak, 10) AS BIGINT) AS interval,
+       CAST(wave + (1 << LEAST(streak, 10)) AS BIGINT) AS next_due_wave
+FROM b
+ORDER BY url, wave"""
+
+
+INTERLEAVE_CAPACITY = 2048
+INTERLEAVE_MEDIA_COST = 64
+
+
+def q_interleave_pack(spark, sf_dir):
+    """Interleaved text+media sequence packing over the north-rule spans
+    table: text spans cost their word count, media spans a fixed
+    64-token placeholder budget; the mixed stream packs into 2048-token
+    sequences per stream shard (first hex digit of doc_id — 16
+    independent packing streams, so the running-sum window is sharded,
+    not global). Spark side recomputes spans live through the chunker
+    UDF (build_documents_interleaved); the oracle replays the identical
+    integer window math over the committed golden spans parquet — so the
+    query content-verifies chunker output AND batch geometry at once."""
+    from llm_scraper_spark.operators.corpus import interleave_pack
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    flat = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "_s")
+    ).select(
+        "doc_id", "span_idx",
+        F.col("_s.kind").alias("kind"), F.col("_s.text").alias("text"),
+        F.substring("doc_id", 1, 1).alias("stream"),
+    )
+    out = interleave_pack(
+        flat, capacity=INTERLEAVE_CAPACITY,
+        media_cost=INTERLEAVE_MEDIA_COST, stream_col="stream",
+    )
+    return out.select(
+        "doc_id", "span_idx", "kind", "stream", "cost",
+        "seq_id", "seq_offset", "end_seq_id", "spans_boundary",
+    ).orderBy("doc_id", "span_idx")
+
+
+def _interleave_pack_oracle_sql() -> str:
+    cap, mc = INTERLEAVE_CAPACITY, INTERLEAVE_MEDIA_COST
+    return rf"""
+WITH sp AS (
+  SELECT doc_id, span_idx, kind,
+         substring(doc_id, 1, 1) AS stream,
+         CAST(CASE WHEN kind = 'text'
+              THEN GREATEST(len(regexp_extract_all(text, '\w+')), 1)
+              ELSE {mc} END AS BIGINT) AS cost
+  FROM read_parquet('/root/repo/goldens/spans_sf0.01.parquet')
+),
+c AS (
+  SELECT *, COALESCE(CAST(SUM(cost) OVER (
+      PARTITION BY stream ORDER BY doc_id, span_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      0) AS cum0
+  FROM sp
+)
+SELECT doc_id, span_idx, kind, stream, cost,
+       cum0 // {cap} AS seq_id,
+       cum0 % {cap} AS seq_offset,
+       (cum0 + GREATEST(cost, 1) - 1) // {cap} AS end_seq_id,
+       ((cum0 + GREATEST(cost, 1) - 1) // {cap}) > (cum0 // {cap})
+           AS spans_boundary
+FROM c
+ORDER BY doc_id, span_idx"""
 
 
 def q_vector_upsert(spark, sf_dir):
@@ -1260,6 +1477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "host_pagerank": q_host_pagerank,
         "authority_budgets": q_authority_budgets,
+        "robots_gating": q_robots_gating,
+        "interleave_pack": q_interleave_pack,
+        "recrawl_schedule": q_recrawl_schedule,
         "stratified_sample": q_stratified_sample,
         "asof_join": q_asof_join,
         "tfidf_terms": q_tfidf_terms,
@@ -1563,6 +1783,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
+        "robots_gating": _robots_gating_oracle_sql(),
+        "interleave_pack": _interleave_pack_oracle_sql(),
+        "recrawl_schedule": _recrawl_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "asof_join": _asof_oracle_sql(),
         "tfidf_terms": _tfidf_oracle_sql(),

@@ -97,3 +97,45 @@ def pack_sequences(df: DataFrame, tokens_col: str, capacity: int,
         .withColumn("spans_boundary", F.col("end_seq_id") > F.col("seq_id"))
         .drop("_cum0")
     )
+
+
+def interleave_pack(spans: DataFrame, capacity: int, media_cost: int = 64,
+                    stream_col: str | None = None,
+                    id_col: str = "doc_id", idx_col: str = "span_idx",
+                    kind_col: str = "kind",
+                    text_col: str = "text") -> DataFrame:
+    """Pack INTERLEAVED text+media spans into training sequences — the
+    multimodal extension of :func:`pack_sequences` for the north rule's
+    interleaved documents table (doc_id, spans<kind,text,media_ref,offset>).
+
+    This is how interleaved pretraining corpora (MMC4/OBELICS-style) are
+    batched: text spans cost their token estimate, each media span costs a
+    fixed placeholder budget (``media_cost`` tokens — the slot the vision
+    encoder's embeddings occupy), and the mixed stream is concatenated in
+    document order and cut every ``capacity`` tokens. Emits the same batch
+    geometry columns as pack_sequences (seq_id / seq_offset / end_seq_id /
+    spans_boundary) plus the per-span ``cost``, so mixture builders can
+    audit how much context-window budget media placeholders consume.
+
+    ``stream_col`` shards the packing into independent streams (one per
+    worker in a real batching job) — without it the running-sum window is
+    a single global ordering, fine for audits, wrong for 100 TB. Span
+    order within a stream is (id_col, idx_col) via a fixed-width composite
+    key, exact on any engine. All arithmetic is integer; the only float
+    would be in a token *estimator*, and word_count is an integer regex
+    count — so a SQL oracle reproduces every value bit-for-bit.
+    """
+    from ..functions.text import word_count
+
+    cost = F.when(
+        F.col(kind_col) == "text",
+        F.greatest(word_count(F.col(text_col)), F.lit(1)),
+    ).otherwise(F.lit(int(media_cost))).cast("long")
+    ord_key = F.concat(
+        F.col(id_col).cast("string"), F.lit("#"),
+        F.lpad(F.col(idx_col).cast("string"), 6, "0"),
+    )
+    df = spans.withColumn("cost", cost).withColumn("_ord", ord_key)
+    out = pack_sequences(df, tokens_col="cost", capacity=capacity,
+                         order_col="_ord", by_col=stream_col)
+    return out.drop("_ord")

@@ -231,3 +231,51 @@ def assign_global_seq(
         .withColumn("seq", (F.lit(base_seq) + F.col("_offset") + F.col("_local_idx")).cast("long"))
         .drop("_pid", "_local_idx", "_offset")
     )
+
+
+def recrawl_intervals(history: DataFrame, max_exponent: int = 10,
+                      url_col: str = "url", wave_col: str = "wave",
+                      fp_col: str = "fingerprint") -> DataFrame:
+    """Freshness-aware re-crawl scheduling over a fetch history
+    ``(url, wave, fingerprint)``: the classic adaptive-revisit policy
+    (Cho & Garcia-Molina, "Effective Page Refresh Policies for Web
+    Crawlers", TODS 2003) — a page observed UNCHANGED doubles its revisit
+    interval (capped at ``2**max_exponent`` waves), any content change
+    resets it to 1. The reference re-fetches everything each run
+    (worker.py enqueues the full config set); at a 10^10-URL frontier,
+    revisit scheduling IS the crawl budget, so intervals must be derivable
+    in one pass, not tracked per-URL on a driver.
+
+    Emits per observation: ``changed`` (fingerprint differs from the
+    previous fetch; first fetch counts as changed), ``streak``
+    (consecutive unchanged observations), ``interval`` (waves until next
+    revisit: ``2**min(streak, max_exponent)``), and ``next_due_wave``.
+    Feed ``next_due_wave <= current_wave`` into ``schedule_wave`` as the
+    frontier's revisit filter.
+
+    Scale shape: every window shares PARTITION BY url ORDER BY wave, so
+    Catalyst plans ONE exchange + one Window stage; the arithmetic is
+    integer (bit shift), so any SQL engine reproduces it exactly.
+    """
+    w = W.partitionBy(url_col).orderBy(wave_col)
+    prev_fp = F.lag(fp_col).over(w)
+    changed = prev_fp.isNull() | (F.col(fp_col) != prev_fp)
+    run = w.rowsBetween(W.unboundedPreceding, 0)
+    df = (
+        history.withColumn("_obs", F.row_number().over(w))
+        .withColumn("changed", changed)
+    )
+    last_changed = F.max(F.when(F.col("changed"), F.col("_obs"))).over(run)
+    streak = (F.col("_obs") - last_changed).cast("int")
+    # shiftleft with a COLUMN bit count needs the SQL form (the Python
+    # F.shiftleft only takes a literal int)
+    interval = F.expr(
+        f"CAST(shiftleft(1, least(streak, {int(max_exponent)})) AS BIGINT)"
+    )
+    return (
+        df.withColumn("streak", streak)
+        .withColumn("interval", interval)
+        .withColumn("next_due_wave",
+                    (F.col(wave_col) + F.col("interval")).cast("long"))
+        .drop("_obs")
+    )

@@ -616,6 +616,58 @@ def test_pack_sequences_geometry(spark):
     assert out[5] == (2, 7, 2, False)   # zero-token doc sits at its offset
 
 
+def test_recrawl_intervals_backoff(spark):
+    """Hand-traced adaptive revisit: change resets interval to 1,
+    unchanged streaks double it, capped at 2**max_exponent."""
+    from llm_scraper_spark.operators.frontier import recrawl_intervals
+
+    hist = [("u", w, fp) for w, fp in
+            enumerate(["a", "a", "a", "b", "b", "b", "b", "c"])]
+    df = spark.createDataFrame(hist, "url string, wave long, fingerprint string")
+    out = {r["wave"]: (r["changed"], r["streak"], r["interval"],
+                       r["next_due_wave"])
+           for r in recrawl_intervals(df, max_exponent=2).collect()}
+    assert out[0] == (True, 0, 1, 1)    # first fetch counts as changed
+    assert out[1] == (False, 1, 2, 3)
+    assert out[2] == (False, 2, 4, 6)
+    assert out[3] == (True, 0, 1, 4)    # content changed -> reset
+    assert out[4] == (False, 1, 2, 6)
+    assert out[6] == (False, 3, 4, 10)  # capped at 2**2
+    assert out[7] == (True, 0, 1, 8)
+
+
+def test_interleave_pack_geometry(spark):
+    """Known-cost interleaved spans: text costs its word count, media a
+    fixed placeholder budget; streams pack independently."""
+    from llm_scraper_spark.operators.corpus import interleave_pack
+
+    rows = [
+        # stream A: text(3 words), media(5), text(4) -> cuts at capacity 8
+        ("d1", 0, "text", "one two three", "A"),
+        ("d1", 1, "media", None, "A"),
+        ("d2", 0, "text", "a b c d", "A"),
+        # stream B independent: starts again at offset 0
+        ("d3", 0, "media", None, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, span_idx int, kind string, text string, stream string"
+    )
+    out = {(r["doc_id"], r["span_idx"]):
+           (r["cost"], r["seq_id"], r["seq_offset"], r["spans_boundary"])
+           for r in interleave_pack(df, capacity=8, media_cost=5,
+                                    stream_col="stream").collect()}
+    assert out[("d1", 0)] == (3, 0, 0, False)
+    assert out[("d1", 1)] == (5, 0, 3, False)     # media fills to the cut
+    assert out[("d2", 0)] == (4, 1, 0, False)     # next sequence
+    assert out[("d3", 0)] == (5, 0, 0, False)     # stream B isolated
+    # empty text still costs >= 1 token (greatest clamp)
+    one = spark.createDataFrame(
+        [("d4", 0, "text", "", "C")],
+        "doc_id string, span_idx int, kind string, text string, stream string")
+    r = interleave_pack(one, capacity=8, stream_col="stream").collect()[0]
+    assert r["cost"] == 1
+
+
 def test_host_pagerank_tiny_graph(spark):
     """Hand-computed integer fixed-point PageRank on the 3-node chain
     a->b, b->c, c->a plus dangling sink a->d (d leaks its damped mass)."""
