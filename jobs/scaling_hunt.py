@@ -144,17 +144,31 @@ def main() -> None:
         print(f"[hunt] probe 1->4 hw ratio {ratio:.3f} "
               f"(ledger median quiet {med_quiet:.3f} / all {med_all:.3f}, "
               f"{len(raw_reps())} reps)", flush=True)
-        if ratio >= 0.98:
+        # STABLE-quiet gate: ratios above ~1.05 mean the 1-proc probe leg
+        # itself was contended (super-proportional delivery) — launching
+        # there produced junk reps (1.303 raw) just as surely as launching
+        # at 0.8 did. Require TWO consecutive in-band probes so a burst
+        # arriving between probe and job is caught by the second probe.
+        if 0.95 <= ratio <= 1.08:
+            ratio2 = probe_ratio()
+            if not (0.95 <= ratio2 <= 1.08):
+                print(f"[hunt] second probe {ratio2:.3f} out of band — "
+                      "burst arriving, holding off", flush=True)
+                time.sleep(60)
+                continue
             attempts += 1
-            print(f"[hunt] quiet window — attempt {attempts}", flush=True)
-            env = dict(os.environ, SPARK_GRAFT_BENCH_SEEDS="8000000")
+            print(f"[hunt] stable-quiet window (probes {ratio:.3f}/"
+                  f"{ratio2:.3f}) — attempt {attempts}", flush=True)
+            # default seeds (4M at N=1): shorter legs alternate tighter,
+            # so a contention burst hits both levels or neither and
+            # cancels in the throughput ratio.
             subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--scaling", "--reps", "1"],
-                cwd=REPO, env=env, timeout=2400,
+                cwd=REPO, timeout=2400,
             )
         else:
-            time.sleep(120)
+            time.sleep(90)
     print(json.dumps({
         "attempts": attempts,
         "median_raw_eff_quiet": median_raw_eff(),

@@ -159,23 +159,29 @@ def budgets_from_pagerank(host_ranks: DataFrame, total_budget: int,
     min_budget, max_budget)`` — integer arithmetic on the fixed-point
     ranks, so the allocation is deterministic under any partitioning.
     The rank table is hosts-sized (tiny vs the frontier); the one
-    ``sum`` over it is a scalar agg and the result broadcasts into
-    ``schedule_wave(budgets=...)``. Within a host order stays
+    ``sum`` over it stays LAZY — a 1-row aggregate broadcast-cross-joined
+    back (no driver ``collect``, so the allocation plans as one job and
+    composes into larger lazy pipelines). Within a host order stays
     (priority DESC, seq ASC): rank is a per-host constant, so it
     allocates ACROSS hosts (budgets) rather than reordering within one.
     Compose with Crawl-delay caps via
     ``least(budgets_from_pagerank(...), budgets_from_crawl_delay(...))``
     joined on host.
     """
-    total_rank = host_ranks.agg(F.sum(rank_col)).collect()[0][0] or 1
+    tot = host_ranks.agg(
+        F.greatest(F.sum(rank_col), F.lit(1)).cast("long").alias("_total_rank")
+    )
     share = F.expr(
-        f"({int(total_budget)}L * {rank_col}) DIV {int(total_rank)}L"
+        f"({int(total_budget)}L * {rank_col}) DIV _total_rank"
     )
     budget = F.least(
         F.greatest(share, F.lit(int(min_budget))),
         F.lit(int(max_budget)),
     )
-    return host_ranks.select("host", budget.cast("int").alias("budget"))
+    return (
+        host_ranks.crossJoin(F.broadcast(tot))
+        .select("host", budget.cast("int").alias("budget"))
+    )
 
 
 def assign_global_seq(
