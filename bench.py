@@ -120,7 +120,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
     names = ["pricing_summary", "doc_textstats", "dedup_exact", "sessionize",
              "minhash_neardup", "embedding_topk", "spans_documents",
              "line_dedup", "dedup_clusters", "asof_join", "pack_sequences",
-             "host_pagerank"]
+             "host_pagerank", "robots_gating", "recrawl_schedule",
+             "interleave_pack"]
     qs = entry_mod.queries()
     out = {}
     for name in names:
