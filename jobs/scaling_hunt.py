@@ -159,13 +159,17 @@ def main() -> None:
             attempts += 1
             print(f"[hunt] stable-quiet window (probes {ratio:.3f}/"
                   f"{ratio2:.3f}) — attempt {attempts}", flush=True)
-            # default seeds (4M at N=1): shorter legs alternate tighter,
-            # so a contention burst hits both levels or neither and
-            # cancels in the throughput ratio.
+            # 6M seeds: the margin/exposure compromise. 8M legs amortize
+            # fixed cost best (quiet raw ~0.92) but take ~12 min — long
+            # enough that tonight's contention bursts (inter-arrival
+            # ~5-15 min) hit most attempts; 4M legs halve exposure but
+            # leave only 0.80-0.86 quiet headroom. 6M keeps ~0.88-0.90
+            # quiet raw at ~8 min exposure.
+            env = dict(os.environ, SPARK_GRAFT_BENCH_SEEDS="6000000")
             subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--scaling", "--reps", "1"],
-                cwd=REPO, timeout=2400,
+                cwd=REPO, env=env, timeout=2400,
             )
         else:
             time.sleep(90)
