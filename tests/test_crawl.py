@@ -200,6 +200,19 @@ def test_budgets_from_crawl_delay(spark):
                         "plain.example": 8}
 
 
+def test_budgets_from_pagerank_stays_lazy_and_handles_empty(spark):
+    """The rank total is a broadcast 1-row aggregate, not a driver
+    collect: the whole allocation must be buildable on an EMPTY rank
+    table without dividing by zero (greatest(sum,1) guard)."""
+    from llm_scraper_spark.operators.frontier import budgets_from_pagerank
+
+    empty = spark.createDataFrame([], "host string, rank long")
+    assert budgets_from_pagerank(empty, total_budget=100).count() == 0
+    one = spark.createDataFrame([("h", 0)], "host string, rank long")
+    got = budgets_from_pagerank(one, total_budget=100, min_budget=2).collect()
+    assert got[0]["budget"] == 2  # zero-rank host lifted to the floor
+
+
 def test_budgets_from_pagerank_end_to_end(spark):
     """host_pagerank -> authority-weighted budgets -> schedule_wave:
     high-authority hosts get proportionally more of the wave, low ones
