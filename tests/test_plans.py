@@ -184,3 +184,41 @@ def test_bucketed_join_no_exchange(spark, sf_mid, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_recrawl_intervals_single_shuffle_no_python(spark):
+    """All three analytic passes (row_number+lag, then the running
+    unchanged-streak max) share PARTITION BY url ORDER BY wave, so the
+    whole operator costs exactly ONE exchange and no Python stage."""
+    from llm_scraper_spark.operators.frontier import recrawl_intervals
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    hist = spark.range(4000).select(
+        F.concat(F.lit("u"), (F.col("id") % 100).cast("string")).alias("url"),
+        (F.col("id") / 100).cast("long").alias("wave"),
+        (F.col("id") % 3).cast("string").alias("fingerprint"),
+    )
+    q = recrawl_intervals(hist)
+    assert count_shuffles(q) == 1
+    p = physical_plan(q, "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_interleave_pack_single_shuffle_no_python(spark):
+    """Per-stream packing costs one hash exchange on the stream key; the
+    geometry arithmetic is all codegen'd (no Python past the input)."""
+    from llm_scraper_spark.operators.corpus import interleave_pack
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    spans = spark.range(2000).select(
+        F.concat(F.lit("d"), (F.col("id") / 4).cast("long").cast("string"))
+        .alias("doc_id"),
+        (F.col("id") % 4).cast("int").alias("span_idx"),
+        F.when(F.col("id") % 4 == 0, "text").otherwise("media").alias("kind"),
+        F.lit("alpha beta gamma").alias("text"),
+        (F.col("id") % 8).cast("string").alias("stream"),
+    )
+    q = interleave_pack(spans, capacity=256, stream_col="stream")
+    assert count_shuffles(q) == 1
+    p = physical_plan(q, "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
