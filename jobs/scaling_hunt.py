@@ -149,11 +149,11 @@ def main() -> None:
         # there produced junk reps (1.303 raw) just as surely as launching
         # at 0.8 did. Require TWO consecutive in-band probes so a burst
         # arriving between probe and job is caught by the second probe.
-        if 0.95 <= ratio <= 1.08:
+        if 0.92 <= ratio <= 1.10:
             ratio2 = probe_ratio()
-            if not (0.95 <= ratio2 <= 1.08):
-                print(f"[hunt] second probe {ratio2:.3f} out of band — "
-                      "burst arriving, holding off", flush=True)
+            if not (0.92 <= ratio2 <= 1.10) or abs(ratio2 - ratio) > 0.05:
+                print(f"[hunt] second probe {ratio2:.3f} out of band or "
+                      "unstable — burst arriving, holding off", flush=True)
                 time.sleep(60)
                 continue
             attempts += 1
