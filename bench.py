@@ -119,9 +119,12 @@ def bench_queries(spark, sf_dir: str) -> dict:
 
     names = ["pricing_summary", "doc_textstats", "dedup_exact", "sessionize",
              "minhash_neardup", "embedding_topk", "spans_documents",
-             "line_dedup", "dedup_clusters", "asof_join", "pack_sequences",
+             "line_dedup", "asof_join", "pack_sequences",
              "host_pagerank", "robots_gating", "recrawl_schedule",
              "interleave_pack"]
+    # dedup_clusters (iterative connected components, ~60s at sf0.1) is
+    # benched via its oracled driver query instead — keeping the default
+    # bench's wall time bounded for per-round invocations.
     qs = entry_mod.queries()
     out = {}
     for name in names:
