@@ -96,6 +96,28 @@ def probe_ratio() -> float:
     return hw[4] / hw[1] / 4.0
 
 
+def mem_probe_mbps() -> float:
+    """Single-proc memory-stream bandwidth (MB/s over a 200 MB copy).
+
+    The CPU-burn probe misses neighbor MEMORY pressure: one ledger rep
+    (eff 0.283) launched with near-normal burn probes while the Spark legs
+    ran 5x slow — the interference was bandwidth, not cycles. The hunt
+    tracks the rolling max of this probe and only launches when current
+    bandwidth is within 90% of the best seen, a pre-registered launch
+    condition (never an after-the-fact filter on results)."""
+    import numpy as np
+
+    a = np.ones(25_000_000, dtype=np.float64)  # 200 MB
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        b = a.copy()
+        dt = time.time() - t0
+        best = max(best, 200.0 / dt)
+        del b
+    return best
+
+
 def other_spark_work_running() -> bool:
     """True if a pytest / another bench / spark-submit is alive on this
     host. Launching an attempt alongside them measures process contention,
@@ -127,6 +149,8 @@ def main() -> None:
     target = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
     deadline = time.time() + max_minutes * 60
     attempts = 0
+    mem_max = 0.0
+    n_mem_probes = 0
     while time.time() < deadline:
         med_quiet = median_raw_eff()
         med_all = median_raw_eff_all()
@@ -149,7 +173,16 @@ def main() -> None:
         # there produced junk reps (1.303 raw) just as surely as launching
         # at 0.8 did. Require TWO consecutive in-band probes so a burst
         # arriving between probe and job is caught by the second probe.
+        mbps = mem_probe_mbps()
+        mem_max = max(mem_max, mbps)
+        n_mem_probes += 1
         if 0.92 <= ratio <= 1.10:
+            if n_mem_probes >= 3 and mbps < 0.9 * mem_max:
+                print(f"[hunt] mem bandwidth {mbps:.0f} MB/s < 90% of best "
+                      f"{mem_max:.0f} — neighbor memory pressure, holding "
+                      "off", flush=True)
+                time.sleep(60)
+                continue
             ratio2 = probe_ratio()
             if not (0.92 <= ratio2 <= 1.10) or abs(ratio2 - ratio) > 0.05:
                 print(f"[hunt] second probe {ratio2:.3f} out of band or "
