@@ -558,8 +558,17 @@ def q_asof_join(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") != "purchase").select(
         "event_id", "user_id", "event_type", "ts")
-    right = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value")
+    # pre-dedupe right rows sharing (user_id, ts) deterministically (keep
+    # max event_id): DuckDB's ASOF JOIN breaks such ties arbitrarily, so
+    # without this the oracle comparison would be flaky on tied data —
+    # the operator itself now tie-breaks deterministically (asof.py), but
+    # "deterministic" differs per engine, hence the shared pre-dedupe.
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"),
+             F.expr("max_by(value, event_id)").alias("value"))
+    )
     out = asof_join(left, right)
     return out.select(
         "event_id", "user_id", "event_type",
@@ -1278,7 +1287,12 @@ def _asof_oracle_sql() -> str:
                epoch_us(l.ts) - epoch_us(r.ts) AS us_since_purchase,
                round(r.value, 6) AS purchase_value
         FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, max(event_id) AS event_id,
+                 arg_max(value, event_id) AS value
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts
+        ) r
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id
     """

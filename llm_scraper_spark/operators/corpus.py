@@ -88,14 +88,18 @@ def pack_sequences(df: DataFrame, tokens_col: str, capacity: int,
     )
     cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
     out = df.withColumn("_cum0", cum_before)
-    cap = F.lit(int(capacity))
+    cap = int(capacity)
+    # integer DIV/pmod end-to-end (Spark `/` on longs is DOUBLE division,
+    # which loses exactness past 2^53 cumulative tokens — the oracle's
+    # DuckDB `//` is integer, so the engines must share the arithmetic)
     last_tok = F.col("_cum0") + F.greatest(F.col(tokens_col), F.lit(1)) - F.lit(1)
     return (
-        out.withColumn("seq_id", F.floor(F.col("_cum0") / cap))
-        .withColumn("seq_offset", F.col("_cum0") % cap)
-        .withColumn("end_seq_id", F.floor(last_tok / cap))
+        out.withColumn("_last", last_tok.cast("long"))
+        .withColumn("seq_id", F.expr(f"_cum0 DIV {cap}"))
+        .withColumn("seq_offset", F.expr(f"pmod(_cum0, {cap})").cast("long"))
+        .withColumn("end_seq_id", F.expr(f"_last DIV {cap}"))
         .withColumn("spans_boundary", F.col("end_seq_id") > F.col("seq_id"))
-        .drop("_cum0")
+        .drop("_cum0", "_last")
     )
 
 

@@ -383,13 +383,14 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
 
 def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.95,
-                        planes: int = 16, seed: int = 42) -> DataFrame:
+                        planes: int = 16, seed: int = 42,
+                        dim: int | None = None) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH bucketing + exact
     cosine verification on bucket-mates."""
     from .similarity import cosine_expr, hyperplane_bucket
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    bucketed = hyperplane_bucket(base, "v", planes=planes, seed=seed)
+    bucketed = hyperplane_bucket(base, "v", planes=planes, seed=seed, dim=dim)
     a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
     b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
     return (
@@ -545,6 +546,9 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     grow exponentially). Convergence is detected by a (count, hash-xor)
     fingerprint of the edge set computed in the same action.
     """
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = pairs.sparkSession
     e = (
         pairs.select(F.col(a_col).cast("long").alias("u"),
                      F.col(b_col).cast("long").alias("v"))
@@ -552,6 +556,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         .distinct()
     )
     prev = None
+    prev_ck_ids: set[int] = set()
     for _ in range(max_iters):
         # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -567,14 +572,18 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         o = e.select(F.greatest("u", "v").alias("u"),
                      F.least("u", "v").alias("v")).distinct()
         mins = o.groupBy("u").agg(F.min("v").alias("m"))
-        e = (
+        e, ck_ids = local_checkpoint_tracked(
             o.join(mins, "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        # the new round is materialized — the previous round's checkpoint
+        # blocks are dead weight from here on (long-lived sessions would
+        # otherwise accumulate one round of MEMORY_AND_DISK blocks per call)
+        release_checkpoint(spark, prev_ck_ids)
+        prev_ck_ids = ck_ids
         # xor, not sum: order-independent, immune to ANSI long overflow, and
         # collision-safe here because the edge set is distinct
         fp = e.agg(

@@ -195,32 +195,30 @@ def assign_global_seq(
     order the reference would have enqueued them one at a time
     (scraper.py:64-76). A zipWithIndex-free implementation: rank via a
     global window is exact but single-partitions; instead we do the
-    scalable 2-phase: per-partition ordered row_number + partition offsets.
+    scalable 2-phase: per-partition local index + partition offsets.
     For wave-sized batches (≤ millions) a range-partitioned sort keeps this
     even; the total order is deterministic either way.
+
+    Fully JVM-side (no Python stage in the hot wave loop): the local index
+    within a sorted partition is derived from ``monotonically_increasing_id``
+    — its low 33 bits are a consecutive per-partition row counter generated
+    in stream order, so ``mid - min(mid) over the partition`` IS the local
+    index; per-partition min/count come from one tiny groupBy (one row per
+    partition) that is broadcast back. Two narrow passes over the sorted
+    data, zero Arrow round-trips.
     """
     ordering = [F.col(c).asc() for c in order_cols]
     # range-partition by the ordering keys so the sort is distributed, then
     # compute exact offsets from partition sizes (two narrow passes).
     sorted_df = candidates.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(*ordering)
-
-    def attach_index(pdf_iter):
-        import pandas as pd  # noqa: F401 (executor-side)
-        for pdf in pdf_iter:
-            pdf = pdf.copy()
-            pdf["_local_idx"] = range(len(pdf))
-            yield pdf
-
-    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id())
-    # build a fresh StructType: .add() would mutate the DataFrame's cached schema
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        list(with_pid.schema.fields) + [T.StructField("_local_idx", T.LongType())]
+    indexed = (
+        sorted_df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
-    indexed = with_pid.mapInPandas(attach_index, schema=schema)
     offsets = (
-        indexed.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+        indexed.groupBy("_pid").agg(
+            F.count("*").alias("_cnt"), F.min("_mid").alias("_min_mid")
+        )
         .withColumn(
             "_offset",
             F.coalesce(
@@ -230,12 +228,18 @@ def assign_global_seq(
                 F.lit(0),
             ),
         )
-        .select("_pid", "_offset")
+        .select("_pid", "_offset", "_min_mid")
     )
     return (
         indexed.join(F.broadcast(offsets), on="_pid")
-        .withColumn("seq", (F.lit(base_seq) + F.col("_offset") + F.col("_local_idx")).cast("long"))
-        .drop("_pid", "_local_idx", "_offset")
+        .withColumn(
+            "seq",
+            (
+                F.lit(base_seq) + F.col("_offset")
+                + (F.col("_mid") - F.col("_min_mid"))
+            ).cast("long"),
+        )
+        .drop("_pid", "_mid", "_offset", "_min_mid")
     )
 
 

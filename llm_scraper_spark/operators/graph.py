@@ -58,9 +58,17 @@ def host_pagerank(
     ``damping_num/damping_den`` is the damping factor as an exact
     rational (default 17/20 = 0.85) so every step stays in integer
     arithmetic end-to-end.
+
+    EAGER: the result is localCheckpoint-materialized before return so the
+    loop's persisted adjacency/nodes tables and superseded per-round
+    checkpoints can all be released here (nothing cached leaks across
+    calls; the one block set kept alive is the returned ranks table).
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = edges.sparkSession
     e = (
         edges.select(F.col("src"), F.col("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -79,6 +87,7 @@ def host_pagerank(
 
     base = rank_one * (damping_den - damping_num) // damping_den
     ranks = nodes.select("host", F.lit(rank_one).cast("long").alias("rank"))
+    prev_ck_ids: set[int] = set()
     for i in range(iterations):
         contribs = (
             adj.join(ranks, adj["src"] == ranks["host"])
@@ -98,7 +107,16 @@ def host_pagerank(
             ).cast("long").alias("rank"),
         )
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks, ck_ids = local_checkpoint_tracked(ranks)
+            release_checkpoint(spark, prev_ck_ids)
+            prev_ck_ids = ck_ids
+    # materialize the result, then drop every persist/checkpoint the loop
+    # held: the returned frame is self-contained (no dangling cached blocks
+    # accumulate across repeated calls in a long-lived session)
+    ranks, final_ids = local_checkpoint_tracked(ranks)
+    release_checkpoint(spark, prev_ck_ids)
+    nodes.unpersist()
+    adj.unpersist()
     return ranks
 
 

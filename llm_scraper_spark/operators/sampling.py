@@ -28,10 +28,15 @@ _HASH_SPACE = float(1 << 60)
 
 def hash_uniform(key_col, seed: str = "s0") -> Column:
     """Deterministic uniform [0,1) from a stable key: the first 60 bits of
-    md5(key || '#' || seed). Independent samples = different seeds."""
+    md5(key || '#' || seed). Independent samples = different seeds.
+
+    NULL keys yield NULL (F.concat is null-propagating, matching the SQL
+    twin's ``key || '#' || seed``), so a NULL-keyed row is dropped by every
+    ``< rate`` filter on BOTH engines — concat_ws would silently hash
+    '#seed' on the Spark side only and diverge the membership."""
     k = F.col(key_col) if isinstance(key_col, str) else key_col
     hexpart = F.substring(
-        F.md5(F.concat_ws("#", k.cast("string"), F.lit(seed))), 1, 15
+        F.md5(F.concat(k.cast("string"), F.lit("#"), F.lit(seed))), 1, 15
     )
     return F.conv(hexpart, 16, 10).cast("long").cast("double") / F.lit(_HASH_SPACE)
 

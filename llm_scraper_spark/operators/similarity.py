@@ -48,15 +48,20 @@ def _planes(dim: int, planes: int, seed: int) -> np.ndarray:
 
 
 def hyperplane_bucket(df: DataFrame, vec_col: str, planes: int = 16,
-                      seed: int = 42, out_col: str = "bucket") -> DataFrame:
+                      seed: int = 42, out_col: str = "bucket",
+                      dim: int | None = None) -> DataFrame:
     """Sign-of-projection LSH bucket (one int64 of `planes` sign bits).
 
     numpy matmul over the whole Arrow batch — vectorized, executor-side.
+    Pass ``dim`` (the embedding dimensionality) when the caller knows it —
+    otherwise a 1-row ``first()`` probe infers it, which costs an extra
+    driver action per call (unwanted in lazy/hot paths).
     """
-    sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if sample is None:
-        return df.withColumn(out_col, F.lit(0).cast("long"))
-    dim = sample["d"]
+    if dim is None:
+        sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if sample is None:
+            return df.withColumn(out_col, F.lit(0).cast("long"))
+        dim = sample["d"]
     mat = _planes(dim, planes, seed)
     bc = df.sparkSession.sparkContext.broadcast(mat)
     weights = np.array([1 << i for i in range(planes)], dtype=np.int64)
@@ -94,7 +99,8 @@ def ann_candidates(df: DataFrame, query_vec: list[float],
             for b in flips:
                 mask |= 1 << b
             probes.append(qbits ^ mask)
-    bucketed = hyperplane_bucket(df, vec_col, planes, seed)
+    # dim is known from the query vector — no driver-side probe needed
+    bucketed = hyperplane_bucket(df, vec_col, planes, seed, dim=dim)
     return bucketed.filter(F.col("bucket").isin(probes))
 
 
@@ -112,15 +118,17 @@ def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
              vec_col: str = "embedding", left_id: str = "vec_id",
-             right_id: str = "vec_id", planes: int = 8, seed: int = 42) -> DataFrame:
+             right_id: str = "vec_id", planes: int = 8, seed: int = 42,
+             dim: int | None = None) -> DataFrame:
     """For each left row, its k most-cosine-similar right rows sharing an LSH
-    bucket. Equi-join on bucket + per-left-row window top-k."""
+    bucket. Equi-join on bucket + per-left-row window top-k. Pass ``dim``
+    to keep the plan fully lazy (no per-side first() probe)."""
     lb = hyperplane_bucket(
         left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv")),
-        "lv", planes, seed)
+        "lv", planes, seed, dim=dim)
     rb = hyperplane_bucket(
         right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv")),
-        "rv", planes, seed)
+        "rv", planes, seed, dim=dim)
     joined = (
         lb.join(rb, on="bucket")
         .filter(F.col("lid") != F.col("rid"))

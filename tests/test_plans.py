@@ -222,3 +222,29 @@ def test_interleave_pack_single_shuffle_no_python(spark):
     assert count_shuffles(q) == 1
     p = physical_plan(q, "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_assign_global_seq_fully_native(spark):
+    """VERDICT r2 #4: the hot wave loop's seq assignment must not spawn a
+    Python stage — local index derives from monotonically_increasing_id,
+    offsets from a broadcast-joined per-partition aggregate. The only
+    Python stages in a wave plan are the fetcher and the chunker."""
+    from llm_scraper_spark.operators.frontier import assign_global_seq
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    cand = spark.range(5000).select(
+        (F.col("id") % 97).cast("long").alias("parent_seq"),
+        (F.col("id") % 11).cast("int").alias("link_idx"),
+        F.concat(F.lit("https://h"), F.col("id").cast("string")).alias("url"),
+    )
+    q = assign_global_seq(cand, base_seq=1000)
+    p = physical_plan(q, "simple")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    # correctness: contiguous seqs in (parent_seq, link_idx) order
+    rows = q.orderBy("seq").collect()
+    seqs = [r["seq"] for r in rows]
+    assert seqs == list(range(1000, 1000 + 5000))
+    keys = [(r["parent_seq"], r["link_idx"]) for r in rows]
+    assert keys == sorted(keys)
