@@ -14,6 +14,14 @@ expressible in SQL alone (VERDICT #1/#5):
 - ``ann_candidates_sf{X}.parquet`` — the multi-probe LSH candidate set for
   query vec_id=0 (planes=6, seed=42, probe_hamming=1). The oracle computes
   exact cosine top-k over this set in SQL; live ann_topk must agree.
+- ``knn_buckets_sf{X}.parquet`` — the (vec_id, bucket) hyperplane-LSH
+  assignment (planes=6, seed=42) q_knn_join buckets by. The bucket id is a
+  numpy-seeded projection (no SQL twin); the oracle takes THIS table as
+  given and independently recomputes the whole downstream join — bucket
+  equi-join, exact cosine, per-row top-k — in DuckDB. Validity chain:
+  sign-of-projection correctness is tested against direct numpy in
+  tests/test_vectors.py, and tests/test_goldens.py pins the live
+  assignment to this file.
 - ``minhash_pairs_sf{X}.parquet`` — q_minhash_neardup's candidate pairs on
   the production xxhash64 family (bands=4, rows=8). xxhash64 has no DuckDB
   twin; validity chain: the md5-family twin of the SAME pipeline is fully
@@ -89,6 +97,19 @@ def make_ann_candidates(spark, sf: str) -> None:
     path = os.path.join(GOLDENS, f"ann_candidates_sf{sf}.parquet")
     pdf.to_parquet(path, index=False)
     print(f"wrote {path}: {len(pdf)} candidates")
+
+
+def make_knn_buckets(spark, sf: str) -> None:
+    from llm_scraper_spark.operators.similarity import hyperplane_bucket
+
+    emb = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+    b = hyperplane_bucket(emb, "embedding", planes=ANN_PLANES, seed=ANN_SEED,
+                          dim=64).select("vec_id", "bucket")
+    pdf = b.toPandas().sort_values("vec_id").reset_index(drop=True)
+    path = os.path.join(GOLDENS, f"knn_buckets_sf{sf}.parquet")
+    pdf.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(pdf)} bucket assignments, "
+          f"{pdf['bucket'].nunique()} buckets")
 
 
 def make_minhash_pairs(spark, sf: str) -> None:
@@ -182,6 +203,7 @@ def main() -> None:
     for sf in SPAN_SFS:
         make_spans(spark, sf)
         make_ann_candidates(spark, sf)
+        make_knn_buckets(spark, sf)
         make_minhash_pairs(spark, sf)
     make_crawl_log(spark)
     spark.stop()

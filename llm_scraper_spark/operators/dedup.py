@@ -280,10 +280,14 @@ def minhash_near_dups(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_shingle: int = 3, bands: int = 16, rows: int = 4,
+    max_bucket_size: int = 200, hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Exact n-gram Jaccard for LSH candidate pairs (verification stage):
-    |A ∩ B| / |A ∪ B| with array_intersect/array_union — native."""
-    cands = minhash_candidates(df, text_col, id_col, n_shingle, bands, rows)
+    |A ∩ B| / |A ∪ B| with array_intersect/array_union — native.
+    ``hash_family='md5'`` makes the whole pipeline (candidates + exact
+    verify) SQL-twin reproducible for the driver oracle."""
+    cands = minhash_candidates(df, text_col, id_col, n_shingle, bands, rows,
+                               max_bucket_size, hash_family)
     sh = (
         shingles_exploded(df, text_col, id_col, n_shingle)
         .groupBy("id").agg(F.collect_set("s").alias("sh"))

@@ -163,15 +163,17 @@ def stream_host_budget(spark: SparkSession, input_dir: str,
     state_schema = T.StructType([T.StructField("used", T.LongType())])
 
     def admit(key, pdfs, state):
+        import pandas as pd
+
         used = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if used >= budget:
-                break
-            pdf = pdf.sort_values("seq")
-            out = pdf.head(budget - used)
-            used += len(out)
-            if len(out):
-                yield out[["host", "url", "seq"]]
+        # concat the host's Arrow chunks BEFORE sorting: admission is in
+        # global seq order within the micro-batch, and a per-chunk sort
+        # would admit by arrival order whenever one host spans chunks
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("seq")
+        out = batch.head(max(budget - used, 0))
+        used += len(out)
+        if len(out):
+            yield out[["host", "url", "seq"]]
         state.update((used,))
 
     urls = (

@@ -62,6 +62,25 @@ def test_minhash_golden_matches_live_pipeline(spark):
     pd.testing.assert_frame_equal(live, golden, check_dtype=False)
 
 
+def test_knn_buckets_golden_matches_live_pipeline(spark):
+    """Pins q_knn_join's bucket assignment: the oracle takes the golden
+    (vec_id, bucket) table as given and recomputes the join downstream of
+    it, so this pin is what closes the loop on the bucketing itself."""
+    from llm_scraper_spark.operators.similarity import hyperplane_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    live = (
+        hyperplane_bucket(emb, "embedding", planes=6, seed=42, dim=64)
+        .select("vec_id", "bucket")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    golden = (
+        pd.read_parquet(f"{GOLDENS}/knn_buckets_sf0.001.parquet")
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(live, golden, check_dtype=False)
+
+
 def test_crawl_golden_matches_simulator(spark):
     from jobs.make_goldens import (
         CRAWL_BUDGET, CRAWL_FANOUT, CRAWL_N_HOSTS, CRAWL_N_SEEDS, CRAWL_WAVES)
