@@ -114,6 +114,52 @@ def bench_frontier(spark, n_seeds: int, n_hosts: int, budget: int = 32) -> dict:
     }
 
 
+def bench_wave_loop(spark, n_seeds: int, n_waves: int = 3,
+                    budget: int = 64, fanout: int = 4) -> dict:
+    """The PRODUCTION crawl loop end-to-end (VERDICT r2 #3): drives
+    ``CrawlRun.run_wave`` — politeness windows, the standing-Bloom split +
+    per-wave delta OR, anti-join dedup, native global seq assignment,
+    Observation metrics, and the per-wave state commits — so the north-rule
+    centerpiece's throughput is measured on the SHIPPED loop, not on an
+    inline one-wave kernel (bench_frontier isolates that kernel).
+
+    URL-ops counted: seed enqueue (canonicalize+dedup+seq) once, plus per
+    wave every scheduled fetch and every discovered candidate (each
+    canonicalized, hashed, robots/bloom/anti-join checked)."""
+    import shutil
+    import tempfile
+
+    from llm_scraper_spark.crawl.waves import CrawlRun, synthetic_fetcher
+    from llm_scraper_spark.sources.synthetic import synth_seeds
+
+    n_hosts = max(64, n_seeds // 500)
+    state_dir = tempfile.mkdtemp(prefix="bench_wave_loop_")
+    try:
+        t0 = time.time()
+        run = CrawlRun(
+            spark, state_dir,
+            fetcher=synthetic_fetcher(n_hosts=n_hosts, fanout=fanout),
+            default_budget=budget, n_salts=4,
+        )
+        stats = run.run(n_waves,
+                        seeds=synth_seeds(spark, n_seeds, n_hosts=n_hosts))
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    scheduled = sum(s["scheduled"] for s in stats)
+    discovered = sum(s["discovered"] for s in stats)
+    processed = n_seeds + scheduled + discovered
+    return {
+        "sec": round(dt, 3),
+        "waves": n_waves,
+        "n_seeds": n_seeds,
+        "scheduled": scheduled,
+        "discovered": discovered,
+        "deduped_new": sum(s["deduped_new"] for s in stats),
+        "urls_per_sec": round(processed / dt, 1),
+    }
+
+
 def bench_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
@@ -155,23 +201,39 @@ def run_bench() -> dict:
 
     # concurrent hardware probe: how many parallel cycles is the shared
     # host ACTUALLY delivering to `cpus` procs right now? (pure CPU burn,
-    # no Spark). Lets the scaling report separate job scaling from host
-    # contention, which varies 2-3x over minutes on this box.
-    hw = (
-        hardware_parallel_ceiling(levels=(cpus,), work=20_000_000)[cpus]
-        if os.environ.get("SPARK_GRAFT_FRONTIER_ONLY") else None
-    )
+    # no Spark). Runs in EVERY mode (VERDICT r2 #1): a contended bench run
+    # is then self-annotating — the probe value lands in the printed JSON
+    # and the run ledger, so a slow number can be read against what the
+    # host was physically delivering during that window.
+    frontier_only = bool(os.environ.get("SPARK_GRAFT_FRONTIER_ONLY"))
+    hw = hardware_parallel_ceiling(levels=(cpus,), work=20_000_000)[cpus]
 
     spark = get_spark(app_name=f"bench_local_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     try:
-        frontier = bench_frontier(spark, n_seeds, n_hosts)
-        queries = (
-            {} if os.environ.get("SPARK_GRAFT_FRONTIER_ONLY")
-            else bench_queries(spark, sf_dir)
-        )
+        # contention-robust headline (VERDICT r2 #1): round 2's driver run
+        # hit one contended window and its single cold frontier rep became
+        # the round's number (354s vs a 9-run median of ~150s). Min-of-2
+        # back-to-back reps bounds that noise; rep 2 is skipped only if
+        # rep 1 already blew a 600s wall-clock cap (keeps the driver's
+        # per-round bench bounded) or in FRONTIER_ONLY mode (the scaling
+        # hunt reps at its own level).
+        frontier_runs = [bench_frontier(spark, n_seeds, n_hosts)]
+        if not frontier_only and frontier_runs[0]["sec"] < 600:
+            frontier_runs.append(bench_frontier(spark, n_seeds, n_hosts))
+        frontier = min(frontier_runs, key=lambda r: r["sec"])
+        frontier["all_runs_sec"] = [r["sec"] for r in frontier_runs]
+        wave_loop = None
+        queries = {}
+        if not frontier_only:
+            wave_seeds = int(
+                os.environ.get("SPARK_GRAFT_WAVE_SEEDS", "0")
+            ) or min(1_000_000, n_seeds)
+            wave_loop = bench_wave_loop(spark, wave_seeds)
+            queries = bench_queries(spark, sf_dir)
     finally:
         spark.stop()
+    hw_post = hardware_parallel_ceiling(levels=(cpus,), work=20_000_000)[cpus]
     result = {
         "metric": "frontier_pipeline",
         "value": frontier["sec"],
@@ -181,7 +243,9 @@ def run_bench() -> dict:
         "cpus": cpus,
         "throughput_urls_per_sec": frontier["urls_per_sec"],
         "hw_units_per_sec": hw,
+        "hw_units_per_sec_post": hw_post,
         "frontier": frontier,
+        "wave_loop": wave_loop,
     }
     _log_default_run(result)
     return result
@@ -202,6 +266,15 @@ def _log_default_run(result: dict) -> None:
                 "sf": result["sf"], "sec": result["value"],
                 "urls_per_sec": result["throughput_urls_per_sec"],
                 "n_seeds": result["frontier"]["n_seeds"],
+                "all_runs_sec": result["frontier"].get("all_runs_sec"),
+                "hw_units_per_sec": result.get("hw_units_per_sec"),
+                "hw_units_per_sec_post": result.get("hw_units_per_sec_post"),
+                "wave_loop_urls_per_sec": (
+                    result["wave_loop"]["urls_per_sec"]
+                    if result.get("wave_loop") else None),
+                "wave_loop_sec": (
+                    result["wave_loop"]["sec"]
+                    if result.get("wave_loop") else None),
             }) + "\n")
     except Exception:
         pass
@@ -351,8 +424,23 @@ def _default_runs_section() -> str:
         return ""
     thr = sorted(r["urls_per_sec"] for r in runs)
     med = thr[len(thr) // 2]
+
+    def _f(v, fmt="{:,.0f}"):
+        return fmt.format(v) if v is not None else "—"
+
     rows = "".join(
-        f"| {r['ts']} | {r['sec']} | {r['urls_per_sec']:,.0f} |\n" for r in runs
+        f"| {r['ts']} | {r['sec']} | {r['urls_per_sec']:,.0f} "
+        f"| {r.get('all_runs_sec') or '—'} | {_f(r.get('hw_units_per_sec'))} "
+        f"| {_f(r.get('wave_loop_urls_per_sec'))} |\n"
+        for r in runs
+    )
+    wl = sorted(r["wave_loop_urls_per_sec"] for r in runs
+                if r.get("wave_loop_urls_per_sec"))
+    wl_line = (
+        f"**Median wave-loop throughput over {len(wl)} runs: "
+        f"{wl[len(wl) // 2]:,.0f} URL-ops/sec** (the production "
+        "CrawlRun.run_wave over 3 waves — bloom split, politeness windows, "
+        "seq assignment, state commits; 1M seeds).\n\n" if wl else ""
     )
     return (
         "## Driver-config runs (default `python bench.py`: sf0.1, "
@@ -362,9 +450,21 @@ def _default_runs_section() -> str:
         "is the honest expectation for BENCH_r{N}.json at this config —\n"
         "compare the driver's number against it, not against the best\n"
         "scaling window.\n\n"
+        "Since round 3 the frontier headline is min-of-2 back-to-back reps\n"
+        "(600s wall cap) and every run records the concurrent hardware\n"
+        "probe (a plain CPU burn, units/s), so a contended invocation is\n"
+        "self-annotating. Round 2's driver run (ts 1755480418.3, 354.4s =\n"
+        "90,298 URLs/s — the slowest of all runs ever logged at this\n"
+        "config; a run 1h earlier did 166.5s) predates both fixes: it was\n"
+        "ONE cold rep in a window the hw probes around it measured at\n"
+        "0.24-0.95x delivered parallelism. Rows from before round 3 show\n"
+        "'—' in the new columns.\n\n"
         f"**Median throughput over {len(thr)} runs: {med:,.0f} URLs "
         f"scheduled+deduped/sec** (min {thr[0]:,.0f}, max {thr[-1]:,.0f})\n\n"
-        "| unix ts | frontier sec | URLs/sec |\n|---|---|---|\n" + rows + "\n"
+        + wl_line +
+        "| unix ts | frontier sec | URLs/sec | all reps (sec) "
+        "| hw units/s | wave-loop URL-ops/s |\n|---|---|---|---|---|---|\n"
+        + rows + "\n"
     )
 
 

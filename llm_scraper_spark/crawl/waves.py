@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from ..functions.urls import with_canonical
 from ..operators import frontier as frontier_ops
 from ..operators import seen as seen_ops
+from ..operators.checkpoints import local_checkpoint_tracked, release_checkpoint
 from ..operators.chunker import spans_from_text, uuid5_url
 from ..operators.robots import gate_frontier
 from ..sources.synthetic import synth_page
@@ -174,10 +175,13 @@ class CrawlRun:
                     "priority", "wave", "seq", "status")
         )
         # re-number seeds contiguously in first-occurrence order
+        ck_sink: list = []
         frontier = frontier_ops.assign_global_seq(
-            frontier.withColumnRenamed("seq", "_orig_seq"), 0, ("_orig_seq",)
+            frontier.withColumnRenamed("seq", "_orig_seq"), 0, ("_orig_seq",),
+            ck_sink=ck_sink,
         ).drop("_orig_seq")
-        frontier = frontier.localCheckpoint(eager=True)
+        frontier, ids = local_checkpoint_tracked(frontier)
+        ck_sink.append(ids)
         n = frontier.count()
         self.state.write("frontier", -1, frontier)
         self.state.write(
@@ -189,10 +193,32 @@ class CrawlRun:
             ),
         )
         self.state.commit_wave(-1, n, {"seeded": n})
+        # seed state is committed to parquet — the in-memory checkpoint
+        # blocks behind it are dead weight from here on
+        release_checkpoint(self.spark, set().union(*ck_sink))
 
     # ------------------------------------------------------------------
     def run_wave(self, wave: int) -> dict:
-        """Execute wave K (0-based) and commit. Returns wave stats."""
+        """Execute wave K (0-based) and commit. Returns wave stats
+        (counts + per-phase driver wall times under ``timings``)."""
+        import time as _time
+
+        timings: dict[str, float] = {}
+        _t0 = _time.time()
+
+        def _mark(phase: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            timings[phase] = round(now - _t0, 3)
+            _t0 = now
+
+        wave_ck: list = []
+
+        def _ck(df: DataFrame) -> DataFrame:
+            out, ids = local_checkpoint_tracked(df)
+            wave_ck.append(ids)
+            return out
+
         st = self.state
         ledger = st.read_ledger()
         next_seq = ledger["next_seq"]
@@ -212,11 +238,13 @@ class CrawlRun:
         scheduled = frontier_ops.schedule_wave(
             pending_gated, self.budgets, self.default_budget
         ).withColumn("wave", F.lit(wave))
-        scheduled = scheduled.observe(
+        scheduled = _ck(scheduled.observe(
             obs_sched, F.count(F.lit(1)).alias("n")
-        ).localCheckpoint(eager=True)
+        ))
+        _mark("schedule")
 
-        pages = self.fetcher(scheduled).localCheckpoint(eager=True)
+        pages = _ck(self.fetcher(scheduled))
+        _mark("fetch")
 
         # --- documents: uuid5 doc id + interleaved spans (production 512/50)
         docs = (
@@ -245,11 +273,13 @@ class CrawlRun:
         # canonicalize+dedup lineage; (b) the observation counts once.
         obs_disc = Observation(f"w{wave}_discovered")
         cand = cand.observe(obs_disc, F.count(F.lit(1)).alias("n"))
-        cand = cand.localCheckpoint(eager=True)
+        cand = _ck(cand)
         n_discovered = obs_disc.get["n"]
+        _mark("discover_dedup")
 
         seen_df = st.read_seen(wave)
         bloom = self._standing_bloom(seen_df)
+        _mark("bloom_standing")
         new = seen_ops.filter_unseen(cand, seen_df, bloom=bloom)
         if self.robots is not None:
             new = gate_frontier(
@@ -258,7 +288,8 @@ class CrawlRun:
         else:
             new = frontier_ops.with_salt(new, self.n_salts)
 
-        new = frontier_ops.assign_global_seq(new, next_seq, ("_disc_ord",))
+        new = frontier_ops.assign_global_seq(new, next_seq, ("_disc_ord",),
+                                             ck_sink=wave_ck)
         obs_new = Observation(f"w{wave}_new")
         new_frontier_rows = (
             new.withColumn("priority", F.lit(self.link_priority))
@@ -267,8 +298,10 @@ class CrawlRun:
             .select("url", "canonical_url", "host", "salt", "url_hash",
                     "priority", "wave", "seq", "status")
             .observe(obs_new, F.count(F.lit(1)).alias("n"))
-        ).localCheckpoint(eager=True)
+        )
+        new_frontier_rows = _ck(new_frontier_rows)
         n_new = obs_new.get["n"]
+        _mark("unseen_seq")
 
         # incremental bloom: OR in a delta built (executor-side, against the
         # already-checkpointed new rows) with the standing bloom's geometry
@@ -277,12 +310,14 @@ class CrawlRun:
                 new_frontier_rows, geometry=self._bloom.geometry()
             )
             self._bloom.or_(delta)
+        _mark("bloom_delta")
 
         # --- next pending = pending - scheduled + new
         remaining = pending.join(
             scheduled.select("url_hash"), on="url_hash", how="left_anti"
         ).select(*new_frontier_rows.columns)
-        next_frontier = remaining.unionByName(new_frontier_rows).localCheckpoint(eager=True)
+        next_frontier = _ck(remaining.unionByName(new_frontier_rows))
+        _mark("next_frontier")
 
         # --- metrics: per-partition lineage + fetch/dedup counts (A7/T7)
         metrics = (
@@ -312,12 +347,19 @@ class CrawlRun:
         )
         st.write("frontier", wave, next_frontier)
         st.write("metrics", wave, metrics)
+        _mark("state_writes")
         stats = {
             "scheduled": n_scheduled,
             "discovered": int(n_discovered),
             "deduped_new": int(n_new),
+            "timings": timings,
         }
         st.commit_wave(wave, next_seq + n_new, stats)
+        # every cross-wave input is re-read from the committed parquet
+        # (CrawlState), so this wave's checkpoint blocks are dead weight
+        # now — release them or a long crawl accumulates one wave's
+        # MEMORY_AND_DISK blocks per wave
+        release_checkpoint(self.spark, set().union(*wave_ck))
         return stats
 
     # ------------------------------------------------------------------

@@ -188,58 +188,77 @@ def assign_global_seq(
     candidates: DataFrame,
     base_seq: int,
     order_cols: tuple[str, ...] = ("parent_seq", "link_idx"),
+    ck_sink: list | None = None,
 ) -> DataFrame:
     """Assign the contiguous global FIFO ``seq`` to newly discovered URLs.
 
     Discovery order within a wave = (parent_seq, link_idx) — exactly the
     order the reference would have enqueued them one at a time
-    (scraper.py:64-76). A zipWithIndex-free implementation: rank via a
-    global window is exact but single-partitions; instead we do the
-    scalable 2-phase: per-partition local index + partition offsets.
-    For wave-sized batches (≤ millions) a range-partitioned sort keeps this
-    even; the total order is deterministic either way.
+    (scraper.py:64-76). A global-window rank is exact but
+    single-partitions; instead this is the scalable zipWithIndex shape:
+    range-partitioned sort, per-partition local index, driver-side
+    partition offsets.
 
     Fully JVM-side (no Python stage in the hot wave loop): the local index
-    within a sorted partition is derived from ``monotonically_increasing_id``
-    — its low 33 bits are a consecutive per-partition row counter generated
-    in stream order, so ``mid - min(mid) over the partition`` IS the local
-    index; per-partition min/count come from one tiny groupBy (one row per
-    partition) that is broadcast back. Two narrow passes over the sorted
-    data, zero Arrow round-trips.
+    within a sorted partition derives from ``monotonically_increasing_id``
+    (its low bits are a consecutive per-partition counter generated in
+    stream order), so ``mid - min(mid over the partition)`` IS the local
+    index; the per-partition (count, min_mid) summary — one row per
+    partition — is collected and folded into two literal maps, so the seq
+    projection is pure codegen'd arithmetic over the indexed rows (no
+    join node at all).
+
+    DETERMINISM (hard-won): ``repartitionByRange`` SAMPLES its bounds with
+    a per-RDD seed, so two evaluations of the same plan can place rows in
+    different partitions. Any two-phase scheme must therefore derive both
+    phases from ONE materialized evaluation — ``indexed`` is eagerly
+    localCheckpoint'ed before the summary is collected. A previous version
+    joined a lazily recomputed aggregate back instead and could misnumber
+    or DROP rows whenever the exchange was not reused (caught at 1M-seed
+    scale: wave-0 scheduled counts varied run-to-run).
+
+    ``ck_sink``: optional list — the checkpoint's block-id set is appended
+    so the caller can release it (operators/checkpoints.py) once the
+    returned frame has been materialized/persisted downstream; without a
+    sink the blocks live until session end (matching plain
+    localCheckpoint semantics).
     """
+    from .checkpoints import local_checkpoint_tracked
+
     ordering = [F.col(c).asc() for c in order_cols]
-    # range-partition by the ordering keys so the sort is distributed, then
-    # compute exact offsets from partition sizes (two narrow passes).
     sorted_df = candidates.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(*ordering)
     indexed = (
         sorted_df.withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())
     )
-    offsets = (
+    indexed, ck_ids = local_checkpoint_tracked(indexed)
+    if ck_sink is not None:
+        ck_sink.append(ck_ids)
+    parts = sorted(
         indexed.groupBy("_pid").agg(
-            F.count("*").alias("_cnt"), F.min("_mid").alias("_min_mid")
-        )
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_offset", "_min_mid")
+            F.count("*").alias("n"), F.min("_mid").alias("m")
+        ).collect(),
+        key=lambda r: r["_pid"],
     )
+    flat_off: list = []
+    flat_min: list = []
+    offset = 0
+    for r in parts:
+        flat_off += [F.lit(int(r["_pid"])), F.lit(int(offset))]
+        flat_min += [F.lit(int(r["_pid"])), F.lit(int(r["m"]))]
+        offset += r["n"]
+    if not parts:
+        return indexed.withColumn(
+            "seq", F.lit(int(base_seq)).cast("long")).drop("_pid", "_mid")
+    off_of = F.create_map(*flat_off)[F.col("_pid")]
+    min_of = F.create_map(*flat_min)[F.col("_pid")]
     return (
-        indexed.join(F.broadcast(offsets), on="_pid")
-        .withColumn(
+        indexed.withColumn(
             "seq",
-            (
-                F.lit(base_seq) + F.col("_offset")
-                + (F.col("_mid") - F.col("_min_mid"))
-            ).cast("long"),
+            (F.lit(int(base_seq)) + off_of + (F.col("_mid") - min_of))
+            .cast("long"),
         )
-        .drop("_pid", "_mid", "_offset", "_min_mid")
+        .drop("_pid", "_mid")
     )
 
 

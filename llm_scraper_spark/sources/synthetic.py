@@ -57,11 +57,17 @@ def synth_page(url: str, n_hosts: int = 50, fanout: int = 4,
     """
     seed = _h(url)
     host_idx = seed % n_hosts
+    n_words = len(WORDS)
     sentences = []
     for s in range(n_sentences):
-        k = _h(f"{url}#s{s}")
-        n_w = 5 + k % 12
-        ws = [WORDS[_h(f"{url}#s{s}w{w}") % len(WORDS)] for w in range(n_w)]
+        # ONE digest per sentence; word indices are its bytes. The previous
+        # per-WORD md5 made the stand-in fetcher cost ~370 digests/page
+        # (~500us) — the bench then measured the page generator, not the
+        # engine. Content changed shape here is fine: schedule/seen goldens
+        # depend only on outlinks, and the simulator shares this function.
+        d = hashlib.md5(f"{url}#s{s}".encode("utf-8")).digest()
+        n_w = 5 + d[0] % 12
+        ws = [WORDS[d[(1 + w) & 15] % n_words] for w in range(n_w)]
         ws[0] = ws[0].capitalize()
         sentences.append(" ".join(ws) + ".")
     content = " ".join(sentences)
