@@ -191,7 +191,7 @@ def test_multimodal_plumbing(spark, sf_small):
     rows = assets.limit(5).collect()
     for r in rows:
         assert r["mime"] in ("image/png", "image/jpeg", "image/gif")
-        assert len(r["payload"]) == 256
+        assert len(r["payload"]) == mm.ASSET_PAYLOAD_BYTES
 
     # real decode (fake=False default): dims match the md5 contract and
     # the declared mime matches the actual container magic
@@ -706,3 +706,104 @@ def test_host_pagerank_zero_iterations(spark):
     got = {r["host"]: r["rank"]
            for r in host_pagerank(edges, iterations=0).collect()}
     assert got == {"a": RANK_ONE, "b": RANK_ONE}
+
+
+def test_assign_global_seq_deterministic_at_multipartition_scale(spark):
+    """Regression: repartitionByRange samples bounds with a per-RDD seed,
+    so a two-phase seq assignment whose offsets are derived from a SECOND
+    evaluation could misnumber or drop rows at multi-partition scale
+    (observed as run-to-run wave-0 scheduled-count drift at 1M seeds).
+    The operator must materialize one evaluation and derive everything
+    from it: two independent calls over 100k skewed rows must produce the
+    identical url->seq mapping, exactly contiguous."""
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.operators.frontier import assign_global_seq
+
+    def build():
+        cand = spark.range(100_000).select(
+            (F.xxhash64(F.col("id").cast("string")) % 1000).alias("parent_seq"),
+            (F.col("id") % 7).cast("int").alias("link_idx"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        )
+        out = assign_global_seq(cand, base_seq=500)
+        return {r["url"]: r["seq"] for r in out.collect()}
+
+    m1, m2 = build(), build()
+    assert m1 == m2
+    assert sorted(m1.values()) == list(range(500, 500 + 100_000))
+
+
+def test_png_pixel_decode_round_trip_all_filters():
+    """The stdlib PNG decoder must be a REAL decoder, not a synth-payload
+    parser: encode a gradient image using every PNG filter type (0 None,
+    1 Sub, 2 Up, 3 Average, 4 Paeth — one per row, cycling), then decode
+    and compare against the raw pixels byte-for-byte."""
+    import struct
+    import zlib
+
+    w, h, ch = 23, 10, 3
+    px = np.zeros((h, w, ch), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = ((x * 7 + y) % 256, (x * 3) % 256, (y * 11 + 5) % 256)
+
+    def paeth(a, b, c):
+        q = a + b - c
+        pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y in range(h):
+        ftype = y % 5
+        row = bytes(px[y].reshape(-1))
+        raw.append(ftype)
+        for x in range(w * ch):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            pred = (0, left, up, (left + up) >> 1, paeth(left, up, ul))[ftype]
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (mm.PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+               + chunk(b"IEND", b""))
+    decoded = mm.decode_png_pixels(payload)
+    assert decoded is not None and decoded.shape == (h, w, ch)
+    assert (decoded == px).all()
+    # unsupported/invalid payloads degrade to None, never raise
+    assert mm.decode_png_pixels(b"junk") is None
+    assert mm.decode_png_pixels(mm.synth_jpeg(20, 20, "ab" * 16)) is None
+
+
+def test_png_features_from_decoded_pixels():
+    """extract_features on synthetic PNGs must derive from ACTUAL decoded
+    pixels: cell means equal the md5-derived constant color and the
+    luminance histogram is one-hot at (r+g+b)//48."""
+    import hashlib
+
+    ref = "https://cdn.example.com/img/42.jpg"
+    hx = hashlib.md5(ref.encode()).hexdigest()
+    w, h, _sel = mm.asset_dims_of(ref)
+    payload = mm.synth_png(w, h, hx)
+    px = mm.decode_png_pixels(payload)
+    r, g, b = mm.png_rgb_of(hx)
+    assert px.shape == (h, w, 3)
+    assert (px[:, :, 0] == r).all() and (px[:, :, 1] == g).all() \
+        and (px[:, :, 2] == b).all()
+    feats = mm.grid_hist_features(px)
+    assert len(feats) == mm.FEATURE_DIM
+    for cell in range(16):
+        assert feats[cell * 3 + 0] == r / 255.0
+        assert feats[cell * 3 + 1] == g / 255.0
+        assert feats[cell * 3 + 2] == b / 255.0
+    hist = feats[48:]
+    assert hist[(r + g + b) // 48] == 1.0
+    assert sum(hist) == 1.0
