@@ -546,13 +546,41 @@ def _median_raw_line(attempts: list, n: int, n4: int) -> str:
     return out
 
 
+def _ledger_medians(attempts: list, n: int, n4: int) -> tuple[float, float]:
+    """(all-reps median, quiet-host median) raw efficiency at n->n4."""
+    reps, quiet = [], []
+    for a in attempts:
+        if a.get("n") != n or a.get("n4") != n4:
+            continue
+        raws = a.get("per_rep_raw") or [a["eff"]]
+        reps.extend(raws)
+        try:
+            hw_n = a["results"][str(n)]["all_hw_units_per_sec"]
+            hw_n4 = a["results"][str(n4)]["all_hw_units_per_sec"]
+        except (KeyError, TypeError):
+            continue
+        for i, raw in enumerate(raws):
+            if i < len(hw_n) and i < len(hw_n4) and hw_n[i] \
+                    and hw_n4[i] / hw_n[i] / (n4 / n) >= 0.9:
+                quiet.append(raw)
+    med = sorted(reps)[len(reps) // 2] if reps else 0.0
+    qmed = sorted(quiet)[len(quiet) // 2] if quiet else 0.0
+    return med, qmed
+
+
 def render_scaling_md() -> None:
-    """(Re)render BENCH/BASELINE.md from the attempts ledger: best-raw-
-    efficiency window headline, peak-throughput window, full history."""
+    """(Re)render BENCH/BASELINE.md from the attempts ledger. HEADLINE =
+    the ledger MEDIANS (all-reps and quiet-host) — the per-attempt best
+    window is demoted to context (a single attempt's eff on this shared
+    host measures the window as much as the job; eff > ~1.05 means the
+    1-core leg itself was contended and is as junk as a low outlier)."""
     ledger_path = os.path.join(REPO, "BENCH", "scaling_attempts.jsonl")
     with open(ledger_path) as f:
         attempts = [json.loads(line) for line in f if line.strip()]
-    best = max(attempts, key=lambda a: a["eff"])
+    # representative window: best PLAUSIBLE attempt (eff <= 1.05 — super-
+    # proportional "efficiency" is a contended 1-core leg, not the job)
+    plausible = [a for a in attempts if a["eff"] <= 1.05] or attempts
+    best = max(plausible, key=lambda a: a["eff"])
     results = {int(k) if str(k).isdigit() else k: v
                for k, v in best["results"].items()}
     reps, n, n4 = best["reps"], best["n"], best["n4"]
@@ -585,12 +613,18 @@ def render_scaling_md() -> None:
             "no Spark) because this sandbox shares a host: the cycles\n"
             "delivered to P procs vary 2-3x over minutes and bound any\n"
             "job's measurable scaling.\n\n" % reps
+            + "## Headline: ledger medians (every rep ever logged — "
+            "nothing dropped)\n\n"
+            + _median_raw_line(attempts, n, n4)
+            + "## Representative window (best plausible single attempt: "
+            "eff <= 1.05 —\nsuper-proportional values mean the 1-core leg "
+            "itself was contended and\nare excluded from representing, "
+            "never from the medians)\n\n"
             + f"| config | frontier sec | URLs scheduled+deduped/sec | concurrent hw units/s |\n|---|---|---|---|\n"
             f"| local[{n}]  | {results[n]['value']} | {thr_n:,.0f} | {results[n]['hw_units_per_sec']} |\n"
             f"| local[{n4}] | {results[n4]['value']} | {thr_4n:,.0f} | {results[n4]['hw_units_per_sec']} |\n\n"
-            f"**Raw scaling efficiency ({n} -> {n4} cores): {eff:.3f}** "
-            f"(target >= 0.8)\n\n"
-            + _median_raw_line(attempts, n, n4)
+            f"**Raw scaling efficiency of this window ({n} -> {n4} cores): "
+            f"{eff:.3f}** (target >= 0.8 applies to the medians above)\n\n"
             + (
                 f"**Host-normalized scaling efficiency: {norm_best}**\n"
                 "(median over rep pairs of job-throughput ratio divided by\n"
@@ -627,9 +661,11 @@ def render_scaling_md() -> None:
             + json.dumps(results, indent=2)
             + "\n```\n"
         )
-    print(json.dumps({"scaling_efficiency": round(eff, 3),
+    med_all, med_quiet = _ledger_medians(attempts, n, n4)
+    print(json.dumps({"median_raw_eff_all_reps": med_all,
+                      "median_raw_eff_quiet_host": med_quiet,
+                      "best_plausible_window_eff": round(eff, 3),
                       "normalized_scaling_efficiency": norm_best,
-                      "per_rep_normalized": per_rep_norm,
                       f"thr_local{n}": thr_n, f"thr_local{n4}": thr_4n}))
 
 
