@@ -1089,6 +1089,95 @@ def q_discovery_parse(spark, sf_dir):
     return discover_from_feeds(feeds).select("feed_url", "link_idx", "url")
 
 
+def q_rss_head_links(spark, sf_dir):
+    """S4 (reference discovery.py:63-75): RSS/Atom ``<link>`` hrefs mined
+    from page HEADs over the stdlib DOM engine — relative hrefs
+    absolutized against the page URL, non-feed link tags ignored. The
+    oracle reconstructs both expected feed URLs per page with plain SQL
+    string ops."""
+    from llm_scraper_spark.operators.discovery import rss_links_udf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    page_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"))
+    html = F.concat(
+        F.lit('<html><head><link rel="alternate" type="application/rss+xml"'
+              ' href="/feeds/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.xml"><link rel="stylesheet" type="text/css" href="/x.css">'
+              '<link type="application/atom+xml" href="https://cdn.'),
+        F.col("source"),
+        F.lit('.example.com/atom.xml"></head><body>x</body></html>'),
+    )
+    pages = docs.select(
+        "doc_id", page_url.alias("page_url"), html.alias("raw_html"))
+    return pages.select(
+        "doc_id",
+        F.posexplode(rss_links_udf(F.col("raw_html"), F.col("page_url")))
+        .alias("link_idx", "feed_url"),
+    ).orderBy("doc_id", "link_idx")
+
+
+def q_discovery_orchestration(spark, sf_dir):
+    """S6 (reference discovery.py:107-145): the full discovery
+    composition — robots.txt 'Sitemap:' mining (relative + absolute
+    directives), sitemap <loc> parsing, RSS item parsing, and the
+    cross-source union dedup (D4) — over deterministic per-host feed
+    bodies derived from the documents table. One URL is deliberately
+    listed by BOTH a sitemap and the RSS feed to exercise the set-union
+    semantics; the oracle reconstructs the exact deduped candidate set
+    per host in SQL."""
+    from llm_scraper_spark.operators.discovery import discover_from_feeds
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("host"))
+        .distinct()
+    )
+    robots_body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nSitemap: /sm1.xml\n"
+              "Sitemap: https://"), F.col("host"), F.lit("/sm2.xml\n"),
+    ).cast("binary")
+    robots = hosts.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/robots.txt"))
+        .alias("feed_url"),
+        "host", F.lit("robots").alias("kind"), robots_body.alias("body"),
+    )
+    sitemap_urls = discover_from_feeds(robots).select(
+        "host", F.col("url").alias("sitemap_url"))
+
+    loc = (
+        lambda path: F.concat(F.lit("<url><loc>https://"), F.col("host"),
+                              F.lit(path), F.lit("</loc></url>"))
+    )
+    sm_body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+              'schemas/sitemap/0.9">'),
+        loc("/p/a"), loc("/p/b"), F.lit("</urlset>"),
+    ).cast("binary")
+    sitemaps = sitemap_urls.select(
+        F.col("sitemap_url").alias("feed_url"), "host",
+        F.lit("sitemap").alias("kind"), sm_body.alias("body"),
+    )
+    rss_body = F.concat(
+        F.lit("<rss><channel><item><link>https://"), F.col("host"),
+        F.lit("/r/1</link></item><item><link>https://"), F.col("host"),
+        # duplicate of a sitemap URL — must dedup away (D4 union)
+        F.lit("/p/a</link></item></channel></rss>"),
+    ).cast("binary")
+    rss = hosts.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/feed.xml"))
+        .alias("feed_url"),
+        "host", F.lit("rss").alias("kind"), rss_body.alias("body"),
+    )
+    discovered = discover_from_feeds(sitemaps.unionByName(rss))
+    return (
+        discovered.select("host", "url").distinct()
+        .orderBy("host", "url")
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """LSH-bucketed k-nearest-neighbor JOIN: every vector's top-3
     bucket-mates by exact cosine (similarity.py knn_join — bucket
@@ -1144,7 +1233,10 @@ def q_stream_host_budget(spark, sf_dir):
     from llm_scraper_spark.streaming.ingest import stream_host_budget
 
     tune_session(spark)
-    base = "/tmp/spark_graft_stream_budget"
+    # unique dir per invocation: a fixed path + rmtree would tear down a
+    # concurrently running copy's stream (e.g. driver gate + local mirror)
+    run_id = uuid.uuid4().hex[:8]
+    base = f"/tmp/spark_graft_stream_budget_{run_id}"
     shutil.rmtree(base, ignore_errors=True)
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
@@ -1158,7 +1250,7 @@ def q_stream_host_budget(spark, sf_dir):
     cut1 = lo + (hi - lo) // 3
     cut2 = lo + 2 * (hi - lo) // 3
     out = stream_host_budget(spark, in_dir, budget=12)
-    qname = f"stream_budget_{uuid.uuid4().hex[:8]}"
+    qname = f"stream_budget_{run_id}"
     query = (
         out.writeStream.outputMode("append").format("memory")
         .queryName(qname)
@@ -1175,6 +1267,9 @@ def q_stream_host_budget(spark, sf_dir):
             query.processAllAvailable()
     finally:
         query.stop()
+        # the memory sink holds the results; the landing/checkpoint dirs
+        # are no longer needed
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(qname).select("host", "url", "seq").orderBy("host", "seq")
 
 
@@ -1675,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ngram_jaccard": q_ngram_jaccard,
         "stream_host_budget": q_stream_host_budget,
+        "rss_head_links": q_rss_head_links,
+        "discovery_orchestration": q_discovery_orchestration,
     }
 
 
@@ -2061,6 +2158,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3 ORDER BY lid, rank
         """,
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        "rss_head_links": """
+            WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 200)
+            SELECT doc_id, i.link_idx::INT AS link_idx,
+                   CASE i.link_idx
+                     WHEN 0 THEN 'https://' || source || '.example.com/feeds/'
+                                 || doc_id || '.xml'
+                     ELSE 'https://cdn.' || source || '.example.com/atom.xml'
+                   END AS feed_url
+            FROM d CROSS JOIN (SELECT unnest([0, 1]) AS link_idx) i
+            ORDER BY doc_id, link_idx
+        """,
+        "discovery_orchestration": """
+            WITH h AS (
+              SELECT DISTINCT source || '.example.com' AS host FROM documents
+            )
+            SELECT host, url FROM (
+              SELECT host, 'https://' || host || '/p/a' AS url FROM h
+              UNION ALL SELECT host, 'https://' || host || '/p/b' FROM h
+              UNION ALL SELECT host, 'https://' || host || '/r/1' FROM h
+            ) ORDER BY host, url
+        """,
         "stream_host_budget": """
             SELECT host, url, seq FROM (
               SELECT source AS host,

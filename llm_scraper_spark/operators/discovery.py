@@ -110,6 +110,17 @@ def parse_rss_udf(bodies: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(URLS_TYPE)
+def rss_links_udf(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
+    """S4 as a batch UDF: RSS/Atom <link> hrefs from page heads,
+    absolutized against the page URL (find_rss_feeds over the stdlib DOM
+    engine)."""
+    return pd.Series(
+        [find_rss_feeds(h if h is not None else "", b)
+         for h, b in zip(htmls, base_urls)]
+    )
+
+
+@F.pandas_udf(URLS_TYPE)
 def robots_sitemaps_udf(bodies: pd.Series, base_urls: pd.Series) -> pd.Series:
     return pd.Series(
         [
