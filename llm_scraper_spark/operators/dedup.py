@@ -395,10 +395,14 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bucketed = hyperplane_bucket(base, "v", planes=planes, seed=seed, dim=dim)
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                        F.col("bucket").alias("bucket_a"))
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        F.col("bucket").alias("bucket_b"))
     return (
-        a.join(b, on="bucket")
+        # eqNullSafe: a plain equi-key injects IsNotNull filters that make
+        # the bucket UDF plan twice per side (see similarity.knn_join)
+        a.join(b, F.col("bucket_a").eqNullSafe(F.col("bucket_b")))
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos_sim", cosine_expr("v_a", "v_b"))

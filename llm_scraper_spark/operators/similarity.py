@@ -129,8 +129,13 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
     rb = hyperplane_bucket(
         right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv")),
         "rv", planes, seed, dim=dim)
+    # eqNullSafe, not on="bucket": plain equi-join keys get IsNotNull
+    # filters injected, and a filter + projection each referencing the
+    # bucket UDF plan SEPARATE ArrowEvalPython stages — the bucketing
+    # would run twice per row. Null-safe equality skips the null filter
+    # (buckets are never null) and still hash-joins.
     joined = (
-        lb.join(rb, on="bucket")
+        lb.join(rb, lb["bucket"].eqNullSafe(rb["bucket"]))
         .filter(F.col("lid") != F.col("rid"))
         .withColumn("cos_sim", cosine_expr("lv", "rv"))
     )

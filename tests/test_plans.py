@@ -248,3 +248,21 @@ def test_assign_global_seq_fully_native(spark):
     assert seqs == list(range(1000, 1000 + 5000))
     keys = [(r["parent_seq"], r["link_idx"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_knn_join_single_bucket_udf_eval_per_side(spark):
+    """The LSH bucket UDF must plan exactly ONE ArrowEvalPython stage per
+    join side: a plain equi-key injects IsNotNull filters whose plans
+    re-evaluate the UDF (2x per row at 100 TB); the null-safe join key
+    avoids that while still hash-joining."""
+    from llm_scraper_spark.operators.similarity import knn_join
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    q = knn_join(emb, emb, k=3, planes=4, dim=8)
+    p = physical_plan(q, "simple")
+    assert p.count("ArrowEvalPython") == 2, p
+    assert "CartesianProduct" not in p
