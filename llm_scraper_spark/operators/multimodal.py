@@ -15,10 +15,14 @@ depths:
   stream (constant md5-derived RGB), so the feature extractor computes
   features from actually-decoded pixels and a SQL oracle recomputes
   them from the same md5 (VERDICT r2 #5).
+- pixels (GIF): ``decode_gif_pixels`` — header/extension walk, global
+  color table, and a full GIF-LZW decompressor (``_lzw_decode_gif``,
+  grounded against the canonical 1x1 GIF byte sequence); the synthetic
+  GIFs carry a real LZW stream of the same md5-derived constant color.
 
-JPEG/GIF pixel decode stays out of scope (DCT/LZW; PIL/libvips absent in
-this container — the PRNG feature stand-in remains for those mimes,
-clearly marked):
+JPEG pixel decode stays out of scope (DCT; PIL/libvips absent in this
+container — the PRNG feature stand-in remains for that mime, clearly
+marked):
 
 - ``decode_image_meta`` parses real headers (``fake=True`` keeps the
   old deterministic stand-in for payloads that aren't real images)
@@ -180,6 +184,156 @@ def decode_png_pixels(payload: bytes | None) -> np.ndarray | None:
     return out.reshape(h, w, channels)
 
 
+def _lzw_encode_gif(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW encoder (LSB-first bit packing, clear/EOI codes,
+    width grows at 2^width up to 12, table reset at 4096). General-purpose
+    — round-trip tested against the decoder on random index streams."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    buf = bytearray()
+    cur = 0
+    nbits = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits > 0:
+        buf.append(cur & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int) -> bytes | None:
+    """GIF-variant LZW decoder (mirror of the encoder; grounded externally
+    in tests against the canonical 1x1-white-pixel GIF byte sequence)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    cur = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # tolerant: missing EOI
+            cur |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << width) - 1)
+        cur >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # the decoder's table is one entry BEHIND the encoder's at read
+        # time (the encoder adds its entry before emitting the next code),
+        # so the width bump fires one entry early relative to len(table)
+        if len(table) + 1 == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes | None) -> np.ndarray | None:
+    """REAL stdlib GIF pixel decode: header + logical screen descriptor,
+    global color table, extension-block skipping, image descriptor, and a
+    full GIF-LZW decompress, returning (h, w, 3) uint8 RGB. Supports
+    non-interlaced single-frame GIFs with a global color table (local
+    tables / interlace / multiple frames return None)."""
+    p = payload or b""
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    packed = p[10]
+    if not packed & 0x80:
+        return None  # no global color table
+    gct_n = 2 << (packed & 0x07)
+    i = 13
+    gct = np.frombuffer(p, dtype=np.uint8, count=gct_n * 3,
+                        offset=i).reshape(gct_n, 3)
+    i += gct_n * 3
+    try:
+        while i < len(p):
+            b0 = p[i]
+            if b0 == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while p[i] != 0:
+                    i += 1 + p[i]
+                i += 1
+            elif b0 == 0x2C:  # image descriptor
+                w, h = struct.unpack("<HH", p[i + 5:i + 9])
+                ipacked = p[i + 9]
+                if ipacked & 0xC0:  # local color table or interlace
+                    return None
+                i += 10
+                mcs = p[i]
+                i += 1
+                lzw = bytearray()
+                while p[i] != 0:
+                    n = p[i]
+                    lzw += p[i + 1:i + 1 + n]
+                    i += 1 + n
+                idx = _lzw_decode_gif(bytes(lzw), mcs)
+                if idx is None or len(idx) < w * h:
+                    return None
+                a = np.frombuffer(idx, dtype=np.uint8, count=w * h)
+                if int(a.max(initial=0)) >= gct_n:
+                    return None
+                return gct[a].reshape(h, w, 3)
+            elif b0 == 0x3B:
+                return None  # trailer before any image
+            else:
+                return None
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
 def grid_hist_features(px: np.ndarray) -> list[float]:
     """The cheap visual-dedup signature over DECODED pixels: a
     FEATURE_GRID x FEATURE_GRID grid of per-cell mean RGB in [0,1]
@@ -251,12 +405,13 @@ def image_meta_udf(fake: bool = False):
 def extract_features(df: DataFrame, payload_col: str = "payload",
                      dim: int = FEATURE_DIM) -> DataFrame:
     """payload -> float feature vector (Arrow-batched, one batch per
-    invocation). PNG payloads are ACTUALLY DECODED (decode_png_pixels)
-    and featurized as 4x4 grid means + a 16-bin luminance histogram
-    (grid_hist_features) — real pixel-derived features. Non-PNG payloads
-    (JPEG needs DCT, GIF needs LZW; PIL/libvips absent in this
-    container) keep the seeded-PRNG stand-in for a vision encoder,
-    clearly marked here as the remaining stub."""
+    invocation). PNG and GIF payloads are ACTUALLY DECODED
+    (decode_png_pixels / decode_gif_pixels — stdlib zlib inflate+unfilter
+    and a full GIF-LZW decompressor) and featurized as 4x4 grid means +
+    a 16-bin luminance histogram (grid_hist_features) — real
+    pixel-derived features. JPEG payloads (DCT decode; PIL/libvips
+    absent in this container) keep the seeded-PRNG stand-in for a vision
+    encoder, clearly marked here as the remaining stub."""
 
     # array<double>, not <float>: the oracle recomputes PNG features at
     # double precision and a float32 round trip flips round(x, 6) for 3
@@ -266,7 +421,11 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
         out = []
         for p in payloads:
             blob = bytes(p) if p is not None else None
-            px = decode_png_pixels(blob) if blob else None
+            px = None
+            if blob:
+                px = decode_png_pixels(blob)
+                if px is None:
+                    px = decode_gif_pixels(blob)
             if px is not None:
                 out.append(grid_hist_features(px))
                 continue
@@ -349,10 +508,34 @@ def synth_jpeg(w: int, h: int, hx: str) -> bytes:
 
 
 def synth_gif(w: int, h: int, hx: str) -> bytes:
-    """GIF89a header + logical screen descriptor (real dims) + filler +
-    trailer; 256 bytes."""
-    head = b"GIF89a" + struct.pack("<HH", w, h) + b"\x70\x00\x00"
-    return head + _filler(hx, ASSET_PAYLOAD_BYTES - len(head) - 1) + b"\x3b"
+    """Valid GIF89a with a REAL LZW pixel stream: logical screen
+    descriptor (real dims), a 2-entry global color table whose entry 0 is
+    the md5-derived constant RGB (png_rgb_of — same color contract as the
+    PNGs), an image descriptor, and the LZW-compressed all-zero index
+    stream; padded to exactly ASSET_PAYLOAD_BYTES with a comment
+    extension. decode_gif_pixels() decompresses this back to the exact
+    (h, w, 3) constant image."""
+    r, g, b = png_rgb_of(hx)
+    head = (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0xF0, 0, 0])  # GCT present, 2 entries
+            + bytes([r, g, b, 0, 0, 0]))
+    mcs = 2  # GIF minimum LZW code size
+    lzw = _lzw_encode_gif(bytes(w * h), mcs)
+    sub = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        sub += bytes([len(chunk)]) + chunk
+    img = (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+           + bytes([mcs]) + bytes(sub) + b"\x00")
+    body = head + img + b"\x3b"
+    pad = ASSET_PAYLOAD_BYTES - len(body)
+    if pad < 0:
+        raise ValueError(
+            f"synth_gif: {w}x{h} LZW stream exceeds the "
+            f"{ASSET_PAYLOAD_BYTES}-byte payload budget")
+    # fixed-size container: md5-derived filler AFTER the trailer (readers
+    # stop at 0x3B; the container through the trailer is fully valid)
+    return body + _filler(hx, pad)
 
 
 def asset_dims_of(media_ref: str) -> tuple[int, int, int]:

@@ -807,3 +807,48 @@ def test_png_features_from_decoded_pixels():
     hist = feats[48:]
     assert hist[(r + g + b) // 48] == 1.0
     assert sum(hist) == 1.0
+
+
+def test_gif_lzw_decode_grounded_and_round_trip():
+    """The GIF-LZW decoder must be a REAL decoder: (a) it decodes the
+    canonical 1x1-white-pixel GIF byte sequence (an external artifact, not
+    produced by our encoder); (b) encoder->decoder round-trips random
+    index streams through width growth and 4096-entry table resets."""
+    onepx = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff000000"
+        "2c000000000100010000"
+        "0202440100"
+        "3b")
+    px = mm.decode_gif_pixels(onepx)
+    assert px is not None and px.shape == (1, 1, 3)
+    assert px.tolist() == [[[255, 255, 255]]]
+
+    rng = np.random.RandomState(3)
+    for n, alpha in ((1, 2), (5000, 2), (73441, 2), (200000, 8)):
+        data = bytes(rng.randint(0, 1 << alpha, size=n, dtype=np.uint8))
+        mcs = max(alpha, 2)
+        assert mm._lzw_decode_gif(mm._lzw_encode_gif(data, mcs), mcs) == data
+    # invalid payloads degrade to None, never raise
+    assert mm.decode_gif_pixels(b"GIF89a\x01") is None
+    assert mm.decode_gif_pixels(mm.synth_png(20, 20, "ab" * 16)) is None
+
+
+def test_gif_features_from_decoded_pixels():
+    """Synthetic GIFs carry a real LZW stream: decode must recover the
+    exact constant md5-derived color, and features must derive from it."""
+    import hashlib
+
+    ref = "https://cdn.example.com/img/7.gif"
+    hx = hashlib.md5(ref.encode()).hexdigest()
+    w, h, _sel = mm.asset_dims_of(ref)
+    payload = mm.synth_gif(w, h, hx)
+    assert len(payload) == mm.ASSET_PAYLOAD_BYTES
+    px = mm.decode_gif_pixels(payload)
+    r, g, b = mm.png_rgb_of(hx)
+    assert px.shape == (h, w, 3)
+    assert (px[:, :, 0] == r).all() and (px[:, :, 1] == g).all() \
+        and (px[:, :, 2] == b).all()
+    feats = mm.grid_hist_features(px)
+    assert feats[0] == r / 255.0 and feats[1] == g / 255.0
+    assert feats[48 + (r + g + b) // 48] == 1.0
