@@ -934,16 +934,15 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal pipeline end-to-end with REAL stdlib image decode at
     both depths: interleaved docs -> media spans -> real binary
     containers (PNG with a true zlib pixel stream, GIF with a true LZW
-    stream, JPEG; md5-derived dims) -> header parse UDF + PIXEL-decoded
-    features for PNG (zlib inflate + all-5-filter unfilter) AND GIF
-    (full GIF-LZW decompress + color table), featurized as grid means +
-    luminance histogram (VERDICT r2 #5) + frame sampling. The DuckDB
-    oracle independently recomputes every decoded value — dimensions AND
-    the pixel-derived feature values for both decoded mimes — from
+    stream, baseline JPEG with a true Huffman entropy stream; md5-derived
+    dims) -> header parse UDF + PIXEL-decoded features for ALL THREE
+    mimes (PNG: inflate + all-5-filter unfilter; GIF: full GIF-LZW +
+    color table; JPEG: canonical Huffman + dequant + IDCT), featurized
+    as grid means + luminance histogram (VERDICT r2 #5) + frame
+    sampling. The DuckDB oracle independently recomputes every decoded
+    value — dimensions AND the pixel-derived feature values — from
     md5(media_ref) over the golden spans, so the encode->decode->
-    featurize round trip is content-verified. (JPEG features stay PRNG
-    stand-ins — DCT decode needs libs absent here — so their feature
-    VALUES are not oracled, only the dimension/shape columns.)"""
+    featurize round trip is content-verified end-to-end."""
     from llm_scraper_spark.operators.multimodal import (
         extract_features, image_meta_udf, sample_frames, synth_assets)
     from llm_scraper_spark.sources.synthetic import build_documents_interleaved
@@ -954,19 +953,18 @@ def q_multimodal_features(spark, sf_dir):
     with_meta = assets.withColumn("img", image_meta_udf()(F.col("payload")))
     feats = extract_features(with_meta)
     frames = sample_frames(feats, n_frames=2)
-    decoded = F.col("mime").isin("image/png", "image/gif")
     return frames.select(
         "asset_id", "doc_id", "media_ref", "mime",
         F.col("img.width").alias("width"),
         F.col("img.height").alias("height"),
         F.col("img.ok").alias("decoded_ok"),
         F.size("features").alias("feature_dim"),
-        # pixel-decoded features (PNG + GIF): cell (0,0) mean RGB + the
-        # dominant luminance-histogram bin fraction (1.0 = constant image)
-        F.when(decoded, F.round(F.element_at("features", 1), 6)).alias("pix_mean_r"),
-        F.when(decoded, F.round(F.element_at("features", 2), 6)).alias("pix_mean_g"),
-        F.when(decoded, F.round(F.element_at("features", 3), 6)).alias("pix_mean_b"),
-        F.when(decoded, F.round(F.array_max(F.slice("features", 49, 16)), 6))
+        # pixel-decoded features (all three mimes): cell (0,0) mean RGB +
+        # the dominant luminance-histogram bin fraction (1.0 = constant)
+        F.round(F.element_at("features", 1), 6).alias("pix_mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("pix_mean_g"),
+        F.round(F.element_at("features", 3), 6).alias("pix_mean_b"),
+        F.round(F.array_max(F.slice("features", 49, 16)), 6)
         .alias("pix_hist_max"),
         "frame_idx", "frame_offset",
     )
@@ -2116,18 +2114,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT asset_id, doc_id, media_ref, mime, width, height,
                    true AS decoded_ok, 64::INT AS feature_dim,
-                   CASE WHEN mime IN ('image/png', 'image/gif') THEN
-                     round((('0x' || substring(md5(media_ref), 7, 2))::INT) / 255.0, 6)
-                   END AS pix_mean_r,
-                   CASE WHEN mime IN ('image/png', 'image/gif') THEN
-                     round((('0x' || substring(md5(media_ref), 9, 2))::INT) / 255.0, 6)
-                   END AS pix_mean_g,
-                   CASE WHEN mime IN ('image/png', 'image/gif') THEN
-                     round((('0x' || substring(md5(media_ref), 11, 2))::INT) / 255.0, 6)
-                   END AS pix_mean_b,
-                   CASE WHEN mime IN ('image/png', 'image/gif') THEN 1.0
-                   END AS pix_hist_max,
-                   f.i::INT AS frame_idx, (768 * f.i // 2)::BIGINT AS frame_offset
+                   round((('0x' || substring(md5(media_ref), 7, 2))::INT) / 255.0, 6)
+                     AS pix_mean_r,
+                   round((('0x' || substring(md5(media_ref), 9, 2))::INT) / 255.0, 6)
+                     AS pix_mean_g,
+                   round((('0x' || substring(md5(media_ref), 11, 2))::INT) / 255.0, 6)
+                     AS pix_mean_b,
+                   1.0 AS pix_hist_max,
+                   f.i::INT AS frame_idx, (4096 * f.i // 2)::BIGINT AS frame_offset
             FROM d CROSS JOIN (SELECT unnest([0, 1]) AS i) f
         """,
         "crawl_schedule_log": """

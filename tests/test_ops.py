@@ -852,3 +852,90 @@ def test_gif_features_from_decoded_pixels():
     feats = mm.grid_hist_features(px)
     assert feats[0] == r / 255.0 and feats[1] == g / 255.0
     assert feats[48 + (r + g + b) // 48] == 1.0
+
+
+def test_jpeg_decode_round_trip_and_general_blocks():
+    """Baseline JPEG codec: (a) synthetic constant-color JPEGs (RGB
+    component ids, quant 8) decode back EXACTLY; (b) the decoder's
+    Huffman/zigzag/IDCT path is checked on a hand-built single-block
+    JPEG with a nonzero AC coefficient against an independent direct
+    cosine-sum IDCT; (c) a YCbCr (ids 1,2,3) stream converts via the
+    JFIF matrix. (Documented caveat: no external reference JPEG exists
+    in this sandbox — grounding is mutual consistency + exact DC math.)"""
+    import hashlib
+    import struct
+
+    ref = "https://cdn.example.com/img/9.jpg"
+    hx = hashlib.md5(ref.encode()).hexdigest()
+    w, h, _sel = mm.asset_dims_of(ref)
+    payload = mm.synth_jpeg(w, h, hx)
+    assert len(payload) == mm.ASSET_PAYLOAD_BYTES
+    d = mm.parse_image_dims(payload)
+    assert (d["width"], d["height"], d["channels"], d["ok"]) == (w, h, 3, True)
+    px = mm.decode_jpeg_pixels(payload)
+    r, g, b = mm.png_rgb_of(hx)
+    assert px is not None and px.shape == (h, w, 3)
+    assert (px[:, :, 0] == r).all() and (px[:, :, 1] == g).all() \
+        and (px[:, :, 2] == b).all()
+
+    # (b) one 8x8 grayscale block, quant all-1s, DC=40 and AC(zigzag k=1)=-3
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    dht_dc = mm._dht_segment(0, 0, dc_bits, list(range(12)))
+    ac_bits = [0, 2] + [0] * 14  # two length-2 codes: EOB, (run0,size2)
+    dht_ac = mm._dht_segment(1, 0, ac_bits, [0x00, 0x02])
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    bw = mm._BitWriterMSB()
+    bw.write(6, 4)      # DC category 6
+    bw.write(40, 6)     # +40
+    bw.write(1, 2)      # AC symbol 0x02 (code '01')
+    bw.write(0, 2)      # -3 -> extend(0b00, 2)
+    bw.write(0, 2)      # EOB (code '00')
+    blob = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bw.flush() + b"\xff\xd9"
+    got = mm.decode_jpeg_pixels(blob).astype(np.float64)
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 40.0
+    zz1 = mm._ZIGZAG[1]
+    coef[zz1 // 8, zz1 % 8] = -3.0
+    want = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):       # vertical frequency (coef row)
+                for u in range(8):   # horizontal frequency (coef col)
+                    av = np.sqrt(0.125) if v == 0 else np.sqrt(0.25)
+                    au = np.sqrt(0.125) if u == 0 else np.sqrt(0.25)
+                    s += (av * au * coef[v, u]
+                          * np.cos((2 * y + 1) * v * np.pi / 16)
+                          * np.cos((2 * x + 1) * u * np.pi / 16))
+            want[y, x] = min(max(s + 128.0, 0), 255)
+    # the independent direct cosine sum accumulates in a different order
+    # than the matrix IDCT, so values sitting exactly on a rounding
+    # boundary may flip by 1 — compare against the UNROUNDED expectation
+    assert np.abs(got[:, :, 0] - want).max() <= 0.5 + 1e-9
+
+    # (c) YCbCr path: component ids 1,2,3 with constant (210, 128, 128)
+    # must convert through the JFIF matrix to RGB (210, 210, 210)
+    sof3 = (b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dqt8 = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    sos3 = (b"\xff\xda" + struct.pack(">HB", 12, 3)
+            + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]))
+    bw2 = mm._BitWriterMSB()
+    for val in (210, 128, 128):
+        q = val - 128
+        cat = abs(q).bit_length()
+        bw2.write(cat, 4)
+        if cat:
+            bw2.write(q if q >= 0 else q + (1 << cat) - 1, cat)
+        bw2.write(0, 2)  # EOB — code '00' in part (b)'s two-symbol AC table
+    blob3 = (b"\xff\xd8" + dqt8 + sof3 + dht_dc + dht_ac + sos3
+             + bw2.flush() + b"\xff\xd9")
+    got3 = mm.decode_jpeg_pixels(blob3)
+    assert got3 is not None and (got3 == 210).all()
+
+    # invalid/unsupported payloads degrade to None
+    assert mm.decode_jpeg_pixels(b"\xff\xd8junk") is None
+    assert mm.decode_jpeg_pixels(mm.synth_png(20, 20, "ab" * 16)) is None
