@@ -29,6 +29,7 @@ import json
 import os
 import re
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -385,7 +386,7 @@ def _finish_scaling(reps, n, n4, runs, results, thr_n, thr_4n, eff) -> None:
             per_rep_norm.append(round(job_ratio / hw_ratio, 3))
     # headline normalized = median over rep pairs (each pair's probes are
     # adjacent in time, so job and hardware saw the same contention window)
-    norm_best = (round(sorted(per_rep_norm)[len(per_rep_norm) // 2], 3)
+    norm_best = (round(statistics.median(per_rep_norm), 3)
                  if per_rep_norm else None)
     hw_eff_best = (results[n4]["hw_units_per_sec"]
                    / results[n]["hw_units_per_sec"] / 4.0
@@ -423,7 +424,7 @@ def _default_runs_section() -> str:
     if not runs:
         return ""
     thr = sorted(r["urls_per_sec"] for r in runs)
-    med = thr[len(thr) // 2]
+    med = statistics.median(thr)
 
     def _f(v, fmt="{:,.0f}"):
         return fmt.format(v) if v is not None else "—"
@@ -438,7 +439,7 @@ def _default_runs_section() -> str:
                 if r.get("wave_loop_urls_per_sec"))
     wl_line = (
         f"**Median wave-loop throughput over {len(wl)} runs: "
-        f"{wl[len(wl) // 2]:,.0f} URL-ops/sec** (the production "
+        f"{statistics.median(wl):,.0f} URL-ops/sec** (the production "
         "CrawlRun.run_wave over 3 waves — bloom split, politeness windows, "
         "seq assignment, state commits; 1M seeds).\n\n" if wl else ""
     )
@@ -507,15 +508,19 @@ def _median_raw_line(attempts: list, n: int, n4: int) -> str:
             (quiet if hw_ratio >= 0.9 else contended).append(raw)
     if not reps:
         return ""
-    med = sorted(reps)[len(reps) // 2]
+    # statistics.median (mean of the two middles on even n) — the
+    # upper-middle shortcut sorted()[n//2] overstated the headline by up
+    # to 0.018 once the ledger hit an even rep count; the hunt's stop
+    # condition (jobs/scaling_hunt.py) already used the true median.
+    med = statistics.median(reps)
     out = (
         f"**Median raw efficiency over all {len(reps)} rep pairs at the "
         f"{n}->{n4} protocol: {med:.3f}** (every pair: "
         f"{sorted(reps)})\n\n"
     )
     if quiet and contended:
-        qmed = sorted(quiet)[len(quiet) // 2]
-        cmed = sorted(contended)[len(contended) // 2]
+        qmed = statistics.median(quiet)
+        cmed = statistics.median(contended)
         mx = sum(h for h, _ in pairs) / len(pairs)
         my = sum(r for _, r in pairs) / len(pairs)
         sxy = sum((h - mx) * (r - my) for h, r in pairs)
@@ -537,7 +542,7 @@ def _median_raw_line(attempts: list, n: int, n4: int) -> str:
             f"not a serial section of this job.\n\n"
         )
     if norm_reps:
-        nmed = sorted(norm_reps)[len(norm_reps) // 2]
+        nmed = statistics.median(norm_reps)
         out += (
             f"**Median host-normalized efficiency over all "
             f"{len(norm_reps)} rep pairs: {nmed:.3f}** (every pair: "
@@ -563,8 +568,8 @@ def _ledger_medians(attempts: list, n: int, n4: int) -> tuple[float, float]:
             if i < len(hw_n) and i < len(hw_n4) and hw_n[i] \
                     and hw_n4[i] / hw_n[i] / (n4 / n) >= 0.9:
                 quiet.append(raw)
-    med = sorted(reps)[len(reps) // 2] if reps else 0.0
-    qmed = sorted(quiet)[len(quiet) // 2] if quiet else 0.0
+    med = statistics.median(reps) if reps else 0.0
+    qmed = statistics.median(quiet) if quiet else 0.0
     return med, qmed
 
 
