@@ -20,7 +20,9 @@ WITH RECURSIVE component closure, and DuckDB's native ASOF JOIN). Five are
 GOLDEN-ANCHORED instead: minhash_neardup (xxhash64 pairs pinned to a
 committed parquet; its md5 twin IS fully recomputed), ann_topk + knn_join
 (the numpy-seeded LSH bucketing is read from a pinned golden, everything
-downstream — cosine, ranking — is recomputed), spans_documents /
+downstream — cosine, ranking — is recomputed; ann_topk_md5 is the
+goldenless twin whose md5-Rademacher + integer-fixed-point chain the
+oracle rebuilds end-to-end), spans_documents /
 rag_documents (span digests recomputed from the committed spans golden;
 the chunker producing it is equality-tested against the actual reference
 chunking.py module). crawl_schedule_log is oracled by the committed output
@@ -980,6 +982,22 @@ def q_ann_topk(spark, sf_dir):
                     planes=6).select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_ann_topk_md5(spark, sf_dir):
+    """ann_topk's fully-recomputable twin (goldenless): md5-derived
+    Rademacher planes + integer fixed-point projections mean the DuckDB
+    oracle rebuilds the ENTIRE chain — quantization, sign matrix, buckets,
+    multi-probe candidate set, exact cosine rerank — from the corpus
+    parquet alone. Closes the round-2 caveat that the ann family's
+    bucketing was golden-pinned rather than independently verified."""
+    from llm_scraper_spark.operators.similarity import ann_topk_md5
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ann_topk_md5(
+        emb.filter(F.col("vec_id") != 0), list(qv), k=5, planes=6
+    ).select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_extract_articles(spark, sf_dir):
     """P1-P17 extraction pipeline: synthetic HTML built natively from the
     documents table, extracted via the stdlib-DOM pandas UDF; the oracle
@@ -1760,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_upsert": q_vector_upsert,
         "multimodal_features": q_multimodal_features,
         "ann_topk": q_ann_topk,
+        "ann_topk_md5": q_ann_topk_md5,
         "extract_articles": q_extract_articles,
         "pagination": q_pagination,
         "task_lookup": q_task_lookup,
@@ -2094,6 +2113,43 @@ def oracle_sql() -> dict[str, str]:
                          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
                           sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
             FROM embeddings e JOIN c USING (vec_id), q
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 5
+        """,
+        # ann_topk_md5: NO goldens — the oracle rebuilds the md5-Rademacher
+        # sign matrix, the 2^20 fixed-point projections, the 6-bit buckets,
+        # the radius-1 multi-probe candidate set, and the exact rerank from
+        # the corpus parquet alone (integer projections are summation-order
+        # independent, so Spark codegen and DuckDB GROUP BY agree bit-for-bit).
+        "ann_topk_md5": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+                 dims AS (SELECT unnest(range(64)) AS d),
+                 ps AS (SELECT unnest(range(6)) AS p),
+                 signs AS (
+                   SELECT p, d,
+                          CASE WHEN ('0x' || substring(md5('hp:42:' || p || ':' || d), 1, 15))::BIGINT % 2 = 0
+                               THEN 1 ELSE -1 END AS s
+                   FROM ps CROSS JOIN dims),
+                 qproj AS (
+                   SELECT s.p, sum(s.s * floor(q.qv[s.d + 1] * 1048576)::BIGINT)::BIGINT AS proj
+                   FROM signs s CROSS JOIN q GROUP BY s.p),
+                 qbucket AS (SELECT sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)::BIGINT AS qb
+                             FROM qproj),
+                 eproj AS (
+                   SELECT e.vec_id, s.p,
+                          sum(s.s * floor(e.embedding[s.d + 1]::DOUBLE * 1048576)::BIGINT)::BIGINT AS proj
+                   FROM embeddings e CROSS JOIN signs s WHERE e.vec_id <> 0
+                   GROUP BY e.vec_id, s.p),
+                 ebucket AS (
+                   SELECT vec_id, sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)::BIGINT AS b
+                   FROM eproj GROUP BY vec_id),
+                 cand AS (SELECT vec_id FROM ebucket, qbucket
+                          WHERE bit_count(xor(b, qb)) <= 1)
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 5
         """,

@@ -7,6 +7,10 @@ against a query vector; here generalized to distributed ANN).
 - hyperplane_bucket — random-hyperplane LSH bucket id (numpy matmul in one
                       Arrow-batched pandas UDF — the only Python, vectorized)
 - ann_topk          — LSH-bucketed approximate top-k with multi-probe
+- hyperplane_bucket_md5 / ann_topk_md5 — sign-LSH twin with md5-derived
+                      +-1 planes + integer fixed-point projections: zero
+                      Python stages AND fully recomputable by the DuckDB
+                      oracle (no goldens anywhere in its chain)
 - knn_join          — per-row top-k neighbor join between two tables
 """
 
@@ -145,6 +149,105 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("lid", "rid", "cos_sim", "rank")
     )
+
+
+# --- md5-derived sign-LSH: the fully-recomputable twin ------------------
+#
+# hyperplane_bucket's Gaussian planes come from numpy's RNG, which no SQL
+# engine reproduces — its driver-gate oracle therefore reads a committed
+# golden bucket assignment (drift detector, not independent verification).
+# This variant removes that gap: plane entries are Rademacher (+1/-1)
+# drawn from md5("hp:{seed}:{plane}:{dim}") — the same keyed-md5 family
+# every other recomputed oracle here uses — and projections are computed
+# over integer-quantized components (floor(v * 2^20)), so the per-plane
+# dot product is exact integer arithmetic, independent of summation
+# order, and bit-identical between Spark codegen and a DuckDB GROUP BY.
+# Sign-LSH with +-1 entries keeps the Charikar collision guarantee
+# (E[collision] is monotone in angle for any symmetric sign-stable
+# distribution); the 2^-20 quantization perturbs a projection only when
+# |proj| < dim * 2^-20 * max|v| — vanishingly rare and harmless (a
+# near-zero projection means the plane barely separates the pair).
+# Bucketing is 100% native Spark expressions (zip_with + aggregate over
+# literal sign arrays — whole-stage codegen, no Python stage at all),
+# which also makes this the preferred variant for the hot path.
+
+def md5_plane_signs(dim: int, planes: int, seed: int) -> list[list[int]]:
+    """(planes, dim) Rademacher matrix from keyed md5 — pure driver-side
+    Python, reproducible by any engine with md5 (see the DuckDB oracle in
+    __spark_entry__.oracle_sql()['ann_topk_md5'])."""
+    import hashlib
+
+    return [
+        [1 if int(hashlib.md5(f"hp:{seed}:{p}:{d}".encode())
+                  .hexdigest()[:15], 16) % 2 == 0 else -1
+         for d in range(dim)]
+        for p in range(planes)
+    ]
+
+
+QUANT = 1 << 20  # fixed-point scale for exact integer projections
+
+
+def hyperplane_bucket_md5(df: DataFrame, vec_col: str, planes: int = 8,
+                          seed: int = 42, dim: int = 64,
+                          out_col: str = "bucket") -> DataFrame:
+    """Sign-of-projection LSH bucket with md5-derived +-1 planes and
+    integer fixed-point projections — fully native (no UDF), fully
+    recomputable by the SQL oracle. ``dim`` is required: the sign matrix
+    is embedded as literal arrays (planes x dim ints — trivially small),
+    so the plan stays lazy with no driver probe."""
+    signs = md5_plane_signs(dim, planes, seed)
+    qv = F.transform(F.col(vec_col).cast("array<double>"),
+                     lambda x: F.floor(x * F.lit(float(QUANT))))
+    bucket = F.lit(0).cast("long")
+    for p, srow in enumerate(signs):
+        sarr = F.array(*[F.lit(s).cast("long") for s in srow])
+        proj = F.aggregate(F.zip_with(qv, sarr, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj > 0,
+                                 F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def _md5_bucket_of(vec: list[float], planes: int, seed: int) -> int:
+    """Driver-side bucket of a known vector (the query side of ann_topk_md5
+    / probe generation) — same arithmetic as hyperplane_bucket_md5."""
+    import math
+
+    signs = md5_plane_signs(len(vec), planes, seed)
+    b = 0
+    for p, srow in enumerate(signs):
+        proj = sum(s * math.floor(float(v) * QUANT)
+                   for s, v in zip(srow, vec))
+        if proj > 0:
+            b |= 1 << p
+    return b
+
+
+def ann_topk_md5(df: DataFrame, query_vec: list[float], k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 planes: int = 8, seed: int = 42,
+                 probe_hamming: int = 1) -> DataFrame:
+    """ann_topk with the md5-derived sign-LSH: identical multi-probe
+    candidate semantics (buckets within ``probe_hamming`` bits of the
+    query's), exact cosine rerank — but the whole chain (quantization,
+    planes, buckets, probes, rerank) is recomputable from the corpus
+    alone, no goldens. Same 100 TB shape as ann_topk: the isin(probes)
+    filter partition-prunes a table written bucketed on `bucket`."""
+    from itertools import combinations
+
+    qbits = _md5_bucket_of(query_vec, planes, seed)
+    probes = [qbits]
+    for radius in range(1, probe_hamming + 1):
+        for flips in combinations(range(planes), radius):
+            mask = 0
+            for b in flips:
+                mask |= 1 << b
+            probes.append(qbits ^ mask)
+    bucketed = hyperplane_bucket_md5(df, vec_col, planes, seed,
+                                     dim=len(query_vec))
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
 # --- IVF (inverted-file) ANN: the coarse-quantizer alternative to LSH ----

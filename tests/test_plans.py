@@ -266,3 +266,28 @@ def test_knn_join_single_bucket_udf_eval_per_side(spark):
     p = physical_plan(q, "simple")
     assert p.count("ArrowEvalPython") == 2, p
     assert "CartesianProduct" not in p
+
+
+def test_ann_md5_bucket_zero_python_codegen(spark):
+    """hyperplane_bucket_md5 is 100% native expressions (literal sign
+    arrays + zip_with/aggregate): its plan must contain NO Python stage of
+    any kind and stay inside whole-stage codegen — this is what makes it
+    both the hot-path variant and fully recomputable by the SQL oracle."""
+    from llm_scraper_spark.operators.similarity import (
+        ann_topk_md5, hyperplane_bucket_md5)
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    b = hyperplane_bucket_md5(emb, "embedding", planes=4, dim=8)
+    p = physical_plan(b, "simple")
+    # zip_with/aggregate are CodegenFallback (HOFs eval interpreted but
+    # JVM-side) — the contract here is NO Python serialization boundary,
+    # not whole-stage codegen.
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    q = ann_topk_md5(emb, [0.5] * 8, k=3, planes=4)
+    pq = physical_plan(q, "simple")
+    assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq
+    assert "CartesianProduct" not in pq
