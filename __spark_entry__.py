@@ -1214,6 +1214,21 @@ def q_knn_join(spark, sf_dir):
     ).orderBy("lid", "rank")
 
 
+def q_knn_join_md5(spark, sf_dir):
+    """knn_join's fully-recomputable twin (goldenless, same pattern as
+    ann_topk_md5): md5-Rademacher buckets + integer fixed-point
+    projections let the DuckDB oracle rebuild bucket assignment, bucket
+    equi-join, exact cosine, and top-k ranking from the corpus parquet
+    alone — no committed golden anywhere in the chain."""
+    from llm_scraper_spark.operators.similarity import knn_join_md5
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_join_md5(emb, emb, k=3, planes=6, seed=42, dim=64)
+    return out.select(
+        "lid", "rid", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("lid", "rank")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard verification of LSH candidate pairs
     (dedup.py ngram_jaccard_pairs) on the md5 hash family: candidate
@@ -1786,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_parse": q_discovery_parse,
         "crawl_schedule_log": q_crawl_schedule_log,
         "knn_join": q_knn_join,
+        "knn_join_md5": q_knn_join_md5,
         "ngram_jaccard": q_ngram_jaccard,
         "stream_host_budget": q_stream_host_budget,
         "rss_head_links": q_rss_head_links,
@@ -2206,6 +2222,42 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY lid ORDER BY cos DESC, rid) AS rank
               FROM prs
             )
+            SELECT lid, rid, round(cos, 6) AS cos_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY lid, rank
+        """,
+        # knn_join_md5: NO goldens — buckets, join, cosine, and ranking all
+        # rebuilt from the corpus parquet (see ann_topk_md5 for the
+        # md5-Rademacher + 2^20 fixed-point construction).
+        "knn_join_md5": """
+            WITH dims AS (SELECT unnest(range(64)) AS d),
+                 ps AS (SELECT unnest(range(6)) AS p),
+                 signs AS (
+                   SELECT p, d,
+                          CASE WHEN ('0x' || substring(md5('hp:42:' || p || ':' || d), 1, 15))::BIGINT % 2 = 0
+                               THEN 1 ELSE -1 END AS s
+                   FROM ps CROSS JOIN dims),
+                 eproj AS (
+                   SELECT e.vec_id, s.p,
+                          sum(s.s * floor(e.embedding[s.d + 1]::DOUBLE * 1048576)::BIGINT)::BIGINT AS proj
+                   FROM embeddings e CROSS JOIN signs s
+                   GROUP BY e.vec_id, s.p),
+                 ebucket AS (
+                   SELECT vec_id, sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)::BIGINT AS b
+                   FROM eproj GROUP BY vec_id),
+                 e AS (
+                   SELECT emb.vec_id, emb.embedding::DOUBLE[] AS v, eb.b AS bucket
+                   FROM embeddings emb JOIN ebucket eb USING (vec_id)),
+                 prs AS (
+                   SELECT l.vec_id AS lid, r.vec_id AS rid,
+                          list_dot_product(l.v, r.v) /
+                            (sqrt(list_dot_product(l.v, l.v)) *
+                             sqrt(list_dot_product(r.v, r.v))) AS cos
+                   FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+                 ranked AS (
+                   SELECT lid, rid, cos,
+                          row_number() OVER (
+                            PARTITION BY lid ORDER BY cos DESC, rid) AS rank
+                   FROM prs)
             SELECT lid, rid, round(cos, 6) AS cos_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 3 ORDER BY lid, rank
         """,

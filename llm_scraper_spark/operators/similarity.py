@@ -250,6 +250,34 @@ def ann_topk_md5(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def knn_join_md5(left: DataFrame, right: DataFrame, k: int = 5,
+                 vec_col: str = "embedding", left_id: str = "vec_id",
+                 right_id: str = "vec_id", planes: int = 8, seed: int = 42,
+                 dim: int = 64) -> DataFrame:
+    """knn_join with the md5-derived sign-LSH buckets: same bucket
+    equi-join + per-left-row window top-k shape, but bucketing is native
+    expressions (no UDF — so none of knn_join's double-evaluation
+    footwork is needed; a plain equi-join key is fine) and the whole
+    chain is recomputable by the SQL oracle with no committed golden."""
+    lb = hyperplane_bucket_md5(
+        left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv")),
+        "lv", planes, seed, dim=dim)
+    rb = hyperplane_bucket_md5(
+        right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv")),
+        "rv", planes, seed, dim=dim)
+    joined = (
+        lb.join(rb, lb["bucket"] == rb["bucket"])
+        .filter(F.col("lid") != F.col("rid"))
+        .withColumn("cos_sim", cosine_expr("lv", "rv"))
+    )
+    w = W.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "cos_sim", "rank")
+    )
+
+
 # --- IVF (inverted-file) ANN: the coarse-quantizer alternative to LSH ----
 
 def ivf_fit_centroids(df: DataFrame, k_centroids: int = 16,
