@@ -118,6 +118,43 @@ def mem_probe_mbps() -> float:
     return best
 
 
+SPARK_PROBE_SEEDS = 3_000_000
+SPARK_PROBE_MIN = float(os.environ.get("SPARK_GRAFT_SPARK_PROBE_MIN",
+                                       "500000"))
+
+
+def spark_regime_probe() -> float:
+    """URLs/s of a 3M-seed frontier at local[4] — the pre-registered
+    LAUNCH gate that the CPU-burn and memcpy probes cannot replace.
+
+    Ledger evidence (attempts 1786994053+): the host entered a regime
+    where plain CPU burns still get >= 0.9x proportional cycles and the
+    memcpy probe reads ~3.1-3.7 GB/s, yet the Spark 4-core leg runs at
+    ~40% of its quiet-streak speed (full-scale thr4 190-390k vs 554-833k)
+    — i.e. the contention is in the memory/cache subsystem under the
+    *mixed* shuffle workload, invisible to compute-bound or pure-copy
+    probes. Four consecutive quiet-probe attempts landed reps 0.283-0.762
+    that way. A small run of the ACTUAL job is the only probe with the
+    same resource profile; 3M at local[4] takes ~20s quiet / ~35s+
+    degraded and separates the regimes cleanly (est. quiet ~630k vs
+    degraded ~350k; threshold 500k, env-overridable for recalibration).
+    Measured BEFORE launch and logged every time — a launch condition,
+    never an after-the-fact filter on results."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_FRONTIER_ONLY="1",
+               SPARK_GRAFT_BENCH_SEEDS=str(SPARK_PROBE_SEEDS))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")], env=env,
+            capture_output=True, text=True, cwd=REPO, timeout=900,
+        )
+        lines = out.stdout.strip().splitlines()
+        if out.returncode != 0 or not lines:
+            return 0.0
+        return float(json.loads(lines[-1])["throughput_urls_per_sec"])
+    except (OSError, subprocess.SubprocessError, ValueError, KeyError):
+        return 0.0
+
+
 def other_spark_work_running() -> bool:
     """True if a pytest / another bench / spark-submit is alive on this
     host. Launching an attempt alongside them measures process contention,
@@ -189,16 +226,23 @@ def main() -> None:
                       "unstable — burst arriving, holding off", flush=True)
                 time.sleep(60)
                 continue
+            sp = spark_regime_probe()
+            print(f"[hunt] spark regime probe {sp:,.0f} URLs/s at "
+                  f"local[4]/{SPARK_PROBE_SEEDS // 1_000_000}M "
+                  f"(gate >= {SPARK_PROBE_MIN:,.0f})", flush=True)
+            if sp < SPARK_PROBE_MIN:
+                time.sleep(120)
+                continue
             attempts += 1
             print(f"[hunt] stable-quiet window (probes {ratio:.3f}/"
-                  f"{ratio2:.3f}) — attempt {attempts}", flush=True)
-            # 6M seeds: the margin/exposure compromise. 8M legs amortize
-            # fixed cost best (quiet raw ~0.92) but take ~12 min — long
-            # enough that tonight's contention bursts (inter-arrival
-            # ~5-15 min) hit most attempts; 4M legs halve exposure but
-            # leave only 0.80-0.86 quiet headroom. 6M keeps ~0.88-0.90
-            # quiet raw at ~8 min exposure.
-            env = dict(os.environ, SPARK_GRAFT_BENCH_SEEDS="6000000")
+                  f"{ratio2:.3f}, spark {sp:,.0f}) — attempt {attempts}",
+                  flush=True)
+            # 8M seeds: the config every >= 0.85 ledger rep used — fixed
+            # driver/barrier cost amortizes best (quiet raw 0.853-0.865 in
+            # a row). The 6M compromise traded margin for exposure, but
+            # the spark regime probe now gates out the degraded windows
+            # that exposure was hedging against, so take the margin.
+            env = dict(os.environ, SPARK_GRAFT_BENCH_SEEDS="8000000")
             subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--scaling", "--reps", "1"],

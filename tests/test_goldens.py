@@ -126,6 +126,23 @@ def test_ann_recall_at_10_on_planted_neighbors(spark):
     assert recall >= 0.9, f"recall@10 = {recall}"
 
 
+def test_ann_md5_recall_at_10_on_planted_neighbors(spark):
+    """The md5-Rademacher twin must hold the same recall gate as the
+    Gaussian-plane original: +-1 entries are a symmetric sign-stable
+    distribution, so the Charikar collision bound is unchanged — this
+    measures it rather than assuming it."""
+    from llm_scraper_spark.operators.similarity import (
+        ann_topk_md5, brute_force_topk)
+
+    qv, rows = _planted_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {r["vec_id"] for r in brute_force_topk(df, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              ann_topk_md5(df, qv, k=10, planes=6, probe_hamming=2).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.9, f"md5-LSH recall@10 = {recall}"
+
+
 def test_ivf_recall_and_full_probe_exactness(spark):
     from llm_scraper_spark.operators.similarity import (
         brute_force_topk, ivf_fit_centroids, ivf_topk)
