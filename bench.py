@@ -329,7 +329,13 @@ def run_scaling(reps: int = 3, n: int | None = None, n4: int | None = None) -> N
     n4 = n4 or 4 * n
     runs: dict[int, list[dict]] = {n: [], n4: []}
     for _rep in range(reps):
-        for cpus in (n, n4):
+        # 4N leg FIRST: it is the contention-sensitive one (a memory burst
+        # mid-leg halves its throughput; the 1-core leg barely notices),
+        # and the hunt's quiet-window gates were measured seconds ago —
+        # running it immediately minimizes gate-to-measurement latency
+        # (ledger rep 1787044322: 1-core leg quiet-fast, then a burst
+        # landed on the 4-core leg ~4 min after the gates passed).
+        for cpus in (n4, n):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_FRONTIER_ONLY="1")
             # scaling runs use an enlarged frontier: the ~10s fixed driver/
