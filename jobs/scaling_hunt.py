@@ -214,7 +214,11 @@ def main() -> None:
         mem_max = max(mem_max, mbps)
         n_mem_probes += 1
         if 0.92 <= ratio <= 1.10:
-            if n_mem_probes >= 3 and mbps < 0.9 * mem_max:
+            # coarse pre-filter only (0.8x rolling max): the decisive
+            # regime gate is the mini Spark probe below — memcpy at 90%
+            # was vetoing windows (3026-3140 MB/s vs a 3837 peak) that
+            # the job-profile probe would have adjudicated correctly.
+            if n_mem_probes >= 3 and mbps < 0.8 * mem_max:
                 print(f"[hunt] mem bandwidth {mbps:.0f} MB/s < 90% of best "
                       f"{mem_max:.0f} — neighbor memory pressure, holding "
                       "off", flush=True)
