@@ -35,6 +35,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 LEDGER = os.path.join(REPO, "BENCH", "scaling_attempts.jsonl")
+# Two-way coordination with interactive work on the same host (the
+# other_spark_work_running() guard only covers work that STARTED before
+# the attempt; work launched mid-attempt would land contention in the
+# append-only ledger forever):
+#   ATTEMPT_LOCK — exists while a probe+attempt is in flight; interactive
+#     runners (pytest/bench wrappers) wait for it to disappear.
+#   HOLD — touch it to make the hunt pause before its next probe cycle;
+#     remove it when the interactive Spark work is done.
+ATTEMPT_LOCK = os.path.join(REPO, "BENCH", ".hunt_attempt_in_flight")
+HOLD = os.path.join(REPO, "BENCH", ".hunt_hold")
 
 
 def raw_reps(quiet_only: bool = False) -> list[float]:
@@ -196,6 +206,10 @@ def main() -> None:
             print(f"target met: median raw eff quiet {med_quiet:.3f} / "
                   f"all {med_all:.3f}", flush=True)
             break
+        if os.path.exists(HOLD):
+            print("[hunt] hold file present — pausing", flush=True)
+            time.sleep(30)
+            continue
         if other_spark_work_running():
             print("[hunt] other spark/pytest work running — holding off",
                   flush=True)
@@ -230,28 +244,38 @@ def main() -> None:
                       "unstable — burst arriving, holding off", flush=True)
                 time.sleep(60)
                 continue
-            sp = spark_regime_probe()
-            print(f"[hunt] spark regime probe {sp:,.0f} URLs/s at "
-                  f"local[4]/{SPARK_PROBE_SEEDS // 1_000_000}M "
-                  f"(gate >= {SPARK_PROBE_MIN:,.0f})", flush=True)
-            if sp < SPARK_PROBE_MIN:
-                time.sleep(120)
-                continue
-            attempts += 1
-            print(f"[hunt] stable-quiet window (probes {ratio:.3f}/"
-                  f"{ratio2:.3f}, spark {sp:,.0f}) — attempt {attempts}",
-                  flush=True)
-            # 8M seeds: the config every >= 0.85 ledger rep used — fixed
-            # driver/barrier cost amortizes best (quiet raw 0.853-0.865 in
-            # a row). The 6M compromise traded margin for exposure, but
-            # the spark regime probe now gates out the degraded windows
-            # that exposure was hedging against, so take the margin.
-            env = dict(os.environ, SPARK_GRAFT_BENCH_SEEDS="8000000")
-            subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"),
-                 "--scaling", "--reps", "1"],
-                cwd=REPO, env=env, timeout=2400,
-            )
+            # lock the probe+attempt window so interactive runners wait
+            # instead of landing contention in the append-only ledger
+            with open(ATTEMPT_LOCK, "w") as f:
+                f.write(str(os.getpid()))
+            try:
+                sp = spark_regime_probe()
+                print(f"[hunt] spark regime probe {sp:,.0f} URLs/s at "
+                      f"local[4]/{SPARK_PROBE_SEEDS // 1_000_000}M "
+                      f"(gate >= {SPARK_PROBE_MIN:,.0f})", flush=True)
+                if sp < SPARK_PROBE_MIN:
+                    time.sleep(120)
+                    continue
+                attempts += 1
+                print(f"[hunt] stable-quiet window (probes {ratio:.3f}/"
+                      f"{ratio2:.3f}, spark {sp:,.0f}) — attempt {attempts}",
+                      flush=True)
+                # 8M seeds: the config every >= 0.85 ledger rep used — fixed
+                # driver/barrier cost amortizes best (quiet raw 0.853-0.865 in
+                # a row). The 6M compromise traded margin for exposure, but
+                # the spark regime probe now gates out the degraded windows
+                # that exposure was hedging against, so take the margin.
+                env = dict(os.environ, SPARK_GRAFT_BENCH_SEEDS="8000000")
+                subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py"),
+                     "--scaling", "--reps", "1"],
+                    cwd=REPO, env=env, timeout=2400,
+                )
+            finally:
+                try:
+                    os.remove(ATTEMPT_LOCK)
+                except OSError:
+                    pass
         else:
             time.sleep(90)
     print(json.dumps({
