@@ -277,6 +277,34 @@ def q_url_canonicalize(spark, sf_dir):
     return with_canonical(urls).select("doc_id", "canonical_url", "host", "key_hex")
 
 
+def q_cuckoo_dedup(spark, sf_dir):
+    """D2, cuckoo variant (operators/cuckoo.py; north rule: "bloom/cuckoo
+    URL-seen"): the seen-membership split with a distributed-built cuckoo
+    filter as the pre-filter — definitely-unseen rows bypass the anti-join,
+    maybe-seen rows are re-checked exactly, so the output equals a plain
+    anti-join regardless of filter false positives (and the filter has no
+    false negatives by construction: kick-walk losers land in a stash that
+    membership always consults). Seen set = every third doc's URL; the
+    oracle recomputes the anti-join in SQL on the canonical URL."""
+    from llm_scraper_spark.functions.urls import with_canonical
+    from llm_scraper_spark.operators.cuckoo import build_cuckoo_distributed
+    from llm_scraper_spark.operators.seen import filter_unseen
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"), F.upper("source"), F.lit(".Example.COM:80/path/"),
+            F.col("doc_id").cast("string"), F.lit("#frag"),
+        ).alias("url"),
+    )
+    cand = with_canonical(urls, key_hex=False)
+    seen = cand.filter(F.col("doc_id") % 3 == 0).select("url_hash")
+    filt = build_cuckoo_distributed(seen, capacity=100_000)
+    out = filter_unseen(cand, seen, bloom=filt)
+    return out.select("doc_id", "canonical_url").orderBy("doc_id")
+
+
 def q_embedding_topk(spark, sf_dir):
     """J6: exact cosine top-k vs query vector vec_id=0 (brute-force baseline)."""
     from llm_scraper_spark.operators.similarity import brute_force_topk
@@ -1763,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_per_user": q_first_event_per_user,
         "politeness_topk": q_politeness_topk,
         "url_canonicalize": q_url_canonicalize,
+        "cuckoo_dedup": q_cuckoo_dedup,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "curation_pipeline": q_curation_pipeline,
@@ -1886,6 +1915,19 @@ def oracle_sql() -> dict[str, str]:
                    lower(source) || '.example.com' AS host,
                    md5('HTTP://' || upper(source) || '.Example.COM:80/path/' || doc_id || '#frag') AS key_hex
             FROM documents
+        """,
+        "cuckoo_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://' || lower(source) || '.example.com/path/' || doc_id AS canonical_url
+              FROM documents
+            )
+            SELECT doc_id, canonical_url
+            FROM u
+            WHERE canonical_url NOT IN (
+              SELECT canonical_url FROM u WHERE doc_id % 3 = 0
+            )
+            ORDER BY doc_id
         """,
         "ivf_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)

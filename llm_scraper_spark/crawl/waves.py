@@ -30,6 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..functions.urls import with_canonical
+from ..operators import cuckoo as cuckoo_ops
 from ..operators import frontier as frontier_ops
 from ..operators import seen as seen_ops
 from ..operators.checkpoints import local_checkpoint_tracked, release_checkpoint
@@ -131,6 +132,7 @@ class CrawlRun:
         n_salts: int = frontier_ops.DEFAULT_SALTS,
         use_bloom: bool = True,
         link_priority: float = 1.0,
+        seen_filter: str | None = None,
     ):
         self.spark = spark
         self.state = CrawlState(spark, state_dir)
@@ -141,23 +143,37 @@ class CrawlRun:
         self.n_salts = n_salts
         self.use_bloom = use_bloom
         self.link_priority = link_priority
-        self._bloom = None  # standing ShardedBloom, OR-updated per wave
+        # the standing approximate seen-filter: "bloom" (default) or
+        # "cuckoo" (operators/cuckoo.py — deletable fingerprints, same
+        # no-false-negative contract, same executor-side build + per-wave
+        # delta merge); None / use_bloom=False disables the pre-filter
+        # and every candidate takes the exact anti-join
+        if seen_filter is None:
+            seen_filter = "bloom" if use_bloom else None
+        elif not use_bloom:
+            seen_filter = None
+        if seen_filter not in (None, "bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_filter {seen_filter!r}")
+        self.seen_filter = seen_filter
+        self._bloom = None  # standing filter, delta-merged per wave
 
     # ------------------------------------------------------------------
     def _standing_bloom(self, seen_df: DataFrame | None):
-        """Maintain the seen-set Bloom across waves: build executor-side
-        from the full seen table only when missing (fresh run / resume) or
-        saturated; otherwise the per-wave delta OR (in run_wave) keeps it
-        current without touching the 10^10-row table (VERDICT #4)."""
-        if not self.use_bloom or seen_df is None:
+        """Maintain the standing seen filter (Bloom or cuckoo) across
+        waves: build executor-side from the full seen table only when
+        missing (fresh run / resume) or saturated; otherwise the per-wave
+        delta merge (in run_wave) keeps it current without touching the
+        10^10-row table (VERDICT #4)."""
+        if self.seen_filter is None or seen_df is None:
             return None
         if self._bloom is None or self._bloom.saturated():
             # next_seq == total URLs ever enqueued == |seen| (seq is
             # assigned per enqueue), so capacity needs no counting job
             n_seen = max(self.state.read_ledger()["next_seq"], 1)
-            self._bloom = seen_ops.build_bloom_distributed(
-                seen_df, capacity=max(2 * n_seen, 100_000)
-            )
+            build = (seen_ops.build_bloom_distributed
+                     if self.seen_filter == "bloom"
+                     else cuckoo_ops.build_cuckoo_distributed)
+            self._bloom = build(seen_df, capacity=max(2 * n_seen, 100_000))
         return self._bloom
 
     # ------------------------------------------------------------------
@@ -303,13 +319,19 @@ class CrawlRun:
         n_new = obs_new.get["n"]
         _mark("unseen_seq")
 
-        # incremental bloom: OR in a delta built (executor-side, against the
-        # already-checkpointed new rows) with the standing bloom's geometry
+        # incremental filter update: merge a delta built (executor-side,
+        # against the already-checkpointed new rows) with the standing
+        # filter's geometry — bitmap OR for the Bloom, fingerprint
+        # re-insert for the cuckoo
         if self._bloom is not None and n_new > 0:
-            delta = seen_ops.build_bloom_distributed(
-                new_frontier_rows, geometry=self._bloom.geometry()
-            )
-            self._bloom.or_(delta)
+            if self.seen_filter == "bloom":
+                delta = seen_ops.build_bloom_distributed(
+                    new_frontier_rows, geometry=self._bloom.geometry())
+                self._bloom.or_(delta)
+            else:
+                delta = cuckoo_ops.build_cuckoo_distributed(
+                    new_frontier_rows, geometry=self._bloom.geometry())
+                self._bloom.merge_(delta)
         _mark("bloom_delta")
 
         # --- next pending = pending - scheduled + new

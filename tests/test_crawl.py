@@ -20,13 +20,14 @@ def _mk_seeds(spark, n):
 
 
 def _run_spark_crawl(spark, tmp_path, n_seeds, n_waves, budget=3, robots=None,
-                     use_bloom=True):
+                     use_bloom=True, seen_filter=None):
     state_dir = str(tmp_path / "state")
     shutil.rmtree(state_dir, ignore_errors=True)
     run = CrawlRun(
         spark, state_dir,
         fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
         robots=robots, default_budget=budget, n_salts=4, use_bloom=use_bloom,
+        seen_filter=seen_filter,
     )
     run.run(n_waves, seeds=_mk_seeds(spark, n_seeds))
     return run
@@ -48,11 +49,15 @@ def _spark_schedule_log(run):
     ]
 
 
-@pytest.mark.parametrize("use_bloom", [True, False])
-def test_crawl_matches_simulator(spark, tmp_path, use_bloom):
+@pytest.mark.parametrize("use_bloom,seen_filter", [
+    (True, "bloom"),    # default: sharded-Bloom pre-filter + anti-join
+    (True, "cuckoo"),   # cuckoo-filter pre-filter (operators/cuckoo.py)
+    (False, None),      # exact anti-join only
+])
+def test_crawl_matches_simulator(spark, tmp_path, use_bloom, seen_filter):
     n_seeds, n_waves, budget = 40, 3, 3
     run = _run_spark_crawl(spark, tmp_path, n_seeds, n_waves, budget,
-                           use_bloom=use_bloom)
+                           use_bloom=use_bloom, seen_filter=seen_filter)
     seed_urls = [r["url"] for r in
                  _mk_seeds(spark, n_seeds).orderBy("seq").collect()]
     sim = _sim(seed_urls, n_waves, budget)
