@@ -12,6 +12,7 @@ is chosen so the same code scales to a 1000-executor deployment:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -55,6 +56,20 @@ def get_spark(
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
 
+    # local mode = driver-only: this is executor memory. Width-aware and
+    # deliberately MODEST: on this sandbox's current boot a 64g heap makes
+    # the SAME job 3-15x slower (measured A/B on a 20M-row string-agg
+    # micro: 8g -> 2.5-3.2s, 31g/64g -> 10-74s at local[4]) — every fresh
+    # young-gen page the big heap touches takes a slow hypervisor-side
+    # fault while the host's memory subsystem is contended, and heaps
+    # >32g also drop compressed oops. 8g covers <=8 concurrent tasks'
+    # execution memory with headroom; wider sessions get 16g (8M-seed
+    # bench shuffle partitions are ~75MB/task — far under the 0.6
+    # execution fraction either way). Overridable per-run via env.
+    cores_m = re.match(r"local\[(\d+|\*)\]", master or "")
+    n_cores = (os.cpu_count() if cores_m and cores_m.group(1) == "*"
+               else int(cores_m.group(1)) if cores_m else 8)
+    default_mem = "8g" if n_cores <= 8 else "16g"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -67,10 +82,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
-        # local mode = driver-only: this is executor memory; undersizing it
-        # turns concurrent task allocation into GC thrash (measured 2x
-        # slowdown at local[32] with 8g on the 2M-seed frontier bench)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem))
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
