@@ -11,10 +11,35 @@ The reference's resumability is "frontier + seen live on disk"
       schedule_log/wave=K/       # (wave, seq, url) fetch order — golden_crawl
       metrics/wave=K/            # per-partition lineage + fetch/dedup metrics
 
-Commit protocol: data dirs first, ledger last via atomic rename — a crash
-mid-wave leaves the ledger pointing at the previous complete wave, so
-resume replays from a consistent snapshot (the Iceberg-snapshot analogue;
-with Iceberg jars on the classpath these become real table commits).
+Commit protocol (crash-consistent, idempotent replay keyed by wave id):
+
+1. data tables first, in a fixed order, each into its own ``wave=K`` dir
+   (never touching a previously committed wave's dir);
+2. ledger LAST via atomic rename + fsync — the single commit point.
+
+A crash anywhere before step 2 leaves the ledger at wave K-1; the
+partially-written ``wave=K`` dirs are ORPHANS. Consistency then rests on
+two invariants, both tested with a simulated mid-commit crash
+(tests/test_crawl.py::test_crash_between_table_writes_resumes_exactly):
+
+- READS never see orphans: every cross-wave read path
+  (``read_seen``/``read_all``/``read_frontier``) is bounded by the
+  committed ledger, so between crash and replay the state is exactly the
+  wave-(K-1) snapshot.
+- REPLAY is idempotent: resume re-runs wave K from the committed
+  wave-(K-1) inputs (frontier snapshot, seen deltas, ``next_seq``);
+  ``clean_uncommitted()`` removes orphan dirs first (mode=overwrite would
+  also truncate them — the cleanup makes the snapshot property hold for
+  out-of-band readers too).
+
+This is the Iceberg-snapshot analogue on a plain filesystem. With an
+Iceberg catalog on the classpath (``iceberg_catalog`` below, auto-detected
+from spark.sql.catalog.* conf), the per-table writes become real Iceberg
+partition commits and the ledger rename remains the cross-table
+transaction point — Spark cannot commit multiple Iceberg tables in one
+transaction, so the ordered-commit + replay protocol is the correct shape
+there too (the catalog path is exercised only where the jars exist; this
+sandbox has none, so it stays a thin, documented routing layer).
 The seen set is append-only (delta per wave), so resuming reads
 ``seen_delta/wave<=K`` — no rewrite of 10^10 rows per wave.
 """
@@ -28,10 +53,27 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _detect_iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of the first configured Iceberg catalog, or None.
+
+    Presence check only — ``spark.sql.catalog.<name> =
+    org.apache.iceberg.spark.SparkCatalog`` (the standard wiring)."""
+    try:
+        for k, v in spark.sparkContext.getConf().getAll():
+            if k.startswith("spark.sql.catalog.") and k.count(".") == 3 \
+                    and "iceberg" in (v or "").lower():
+                return k.rsplit(".", 1)[1]
+    except Exception:
+        pass
+    return None
+
+
 class CrawlState:
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 iceberg_catalog: str | None = None):
         self.spark = spark
         self.dir = state_dir
+        self.catalog = iceberg_catalog or _detect_iceberg_catalog(spark)
         os.makedirs(state_dir, exist_ok=True)
 
     # --- ledger ---------------------------------------------------------
@@ -54,30 +96,106 @@ class CrawlState:
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".ledger.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(ledger, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())  # durable before the rename below
         os.replace(tmp, self._ledger_path)  # atomic commit point
+        try:  # persist the rename itself (directory entry)
+            dfd = os.open(self.dir, os.O_RDONLY)
+            os.fsync(dfd)
+            os.close(dfd)
+        except OSError:
+            pass
 
     def last_wave(self) -> int | None:
         waves = self.read_ledger()["waves"]
         return waves[-1]["wave"] if waves else None
 
+    def committed_waves(self) -> set[int]:
+        return {w["wave"] for w in self.read_ledger()["waves"]}
+
+    def _committed_for(self, table: str) -> set[int]:
+        """Wave ids of ``table`` dirs covered by the ledger. ``seen_delta``
+        is written one wave ahead (wave K commits seen_delta/wave=K+1, the
+        seed commit -1 writes seen_delta/wave=0), so its dir K is committed
+        iff wave K-1 is."""
+        committed = self.committed_waves()
+        if table == "seen_delta":
+            return {w + 1 for w in committed}
+        return committed
+
+    def clean_uncommitted(self) -> list[str]:
+        """Remove orphan ``wave=K`` dirs no committed wave references —
+        leftovers of a crash between table writes and the ledger commit.
+        Reads are already ledger-bounded, so this is hygiene plus a safety
+        net for out-of-band consumers that glob the state dir directly.
+        Idempotent; returns the removed paths."""
+        import shutil
+
+        removed = []
+        for table in ("frontier", "seen_delta", "documents",
+                      "schedule_log", "metrics"):
+            base = os.path.join(self.dir, table)
+            if not os.path.isdir(base):
+                continue
+            keep = self._committed_for(table)
+            for name in os.listdir(base):
+                if not name.startswith("wave="):
+                    continue
+                try:
+                    w = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if w not in keep:
+                    path = os.path.join(base, name)
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
+        return removed
+
     # --- table IO -------------------------------------------------------
     def _p(self, table: str, wave: int) -> str:
         return os.path.join(self.dir, table, f"wave={wave}")
 
+    def _tbl(self, table: str) -> str:
+        return f"{self.catalog}.crawl.{table}"
+
     def write(self, table: str, wave: int, df: DataFrame) -> None:
+        if self.catalog:
+            # Iceberg routing: replace exactly this wave's partition — one
+            # atomic Iceberg snapshot commit per table, same ordered
+            # protocol (ledger still last). Requires the catalog's jars;
+            # see module docstring.
+            from pyspark.sql import functions as F
+
+            (df.withColumn("_wave_part", F.lit(wave))
+             .writeTo(self._tbl(table))
+             .overwritePartitions())
+            return
         df.write.mode("overwrite").parquet(self._p(table, wave))
 
     def read(self, table: str, wave: int) -> DataFrame:
+        if self.catalog:
+            return (self.spark.read.table(self._tbl(table))
+                    .where(f"_wave_part = {int(wave)}").drop("_wave_part"))
         return self.spark.read.parquet(self._p(table, wave))
 
     def read_frontier(self, wave: int) -> DataFrame:
         return self.read("frontier", wave)
 
     def read_seen(self, upto_wave: int) -> DataFrame | None:
+        committed = self._committed_for("seen_delta")
+        if self.catalog:
+            waves = sorted(w for w in committed if w <= upto_wave)
+            if not waves:
+                return None
+            return (self.spark.read.table(self._tbl("seen_delta"))
+                    .where(f"_wave_part <= {int(upto_wave)}")
+                    .drop("_wave_part"))
         paths = [
             self._p("seen_delta", w)
             for w in range(upto_wave + 1)
-            if os.path.exists(self._p("seen_delta", w))
+            # ledger-bounded: orphan deltas from a crashed commit are
+            # invisible even before clean_uncommitted() runs
+            if w in committed and os.path.exists(self._p("seen_delta", w))
         ]
         if not paths:
             return None
@@ -101,7 +219,25 @@ class CrawlState:
         return expired
 
     def read_all(self, table: str) -> DataFrame | None:
+        """Committed-snapshot read of every wave of ``table``: only dirs
+        the ledger covers — a crash that left orphan ``wave=K`` dirs does
+        not leak uncommitted rows into queries (snapshot isolation at wave
+        granularity, the Iceberg-read analogue)."""
+        if self.catalog:
+            waves = sorted(self._committed_for(table))
+            if not waves:
+                return None
+            return (self.spark.read.table(self._tbl(table))
+                    .where(f"_wave_part in ({','.join(map(str, waves))})")
+                    .withColumnRenamed("_wave_part", "wave_part"))
         base = os.path.join(self.dir, table)
         if not os.path.exists(base):
             return None
-        return self.spark.read.option("basePath", base).parquet(base)
+        paths = [
+            self._p(table, w)
+            for w in sorted(self._committed_for(table))
+            if os.path.exists(self._p(table, w))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.option("basePath", base).parquet(*paths)

@@ -393,6 +393,11 @@ class CrawlRun:
                 raise ValueError("no checkpoint and no seeds")
             self.init_from_seeds(seeds)
             last = -1
+        else:
+            # resume: drop orphan wave dirs a mid-commit crash left behind
+            # (reads are already ledger-bounded; replay overwrites anyway —
+            # this keeps the on-disk state exactly the committed snapshot)
+            self.state.clean_uncommitted()
         stats = []
         for wave in range(last + 1, n_waves):
             stats.append(self.run_wave(wave))

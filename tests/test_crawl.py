@@ -285,7 +285,18 @@ def test_resume_after_midcommit_crash(spark, tmp_path, monkeypatch):
     import os
     assert os.path.exists(os.path.join(crash_dir, "schedule_log", "wave=1"))
 
+    # committed-snapshot reads: the orphan wave=1 dirs are INVISIBLE to
+    # every read path between crash and replay — queries over the state
+    # see exactly the wave-0 snapshot (read_all/read_seen ledger-bounded)
+    log_after_crash = run_a.state.read_all("schedule_log")
+    assert {r["wave"] for r in log_after_crash.select("wave").distinct()
+            .collect()} == {0}
+    seen_waves = {r["first_seen_wave"] for r in run_a.state.read_seen(2)
+                  .select("first_seen_wave").distinct().collect()}
+    assert seen_waves == {0, 1}  # seed delta + wave-0's enqueue, no orphan
+
     # restarted driver: replays wave 1 from the consistent snapshot
+    # (run() first removes the orphan dirs — clean_uncommitted)
     run_b = CrawlRun(spark, crash_dir,
                      fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
                      default_budget=budget, n_salts=4)
