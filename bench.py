@@ -627,6 +627,31 @@ def render_scaling_md() -> None:
             + "## Headline: ledger medians (every rep ever logged — "
             "nothing dropped)\n\n"
             + _median_raw_line(attempts, n, n4)
+            + "## Host regimes (round-3 diagnosis)\n\n"
+            "The sandbox VM rebooted at round-3 start; since then the\n"
+            "shared host FLAPS on a minutes timescale between a quiet\n"
+            "regime (frontier at local[4]/3M: ~23s = 520k URLs/s) and a\n"
+            "degraded one (70-280s = 43-170k URLs/s for the SAME code,\n"
+            "back-to-back), while plain CPU-burn probes stay near-\n"
+            "proportional and guest steal time reads ~0 — i.e. the\n"
+            "interference is in the physical host's memory subsystem\n"
+            "(dmesg logged an 11.7ms hrtimer interrupt; the memcpy probe\n"
+            "drops ~25% in degraded windows while pointer-chasing Spark\n"
+            "phases drop 3-10x). Two consequences, both acted on:\n\n"
+            "1. **Oversized heaps amplify degraded windows.** A/B on a\n"
+            "   20M-row string-agg micro at local[4]: 8g heap 2.5-3.2s\n"
+            "   across five quiet hits; 31g/64g heaps 10-74s and often\n"
+            "   NEGATIVE core-scaling — every fresh young-gen page of a\n"
+            "   big heap takes a slow hypervisor-side fault. The session\n"
+            "   default is now 8g (<=8 cores) / 16g (wider); reps before\n"
+            "   the fix (ledger ts <= 1787044454.3) ran with 64g and so\n"
+            "   understate the job in exactly the windows the regime\n"
+            "   probes flag as contended.\n"
+            "2. **Attempts are gated on a mini run of the actual job**\n"
+            "   (spark_regime_probe, jobs/scaling_hunt.py) because only a\n"
+            "   probe with the job's own resource profile separates these\n"
+            "   regimes — CPU-burn and memcpy probes both pass in windows\n"
+            "   where Spark runs 10x slow.\n\n"
             + "## Representative window (best plausible single attempt: "
             "eff <= 1.05 —\nsuper-proportional values mean the 1-core leg "
             "itself was contended and\nare excluded from representing, "
