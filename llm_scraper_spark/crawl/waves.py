@@ -335,10 +335,16 @@ class CrawlRun:
         _mark("bloom_delta")
 
         # --- next pending = pending - scheduled + new
+        # NOT checkpointed: the union has exactly one consumer (the
+        # frontier parquet write below) and both inputs are already
+        # materialized (pending = parquet, scheduled/new = checkpoints),
+        # so a checkpoint here would materialize the full multi-million-row
+        # frontier twice per wave for nothing (profiled at 1M seeds:
+        # 7-22s/wave of pure duplicate work).
         remaining = pending.join(
             scheduled.select("url_hash"), on="url_hash", how="left_anti"
         ).select(*new_frontier_rows.columns)
-        next_frontier = _ck(remaining.unionByName(new_frontier_rows))
+        next_frontier = remaining.unionByName(new_frontier_rows)
         _mark("next_frontier")
 
         # --- metrics: per-partition lineage + fetch/dedup counts (A7/T7)

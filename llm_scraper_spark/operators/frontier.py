@@ -225,6 +225,17 @@ def assign_global_seq(
     """
     from .checkpoints import local_checkpoint_tracked
 
+    # Materialize the input ONCE before the range exchange:
+    # repartitionByRange runs a separate bounds-SAMPLING job over the full
+    # child lineage, and the shuffle write then recomputes it again — for
+    # the wave loop that child is the bloom-UDF tag + seen anti-join, the
+    # most expensive chain in the wave (profiled: unseen_seq was ~2x its
+    # single-pass cost at 1M seeds). Sampling and shuffling read these
+    # cheap checkpointed blocks instead.
+    candidates, cand_ck_ids = local_checkpoint_tracked(candidates)
+    if ck_sink is not None:
+        ck_sink.append(cand_ck_ids)
+
     ordering = [F.col(c).asc() for c in order_cols]
     sorted_df = candidates.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(*ordering)
     indexed = (
