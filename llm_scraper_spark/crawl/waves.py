@@ -173,7 +173,12 @@ class CrawlRun:
             build = (seen_ops.build_bloom_distributed
                      if self.seen_filter == "bloom"
                      else cuckoo_ops.build_cuckoo_distributed)
-            self._bloom = build(seen_df, capacity=max(2 * n_seen, 100_000))
+            # growth factor 4x (not 2x): every saturation rebuild scans the
+            # FULL seen table (profiled ~20s at 2.5M; O(10^10) at the design
+            # point), while filter memory is bits-per-key — quartering the
+            # rebuild frequency costs ~2x bitmap for 3x less amortized
+            # rebuild work per insert (1/(g-1) full scans per |seen|).
+            self._bloom = build(seen_df, capacity=max(4 * n_seen, 100_000))
         return self._bloom
 
     # ------------------------------------------------------------------
@@ -257,6 +262,9 @@ class CrawlRun:
         scheduled = _ck(scheduled.observe(
             obs_sched, F.count(F.lit(1)).alias("n")
         ))
+        # the checkpoint above is eager, so the observed count is already
+        # final — read it here; it sizes the anti-join strategy below
+        n_scheduled = int(obs_sched.get["n"])
         _mark("schedule")
 
         pages = _ck(self.fetcher(scheduled))
@@ -341,8 +349,17 @@ class CrawlRun:
         # so a checkpoint here would materialize the full multi-million-row
         # frontier twice per wave for nothing (profiled at 1M seeds:
         # 7-22s/wave of pure duplicate work).
+        # scheduled is budget-bounded (<= n_hosts * budget) and its exact
+        # count is known from the observation: broadcast the hash set when
+        # it fits (8 bytes/row -> 4M rows ~ 32 MB) so the full pending
+        # table is NOT shuffled just to subtract one wave's fetches. At
+        # 10^10 scale with a huge host count the count guard falls back to
+        # the shuffle join automatically.
+        sched_hashes = scheduled.select("url_hash")
+        if n_scheduled <= 4_000_000:
+            sched_hashes = F.broadcast(sched_hashes)
         remaining = pending.join(
-            scheduled.select("url_hash"), on="url_hash", how="left_anti"
+            sched_hashes, on="url_hash", how="left_anti"
         ).select(*new_frontier_rows.columns)
         next_frontier = remaining.unionByName(new_frontier_rows)
         _mark("next_frontier")
@@ -360,11 +377,13 @@ class CrawlRun:
             .withColumn("deduped_new", F.lit(n_new))
         )
 
-        # --- commit (data first, ledger last)
-        n_scheduled = obs_sched.get["n"]
+        # --- commit (data first, ledger last); per-write wall times land
+        # in the wave stats so a slow commit is attributable to ONE table
         st.write("schedule_log", wave,
                  scheduled.select("wave", "seq", "url", "host", "priority"))
+        _mark("write_schedule_log")
         st.write("documents", wave, docs)
+        _mark("write_documents")
         st.write(
             "seen_delta", wave + 1,
             new_frontier_rows.select(
@@ -373,9 +392,15 @@ class CrawlRun:
                 F.lit(wave + 1).alias("first_seen_wave"),
             ),
         )
+        _mark("write_seen_delta")
         st.write("frontier", wave, next_frontier)
+        _mark("write_frontier")
         st.write("metrics", wave, metrics)
-        _mark("state_writes")
+        _mark("write_metrics")
+        timings["state_writes"] = round(sum(
+            timings[k] for k in ("write_schedule_log", "write_documents",
+                                 "write_seen_delta", "write_frontier",
+                                 "write_metrics")), 3)
         stats = {
             "scheduled": n_scheduled,
             "discovered": int(n_discovered),
