@@ -46,6 +46,12 @@ SEEDS_PER_SF = 20_000_000  # sf0.01 -> 200k seeds (small-sf smoke runs)
 # recorded one (VERDICT round-1 flagged a 2M-vs-8M config mismatch).
 BENCH_SEEDS = 8_000_000
 FANOUT = 3
+# ledger timestamp of the last scaling rep that ran with the oversized
+# 64g driver heap (BENCH/BASELINE.md "Host regimes" #1): reps after this
+# use the right-sized 8g heap and are additionally reported as the
+# current-protocol-era stratum (the all-reps median still includes
+# everything — nothing is ever dropped)
+HEAP_FIX_TS = 1787044454.3
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -516,11 +522,14 @@ def _median_raw_line(attempts: list, n: int, n4: int) -> str:
     reps = []
     norm_reps = []
     quiet, contended, pairs = [], [], []
+    era_reps = []  # post-heap-fix protocol era (see HEAP_FIX_TS)
     for a in attempts:
         if a.get("n") != n or a.get("n4") != n4:
             continue
         raws = a.get("per_rep_raw") or [a["eff"]]
         reps.extend(raws)
+        if a.get("ts", 0) > HEAP_FIX_TS:
+            era_reps.extend(raws)
         norm_reps.extend(a.get("per_rep_norm") or [])
         try:
             res = a["results"]
@@ -568,6 +577,17 @@ def _median_raw_line(attempts: list, n: int, n4: int) -> str:
             f"tracks what the host physically delivered, i.e. the "
             f"shortfall in contended reps is the neighbor's workload, "
             f"not a serial section of this job.\n\n"
+        )
+    if era_reps:
+        emed = statistics.median(era_reps)
+        out += (
+            f"**Current-protocol era (right-sized 8g heap, ledger ts > "
+            f"{HEAP_FIX_TS:.0f}): n={len(era_reps)}, median raw "
+            f"efficiency {emed:.3f}** (every pair: {sorted(era_reps)}). "
+            "All earlier reps ran the 64g-heap config whose degraded-"
+            "window amplification is documented under Host regimes — "
+            "they stay in the all-reps median above; this line shows the "
+            "same statistic for the fixed configuration only.\n\n"
         )
     if norm_reps:
         nmed = statistics.median(norm_reps)
@@ -673,7 +693,14 @@ def render_scaling_md() -> None:
             "   (spark_regime_probe, jobs/scaling_hunt.py) because only a\n"
             "   probe with the job's own resource profile separates these\n"
             "   regimes — CPU-burn and memcpy probes both pass in windows\n"
-            "   where Spark runs 10x slow.\n\n"
+            "   where Spark runs 10x slow.\n"
+            "3. **One gated attempt deadlocked outright** (executor thread\n"
+            "   in EPoll.wait on the python-worker socket, worker in\n"
+            "   wait_woken on the same socket, zero CPU/mem/io pressure —\n"
+            "   thread dump in BENCH/hang_evidence_1787098800_jstack.txt).\n"
+            "   A hang is not a measurement: the hunt kills such attempts\n"
+            "   after 1800s (they write no ledger row either way) and\n"
+            "   resumes gating.\n\n"
             + "## Representative window (best plausible single attempt: "
             "eff <= 1.05 —\nsuper-proportional values mean the 1-core leg "
             "itself was contended and\nare excluded from representing, "
