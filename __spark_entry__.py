@@ -1000,6 +1000,37 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio twin of q_multimodal_features with REAL stdlib WAV decode:
+    interleaved docs -> media spans -> valid RIFF/WAVE containers whose
+    PCM16 square-wave samples derive from md5(media_ref)
+    (multimodal.audio_params_of) -> chunk-walk decode + sample-derived
+    features (RMS over decoded int64 squares, zero-crossings counted
+    from actual sign changes, duration from the parsed header rate).
+    The DuckDB oracle recomputes every feature in closed form from the
+    same md5, so the encode->decode->featurize round trip is
+    content-verified end-to-end — the same grounding contract as the
+    PNG/GIF pixel decoders."""
+    from llm_scraper_spark.operators.multimodal import (
+        audio_meta_udf, synth_audio_assets)
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    assets = synth_audio_assets(spark, docs)
+    a = assets.withColumn("au", audio_meta_udf()(F.col("payload")))
+    return a.select(
+        "asset_id", "doc_id", "media_ref", "mime",
+        F.col("au.sample_rate").alias("sample_rate"),
+        F.col("au.n_samples").alias("n_samples"),
+        F.col("au.duration_ms").alias("duration_ms"),
+        F.col("au.rms_norm").alias("rms_norm"),
+        F.col("au.zcr").alias("zcr"),
+        F.col("au.n_flips").alias("n_flips"),
+        F.col("au.ok").alias("decoded_ok"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path of q_embedding_topk)."""
     from llm_scraper_spark.operators.similarity import ann_topk
@@ -1821,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_documents": q_spans_documents,
         "vector_upsert": q_vector_upsert,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
         "ann_topk": q_ann_topk,
         "ann_topk_md5": q_ann_topk_md5,
         "extract_articles": q_extract_articles,
@@ -2237,6 +2269,35 @@ def oracle_sql() -> dict[str, str]:
                    1.0 AS pix_hist_max,
                    f.i::INT AS frame_idx, (4096 * f.i // 2)::BIGINT AS frame_offset
             FROM d CROSS JOIN (SELECT unnest([0, 1]) AS i) f
+        """,
+        # audio_features: closed-form recomputation of every DECODED value
+        # (multimodal.audio_params_of contract: A = 1 + hex[0:4] % 32767,
+        # n = 512 + hex[6:8]*2, half-period p = 2 + hex[8:10] % 14; the
+        # Spark side derives these from the actually-decoded PCM samples)
+        "audio_features": """
+            WITH m AS (
+              SELECT doc_id, media_ref, "offset"
+              FROM read_parquet('/root/repo/goldens/spans_sf0.01.parquet')
+              WHERE kind = 'media'
+            ), d AS (
+              SELECT doc_id || '#' || "offset"::VARCHAR AS asset_id, doc_id,
+                     media_ref,
+                     1 + ('0x' || substring(md5(media_ref), 1, 4))::INT % 32767
+                       AS amp,
+                     512 + ('0x' || substring(md5(media_ref), 7, 2))::INT * 2
+                       AS n,
+                     2 + ('0x' || substring(md5(media_ref), 9, 2))::INT % 14
+                       AS p
+              FROM m
+            )
+            SELECT asset_id, doc_id, media_ref, 'audio/wav' AS mime,
+                   8000::INT AS sample_rate, n::INT AS n_samples,
+                   ((n * 1000) // 8000)::INT AS duration_ms,
+                   round(amp / 32768.0, 6) AS rms_norm,
+                   round(((n - 1) // p) / (n - 1.0), 6) AS zcr,
+                   ((n - 1) // p)::INT AS n_flips,
+                   true AS decoded_ok
+            FROM d
         """,
         "crawl_schedule_log": """
             SELECT wave::INT AS wave, seq::BIGINT AS seq, url

@@ -918,3 +918,154 @@ def synth_assets(spark, documents: DataFrame) -> DataFrame:
         _payload_udf(F.col("media_ref")).alias("payload"),
         F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
     )
+
+# ---------------------------------------------------------------------------
+# audio: REAL stdlib RIFF/WAVE PCM16 encode + decode + feature extraction
+# ---------------------------------------------------------------------------
+# The audio sibling of the image path above (SURVEY §2 multimodal columns;
+# reference stores media refs opaquely — articles.py media handling — so
+# decode depth here exceeds the reference by design, as the 100 TB
+# training-pipeline brief asks). Synthetic payloads are fully valid WAV
+# containers carrying a REAL PCM16 square wave whose amplitude, length,
+# and half-period all derive from md5(media_ref); the feature extractor
+# computes RMS / zero-crossings / duration from ACTUALLY DECODED samples,
+# and a DuckDB oracle recomputes every feature in closed form from the
+# same md5 — the same grounding contract as the PNG/GIF pixel decoders.
+
+AUDIO_SAMPLE_RATE = 8000
+
+AUDIO_META_DDL = (
+    "struct<sample_rate:int, n_samples:int, channels:int, duration_ms:int, "
+    "rms_norm:double, zcr:double, n_flips:int, ok:boolean>"
+)
+
+
+def audio_params_of(media_ref: str) -> tuple[int, int, int]:
+    """(amplitude, n_samples, half_period) from md5(media_ref) — the
+    shared contract between synth_wav, the feature extractor's expected
+    values, and the DuckDB oracle:
+
+        A = 1 + hex[0:4] % 32767        (1..32767, never 0)
+        n = 512 + hex[6:8] * 2          (512..1022 samples)
+        p = 2 + hex[8:10] % 14          (half-period, 2..15 samples)
+    """
+    hx = hashlib.md5(media_ref.encode("utf-8")).hexdigest()
+    amp = 1 + int(hx[0:4], 16) % 32767
+    n = 512 + int(hx[6:8], 16) * 2
+    p = 2 + int(hx[8:10], 16) % 14
+    return amp, n, p
+
+
+def synth_wav(media_ref: str) -> bytes:
+    """Valid RIFF/WAVE: canonical 44-byte header (PCM fmt chunk, mono,
+    16-bit, 8 kHz) + little-endian PCM16 data — a square wave
+    sample[i] = +A if (i // p) % 2 == 0 else -A (audio_params_of)."""
+    amp, n, p = audio_params_of(media_ref)
+    idx = np.arange(n, dtype=np.int64)
+    samples = np.where((idx // p) % 2 == 0, amp, -amp).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = AUDIO_SAMPLE_RATE * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_SAMPLE_RATE,
+                                byte_rate, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes | None) -> tuple[dict, "np.ndarray | None"]:
+    """REAL stdlib RIFF/WAVE parse: chunk walk (fmt then data — tolerant
+    of extra chunks in between), PCM16 mono only. Returns (meta, samples)
+    with samples as int16 np array, or ok=False and None."""
+    bad = ({"sample_rate": 0, "n_samples": 0, "channels": 0, "ok": False},
+           None)
+    p = payload or b""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return bad
+    i = 12
+    sr = channels = bits = None
+    data = None
+    try:
+        while i + 8 <= len(p):
+            cid = p[i:i + 4]
+            size = struct.unpack("<I", p[i + 4:i + 8])[0]
+            body = p[i + 8:i + 8 + size]
+            if cid == b"fmt ":
+                fmt_tag, channels, sr = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if fmt_tag != 1:  # PCM only
+                    return bad
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+    except struct.error:
+        return bad
+    if sr is None or data is None or bits != 16 or channels != 1:
+        return bad
+    samples = np.frombuffer(data[:len(data) // 2 * 2], dtype="<i2")
+    return (
+        {"sample_rate": int(sr), "n_samples": int(samples.size),
+         "channels": int(channels), "ok": True},
+        samples,
+    )
+
+
+def audio_meta_udf():
+    """payload -> decoded meta + sample-derived features, Arrow-batched.
+
+    Every feature is computed from the DECODED sample array (not the
+    construction parameters): RMS over int64 squares (exact for PCM16),
+    zero-crossings counted from actual sign changes, duration from the
+    parsed header rate. rms_norm/zcr are rounded to 6 so the DuckDB
+    closed-form twin (exact binary /2^15 division) compares equal."""
+
+    @F.pandas_udf(AUDIO_META_DDL)
+    def _udf(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for pld in payloads:
+            meta, samples = decode_wav(bytes(pld) if pld is not None else None)
+            if not meta["ok"] or samples is None or samples.size == 0:
+                rows.append({**meta, "duration_ms": 0, "rms_norm": 0.0,
+                             "zcr": 0.0, "n_flips": 0})
+                continue
+            s = samples.astype(np.int64)
+            n = s.size
+            rms = float(np.sqrt(np.mean(s * s)))
+            flips = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+            rows.append({
+                **meta,
+                "duration_ms": n * 1000 // meta["sample_rate"],
+                "rms_norm": round(rms / 32768.0, 6),
+                "zcr": round(flips / (n - 1), 6) if n > 1 else 0.0,
+                "n_flips": flips,
+            })
+        return pd.DataFrame(rows)
+
+    return _udf
+
+
+@F.pandas_udf(T.BinaryType())
+def _wav_payload_udf(media_ref: pd.Series) -> pd.Series:
+    return pd.Series([synth_wav(str(r)) for r in media_ref])
+
+
+def synth_audio_assets(spark, documents: DataFrame) -> DataFrame:
+    """Deterministic audio-asset table from documents(doc_id, spans): one
+    WAV per media span (the audio twin of synth_assets; same asset_id
+    scheme, mime audio/wav). Partition/bucket guidance in the module
+    docstring applies unchanged — payloads are opaque binary to Spark."""
+    media = documents.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda s: s.kind == F.lit("media"))).alias("sp"),
+    ).select(
+        "doc_id", F.col("sp.media_ref").alias("media_ref"),
+        F.col("sp.offset").alias("offset"),
+    )
+    return media.select(
+        F.concat("doc_id", F.lit("#"), F.col("offset").cast("string")).alias("asset_id"),
+        "doc_id", "media_ref",
+        F.lit("audio/wav").alias("mime"),
+        _wav_payload_udf(F.col("media_ref")).alias("payload"),
+        F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
+    )

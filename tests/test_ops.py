@@ -939,3 +939,60 @@ def test_jpeg_decode_round_trip_and_general_blocks():
     # invalid/unsupported payloads degrade to None
     assert mm.decode_jpeg_pixels(b"\xff\xd8junk") is None
     assert mm.decode_jpeg_pixels(mm.synth_png(20, 20, "ab" * 16)) is None
+
+
+def test_wav_round_trip_and_features_from_decoded_samples():
+    """synth_wav -> decode_wav must recover the exact md5-derived square
+    wave, and the sample-derived features must equal the closed forms the
+    DuckDB oracle uses (multimodal.audio_params_of contract)."""
+    import numpy as np
+
+    for ref in ["m1", "media://host/path?x=1", "", "Ω-unicode"]:
+        amp, n, p = mm.audio_params_of(ref)
+        meta, s = mm.decode_wav(mm.synth_wav(ref))
+        assert meta == {"sample_rate": mm.AUDIO_SAMPLE_RATE, "n_samples": n,
+                        "channels": 1, "ok": True}
+        s64 = s.astype(np.int64)
+        # exact square wave back out of the container
+        idx = np.arange(n)
+        expect = np.where((idx // p) % 2 == 0, amp, -amp)
+        assert (s64 == expect).all()
+        # closed-form twins: RMS == amplitude, flips == (n-1)//p
+        assert float(np.sqrt(np.mean(s64 * s64))) == amp
+        flips = int(np.count_nonzero(
+            np.signbit(s64[1:]) != np.signbit(s64[:-1])))
+        assert flips == (n - 1) // p
+
+
+def test_wav_decode_rejects_malformed_payloads():
+    """Truncated/foreign/non-PCM payloads degrade to ok=False, never raise
+    (the fallback contract every decoder in the module shares)."""
+    good = mm.synth_wav("m1")
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # fmt_tag = IEEE float, not PCM
+    for payload in [None, b"", b"RIFF\x00\x00\x00\x00WAVE", good[:30],
+                    b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, bytes(bad_fmt)]:
+        meta, s = mm.decode_wav(payload)
+        assert meta["ok"] is False and s is None
+
+
+def test_audio_assets_spark_plumbing(spark, sf_small):
+    """synth_audio_assets + audio_meta_udf over real interleaved docs:
+    every asset decodes ok and the per-row features match the closed
+    forms recomputed from md5(media_ref) on the driver."""
+    import hashlib
+
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    docs = build_documents_interleaved(spark, sf_small)
+    assets = mm.synth_audio_assets(spark, docs)
+    out = (assets.withColumn("au", mm.audio_meta_udf()(F.col("payload")))
+           .select("media_ref", "au.*").limit(200).collect())
+    assert out
+    for row in out:
+        amp, n, p = mm.audio_params_of(row["media_ref"])
+        assert row["ok"] and row["sample_rate"] == 8000
+        assert row["n_samples"] == n
+        assert row["n_flips"] == (n - 1) // p
+        assert row["rms_norm"] == round(amp / 32768.0, 6)
+        assert row["duration_ms"] == n * 1000 // 8000
