@@ -84,6 +84,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem))
+        # fresh python worker per task (reuse OFF): with reused workers
+        # this sandbox hit a reproducible executor<->worker Arrow-socket
+        # deadlock (JVM mid-readMessageBody in EPoll.wait, worker blocked
+        # in recv, zero host pressure — BENCH/hang_evidence_*_jstack.txt;
+        # 3 hangs in 6 runs at local[4]/8M-seed legs, 0 in 8 with reuse
+        # off, throughput unchanged 550-724k URLs/s). Worker fork via the
+        # pyspark daemon is ~tens of ms per task — noise next to Arrow
+        # batch transfer. On a real cluster flip SPARK_GRAFT_WORKER_REUSE
+        # back to true if the deployment's Spark build is past the race.
+        .config("spark.python.worker.reuse",
+                os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"))
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
@@ -98,6 +109,12 @@ def get_spark(
             f"-Dderby.system.home={wh}/derby",
         )
     )
+    # env-injected conf (subprocess benches / A-B experiments):
+    # SPARK_GRAFT_EXTRA_CONF="spark.python.worker.reuse=false;k2=v2"
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
