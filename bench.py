@@ -694,13 +694,17 @@ def render_scaling_md() -> None:
             "   probe with the job's own resource profile separates these\n"
             "   regimes — CPU-burn and memcpy probes both pass in windows\n"
             "   where Spark runs 10x slow.\n"
-            "3. **One gated attempt deadlocked outright** (executor thread\n"
-            "   in EPoll.wait on the python-worker socket, worker in\n"
-            "   wait_woken on the same socket, zero CPU/mem/io pressure —\n"
-            "   thread dump in BENCH/hang_evidence_1787098800_jstack.txt).\n"
-            "   A hang is not a measurement: the hunt kills such attempts\n"
-            "   after 1800s (they write no ledger row either way) and\n"
-            "   resumes gating.\n\n"
+            "3. **Reused python workers deadlocked probabilistically**\n"
+            "   (executor parked mid-Arrow-message in EPoll.wait, worker\n"
+            "   blocked in recv, zero CPU/mem/io pressure — thread dumps\n"
+            "   in BENCH/hang_evidence_*_jstack.txt): 3 hangs in 6\n"
+            "   local[4]/8M frontier legs with worker reuse on, 0 in 8\n"
+            "   with it off at unchanged throughput (550-724k URLs/s).\n"
+            "   The session default is now\n"
+            "   spark.python.worker.reuse=false (env-overridable); the\n"
+            "   hunt additionally kills any attempt stuck past 1800s\n"
+            "   (a hang is not a measurement — it writes no ledger row\n"
+            "   either way) and resumes gating.\n\n"
             + "## Representative window (best plausible single attempt: "
             "eff <= 1.05 —\nsuper-proportional values mean the 1-core leg "
             "itself was contended and\nare excluded from representing, "
