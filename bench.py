@@ -140,7 +140,13 @@ def bench_wave_loop(spark, n_seeds: int, n_waves: int = 3,
     from llm_scraper_spark.sources.synthetic import synth_seeds
 
     n_hosts = max(64, n_seeds // 500)
-    state_dir = tempfile.mkdtemp(prefix="bench_wave_loop_")
+    # crawl state on tmpfs when available, matching the session's
+    # shuffle-dir choice (session.py): the sandbox's virtio disk
+    # serializes parquet commits behind a seconds-level sys-time floor,
+    # while a real deployment's wave commits land on executor-local NVMe
+    # or object storage with far higher parallel write throughput
+    state_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    state_dir = tempfile.mkdtemp(prefix="bench_wave_loop_", dir=state_root)
     try:
         t0 = time.time()
         run = CrawlRun(
