@@ -1031,6 +1031,39 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """Video twin of the image/audio multimodal queries with REAL stdlib
+    animated-GIF demux+decode: interleaved docs -> media spans -> valid
+    multi-frame GIF89a containers (Netscape loop block, per-frame GCE
+    delays, per-frame LOCAL color tables, real LZW streams; all
+    parameters md5-derived) -> full block-walk demux + per-frame LZW
+    decode + per-frame mean-RGB features from the decoded pixels. The
+    DuckDB oracle recomputes frame counts, delays, and every per-frame
+    feature in closed form from md5(media_ref)."""
+    from llm_scraper_spark.operators.multimodal import (
+        synth_video_assets, video_frames_udf)
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    assets = synth_video_assets(spark, docs)
+    v = assets.withColumn("fr", video_frames_udf()(F.col("payload")))
+    return v.select(
+        "asset_id", "doc_id", "media_ref", "mime",
+        F.size("fr").alias("n_frames"),
+        F.posexplode("fr").alias("k", "f"),
+    ).select(
+        "asset_id", "doc_id", "media_ref", "mime", "n_frames",
+        F.col("f.frame_idx").alias("frame_idx"),
+        F.col("f.delay_cs").alias("delay_cs"),
+        F.col("f.width").alias("width"),
+        F.col("f.height").alias("height"),
+        F.col("f.mean_r").alias("mean_r"),
+        F.col("f.mean_g").alias("mean_g"),
+        F.col("f.mean_b").alias("mean_b"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path of q_embedding_topk)."""
     from llm_scraper_spark.operators.similarity import ann_topk
@@ -1853,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_upsert": q_vector_upsert,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "ann_topk": q_ann_topk,
         "ann_topk_md5": q_ann_topk_md5,
         "extract_articles": q_extract_articles,
@@ -2298,6 +2332,40 @@ def oracle_sql() -> dict[str, str]:
                    ((n - 1) // p)::INT AS n_flips,
                    true AS decoded_ok
             FROM d
+        """,
+        # video_frames: closed-form recomputation of the animated-GIF
+        # demux (multimodal contract: dims from asset_dims_of, n_frames =
+        # 2 + hex[12:14] % 3, delay = 4 + hex[14:16] % 96, frame-k color
+        # = png_rgb_of stepped by (17,23,29)k mod 256)
+        "video_frames": """
+            WITH m AS (
+              SELECT doc_id, media_ref, "offset"
+              FROM read_parquet('/root/repo/goldens/spans_sf0.01.parquet')
+              WHERE kind = 'media'
+            ), d AS (
+              SELECT doc_id || '#' || "offset"::VARCHAR AS asset_id, doc_id,
+                     media_ref,
+                     (16 + ('0x' || substring(md5(media_ref), 1, 2))::INT)::INT
+                       AS width,
+                     (16 + ('0x' || substring(md5(media_ref), 3, 2))::INT)::INT
+                       AS height,
+                     ('0x' || substring(md5(media_ref), 7, 2))::INT AS r0,
+                     ('0x' || substring(md5(media_ref), 9, 2))::INT AS g0,
+                     ('0x' || substring(md5(media_ref), 11, 2))::INT AS b0,
+                     2 + ('0x' || substring(md5(media_ref), 13, 2))::INT % 3
+                       AS n_frames,
+                     4 + ('0x' || substring(md5(media_ref), 15, 2))::INT % 96
+                       AS delay_cs
+              FROM m
+            )
+            SELECT asset_id, doc_id, media_ref, 'video/gif' AS mime,
+                   n_frames::INT AS n_frames, f.k::INT AS frame_idx,
+                   delay_cs::INT AS delay_cs, width, height,
+                   round(((r0 + 17 * f.k) % 256) / 255.0, 6) AS mean_r,
+                   round(((g0 + 23 * f.k) % 256) / 255.0, 6) AS mean_g,
+                   round(((b0 + 29 * f.k) % 256) / 255.0, 6) AS mean_b
+            FROM d CROSS JOIN (SELECT unnest(range(4)) AS k) f
+            WHERE f.k < n_frames
         """,
         "crawl_schedule_log": """
             SELECT wave::INT AS wave, seq::BIGINT AS seq, url

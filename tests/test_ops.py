@@ -996,3 +996,40 @@ def test_audio_assets_spark_plumbing(spark, sf_small):
         assert row["n_flips"] == (n - 1) // p
         assert row["rms_norm"] == round(amp / 32768.0, 6)
         assert row["duration_ms"] == n * 1000 // 8000
+
+
+def test_gif_anim_round_trip_per_frame_colors_and_delays():
+    """synth_gif_anim -> decode_gif_frames recovers every frame's exact
+    md5-derived constant color and real GCE delay; the single-frame
+    decoder keeps rejecting animated payloads (local color tables)."""
+    import hashlib
+
+    for ref in ["v1", "media://a/b?x=2", ""]:
+        hx = hashlib.md5(ref.encode()).hexdigest()
+        w, h, _ = mm.asset_dims_of(ref)
+        nf, delay = mm.video_params_of(ref)
+        pay = mm.synth_gif_anim(w, h, hx, nf, delay)
+        frames, delays = mm.decode_gif_frames(pay)
+        assert len(frames) == nf and delays == [delay] * nf
+        for k, fr in enumerate(frames):
+            r, g, b = mm.frame_color_of(hx, k)
+            assert fr.shape == (h, w, 3)
+            assert (fr[:, :, 0] == r).all() and (fr[:, :, 1] == g).all() \
+                and (fr[:, :, 2] == b).all()
+        assert mm.decode_gif_pixels(pay) is None
+
+
+def test_gif_frames_demux_compat_and_rejection():
+    """decode_gif_frames also demuxes the module's single-frame GIFs
+    (global-color-table path, delay 0) and degrades to None on anything
+    malformed — never raises."""
+    import hashlib
+
+    hx = hashlib.md5(b"m1").hexdigest()
+    w, h, _ = mm.asset_dims_of("m1")
+    frames, delays = mm.decode_gif_frames(mm.synth_gif(w, h, hx))
+    assert len(frames) == 1 and delays == [0]
+    anim = mm.synth_gif_anim(w, h, hx, 2, 5)
+    for bad in [None, b"", b"GIF89a", mm.synth_wav("m1"), anim[:40],
+                mm.synth_png(20, 20, "ab" * 16)]:
+        assert mm.decode_gif_frames(bad) is None
