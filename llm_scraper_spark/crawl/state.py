@@ -5,11 +5,28 @@ The reference's resumability is "frontier + seen live on disk"
 
     state_dir/
       ledger.json                # committed waves + next_seq (written LAST)
-      frontier/wave=K/           # full pending snapshot after wave K
+      frontier_delta/wave=K/     # rows that became pending AT wave K
+                                 # (K=-1: the seeds) — append-only
+      fetched/wave=K/            # url_hash tombstones of wave K's fetches
+                                 # (budget-bounded: <= hosts x budget rows)
+      frontier_base/wave=B/      # periodic compaction: the folded pending
+                                 # set after wave B (ledger frontier_base
+                                 # names the live one)
       seen_delta/wave=K/         # hashes first seen in wave K (append-only)
       documents/wave=K/          # documents emitted in wave K
       schedule_log/wave=K/       # (wave, seq, url) fetch order — golden_crawl
       metrics/wave=K/            # per-partition lineage + fetch/dedup metrics
+
+    The pending frontier is DELTA state, like the seen set: wave K writes
+    only its new discoveries (frontier_delta) and its fetch tombstones
+    (fetched); ``read_pending`` folds base + deltas - tombstones at read
+    time, and ``compact_frontier`` periodically rewrites the fold so both
+    the per-read delta count and the tombstone anti-join side stay
+    bounded by the compaction interval. At the 10^10-URL design point
+    this is the difference between O(new + scheduled) and O(frontier)
+    state writes per wave — the full-snapshot rewrite was the loop's one
+    remaining at-scale bottleneck. A url_hash enters at most ONE delta
+    ever (the seen set gates enqueue), so the fold needs no ordering.
 
 Commit protocol (crash-consistent, idempotent replay keyed by wave id):
 
@@ -87,12 +104,7 @@ class CrawlState:
         with open(self._ledger_path) as f:
             return json.load(f)
 
-    def commit_wave(self, wave: int, next_seq: int, stats: dict) -> None:
-        ledger = self.read_ledger()
-        ledger["waves"] = [w for w in ledger["waves"] if w["wave"] != wave]
-        ledger["waves"].append({"wave": wave, "next_seq": next_seq, **stats})
-        ledger["waves"].sort(key=lambda w: w["wave"])
-        ledger["next_seq"] = next_seq
+    def _write_ledger(self, ledger: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".ledger.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(ledger, f, indent=2)
@@ -105,6 +117,14 @@ class CrawlState:
             os.close(dfd)
         except OSError:
             pass
+
+    def commit_wave(self, wave: int, next_seq: int, stats: dict) -> None:
+        ledger = self.read_ledger()
+        ledger["waves"] = [w for w in ledger["waves"] if w["wave"] != wave]
+        ledger["waves"].append({"wave": wave, "next_seq": next_seq, **stats})
+        ledger["waves"].sort(key=lambda w: w["wave"])
+        ledger["next_seq"] = next_seq
+        self._write_ledger(ledger)
 
     def last_wave(self) -> int | None:
         waves = self.read_ledger()["waves"]
@@ -132,8 +152,8 @@ class CrawlState:
         import shutil
 
         removed = []
-        for table in ("frontier", "seen_delta", "documents",
-                      "schedule_log", "metrics"):
+        for table in ("frontier", "frontier_delta", "fetched", "seen_delta",
+                      "documents", "schedule_log", "metrics"):
             base = os.path.join(self.dir, table)
             if not os.path.isdir(base):
                 continue
@@ -147,6 +167,16 @@ class CrawlState:
                     continue
                 if w not in keep:
                     path = os.path.join(base, name)
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
+        # frontier_base: only the ledger-named fold is live; any other dir
+        # is an orphan of a crashed compaction
+        basedir = os.path.join(self.dir, "frontier_base")
+        live = self.frontier_base_wave()
+        if os.path.isdir(basedir):
+            for name in os.listdir(basedir):
+                if name.startswith("wave=") and name != f"wave={live}":
+                    path = os.path.join(basedir, name)
                     shutil.rmtree(path, ignore_errors=True)
                     removed.append(path)
         return removed
@@ -178,8 +208,109 @@ class CrawlState:
                     .where(f"_wave_part = {int(wave)}").drop("_wave_part"))
         return self.spark.read.parquet(self._p(table, wave))
 
+    def frontier_base_wave(self) -> int | None:
+        """Wave id of the live compacted pending fold, or None."""
+        return self.read_ledger().get("frontier_base")
+
+    def _fetched_since_base(self, upto_wave: int) -> tuple[list[int], int]:
+        """(wave ids of committed fetch-tombstone dirs in (base, upto_wave],
+        total tombstone rows from the ledger's per-wave scheduled counts).
+        The count is free (ledger stats) and sizes the anti-join strategy
+        in read_pending without a Spark action."""
+        base = self.frontier_base_wave()
+        lo = -1 if base is None else base
+        ledger = self.read_ledger()
+        waves, total = [], 0
+        for w in ledger["waves"]:
+            if lo < w["wave"] <= upto_wave and w["wave"] >= 0 \
+                    and os.path.exists(self._p("fetched", w["wave"])):
+                waves.append(w["wave"])
+                total += int(w.get("scheduled", 0))
+        return waves, total
+
+    def read_pending(self, wave: int) -> DataFrame:
+        """The pending frontier AS INPUT TO ``wave``: compacted base (if
+        any) + frontier deltas - fetch tombstones, all ledger-bounded.
+        The tombstone side is budget-bounded per wave and reset by each
+        compaction, so it is BROADCAST whenever the ledger's own counts
+        say it fits (no Spark action needed to decide)."""
+        from pyspark.sql import functions as F
+
+        base = self.frontier_base_wave()
+        lo = -1 if base is None else base
+        committed = self.committed_waves()
+        delta_paths = [
+            self._p("frontier_delta", d)
+            for d in sorted(committed)
+            if lo < d <= wave - 1 and os.path.exists(
+                self._p("frontier_delta", d))
+        ]
+        # seeds live in dir -1, committed by wave -1
+        if base is None and -1 in committed and wave >= 0 \
+                and os.path.exists(self._p("frontier_delta", -1)):
+            delta_paths.insert(0, self._p("frontier_delta", -1))
+        parts = []
+        if base is not None:
+            parts.append(self.read("frontier_base", base))
+        if delta_paths:
+            parts.append(self.spark.read.parquet(*delta_paths))
+        if not parts:
+            raise FileNotFoundError(
+                f"no committed frontier state for wave {wave} in {self.dir}")
+        pending = parts[0]
+        for p in parts[1:]:
+            pending = pending.unionByName(p)
+        fetched_waves, n_tombstones = self._fetched_since_base(wave - 1)
+        if fetched_waves:
+            tomb = self.spark.read.parquet(
+                *[self._p("fetched", f) for f in fetched_waves]
+            ).select("url_hash")
+            if n_tombstones <= 4_000_000:
+                tomb = F.broadcast(tomb)
+            pending = pending.join(tomb, on="url_hash", how="left_anti")
+        return pending
+
+    def compact_frontier(self, after_wave: int) -> None:
+        """Fold base + deltas - tombstones through ``after_wave`` into
+        frontier_base/wave=after_wave and point the ledger at it (same
+        crash protocol: table dir first, atomic ledger rename last — an
+        orphan base dir is invisible until the ledger names it). The
+        superseded delta/tombstone/base dirs are then removed; reads
+        below the new compaction point become unavailable, which is the
+        standard retention trade (the live pending set is what the crawl
+        needs; schedule_log/documents keep full history)."""
+        import shutil
+
+        folded = self.read_pending(after_wave + 1)
+        self.write("frontier_base", after_wave, folded)
+        old_base = self.frontier_base_wave()
+        ledger = self.read_ledger()
+        ledger["frontier_base"] = after_wave
+        self._write_ledger(ledger)
+        # GC superseded state (post-commit; crash here only leaves extra
+        # dirs that clean_uncommitted-style hygiene may remove later)
+        for table in ("frontier_delta", "fetched"):
+            basedir = os.path.join(self.dir, table)
+            if not os.path.isdir(basedir):
+                continue
+            for name in os.listdir(basedir):
+                if not name.startswith("wave="):
+                    continue
+                try:
+                    w = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if w <= after_wave:
+                    shutil.rmtree(os.path.join(basedir, name),
+                                  ignore_errors=True)
+        if old_base is not None and old_base != after_wave:
+            shutil.rmtree(self._p("frontier_base", old_base),
+                          ignore_errors=True)
+
     def read_frontier(self, wave: int) -> DataFrame:
-        return self.read("frontier", wave)
+        """Pending snapshot AFTER ``wave`` (compat alias: the delta-state
+        equivalent of the old full-snapshot table)."""
+        return self.read_pending(wave + 1)
 
     def read_seen(self, upto_wave: int) -> DataFrame | None:
         committed = self._committed_for("seen_delta")

@@ -133,6 +133,7 @@ class CrawlRun:
         use_bloom: bool = True,
         link_priority: float = 1.0,
         seen_filter: str | None = None,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.state = CrawlState(spark, state_dir)
@@ -156,6 +157,10 @@ class CrawlRun:
             raise ValueError(f"unknown seen_filter {seen_filter!r}")
         self.seen_filter = seen_filter
         self._bloom = None  # standing filter, delta-merged per wave
+        # fold the delta frontier every N waves (state.compact_frontier):
+        # bounds both the per-read delta dir count and the tombstone
+        # anti-join side (<= N waves x budget rows). 0 disables.
+        self.compact_every = compact_every
 
     # ------------------------------------------------------------------
     def _standing_bloom(self, seen_df: DataFrame | None):
@@ -204,7 +209,7 @@ class CrawlRun:
         frontier, ids = local_checkpoint_tracked(frontier)
         ck_sink.append(ids)
         n = frontier.count()
-        self.state.write("frontier", -1, frontier)
+        self.state.write("frontier_delta", -1, frontier)
         self.state.write(
             "seen_delta", 0,
             frontier.select(
@@ -243,7 +248,7 @@ class CrawlRun:
         st = self.state
         ledger = st.read_ledger()
         next_seq = ledger["next_seq"]
-        pending = st.read_frontier(wave - 1)
+        pending = st.read_pending(wave)
 
         if self.robots is not None:
             pending_gated = gate_frontier(pending, self.robots)
@@ -349,19 +354,13 @@ class CrawlRun:
         # so a checkpoint here would materialize the full multi-million-row
         # frontier twice per wave for nothing (profiled at 1M seeds:
         # 7-22s/wave of pure duplicate work).
-        # scheduled is budget-bounded (<= n_hosts * budget) and its exact
-        # count is known from the observation: broadcast the hash set when
-        # it fits (8 bytes/row -> 4M rows ~ 32 MB) so the full pending
-        # table is NOT shuffled just to subtract one wave's fetches. At
-        # 10^10 scale with a huge host count the count guard falls back to
-        # the shuffle join automatically.
-        sched_hashes = scheduled.select("url_hash")
-        if n_scheduled <= 4_000_000:
-            sched_hashes = F.broadcast(sched_hashes)
-        remaining = pending.join(
-            sched_hashes, on="url_hash", how="left_anti"
-        ).select(*new_frontier_rows.columns)
-        next_frontier = remaining.unionByName(new_frontier_rows)
+        # next pending is DELTA state (state.py): this wave commits only
+        # its new rows (frontier_delta) and its fetch tombstones (fetched,
+        # budget-bounded) — read_pending folds base + deltas - tombstones
+        # at the next wave's read, broadcasting the tombstone side off the
+        # ledger's own counts. O(new + scheduled) state writes per wave
+        # instead of O(frontier): the full-snapshot rewrite was the one
+        # remaining at-scale bottleneck at the 10^10-URL design point.
         _mark("next_frontier")
 
         # --- metrics: per-partition lineage + fetch/dedup counts (A7/T7)
@@ -393,14 +392,16 @@ class CrawlRun:
             ),
         )
         _mark("write_seen_delta")
-        st.write("frontier", wave, next_frontier)
-        _mark("write_frontier")
+        st.write("fetched", wave, scheduled.select("url_hash"))
+        _mark("write_fetched")
+        st.write("frontier_delta", wave, new_frontier_rows)
+        _mark("write_frontier_delta")
         st.write("metrics", wave, metrics)
         _mark("write_metrics")
         timings["state_writes"] = round(sum(
             timings[k] for k in ("write_schedule_log", "write_documents",
-                                 "write_seen_delta", "write_frontier",
-                                 "write_metrics")), 3)
+                                 "write_seen_delta", "write_fetched",
+                                 "write_frontier_delta", "write_metrics")), 3)
         stats = {
             "scheduled": n_scheduled,
             "discovered": int(n_discovered),
@@ -408,6 +409,14 @@ class CrawlRun:
             "timings": timings,
         }
         st.commit_wave(wave, next_seq + n_new, stats)
+        # periodic fold of the delta frontier (after the wave commit —
+        # compaction has its own table-then-ledger crash protocol)
+        if self.compact_every:
+            base = st.frontier_base_wave()
+            if wave - (base if base is not None else -1) >= self.compact_every:
+                st.compact_frontier(wave)
+                timings["compact_frontier"] = round(
+                    _time.time() - _t0, 3)
         # every cross-wave input is re-read from the committed parquet
         # (CrawlState), so this wave's checkpoint blocks are dead weight
         # now — release them or a long crawl accumulates one wave's

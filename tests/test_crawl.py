@@ -308,3 +308,63 @@ def test_resume_after_midcommit_crash(spark, tmp_path, monkeypatch):
     assert a == b
     assert (full.state.read_ledger()["next_seq"]
             == run_b.state.read_ledger()["next_seq"])
+
+
+def test_compaction_preserves_crawl_equality(spark, tmp_path):
+    """Delta-frontier compaction (state.compact_frontier, auto-run every
+    compact_every waves) must not change the crawl: schedule log, seen
+    set, pending fold, and next_seq all equal an uncompacted run's, the
+    ledger names the fold, and superseded delta/tombstone dirs are GC'd."""
+    import os
+
+    from llm_scraper_spark.crawl.waves import CrawlRun, synthetic_fetcher
+
+    n_seeds, n_waves, budget = 40, 4, 3
+
+    def drive(d, compact_every):
+        run = CrawlRun(
+            spark, str(d),
+            fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
+            default_budget=budget, n_salts=4, compact_every=compact_every,
+        )
+        run.run(n_waves, seeds=_mk_seeds(spark, n_seeds))
+        return run
+
+    plain = drive(tmp_path / "plain", compact_every=0)
+    compacted = drive(tmp_path / "compact", compact_every=2)
+
+    assert _spark_schedule_log(plain) == _spark_schedule_log(compacted)
+    assert plain.state.read_ledger()["next_seq"] == \
+        compacted.state.read_ledger()["next_seq"]
+    seen_a = {r["key_hex"] for r in plain.state.read_seen(n_waves).collect()}
+    seen_b = {r["key_hex"]
+              for r in compacted.state.read_seen(n_waves).collect()}
+    assert seen_a == seen_b
+    pend_a = {r["url_hash"] for r in
+              plain.state.read_pending(n_waves).collect()}
+    pend_b = {r["url_hash"] for r in
+              compacted.state.read_pending(n_waves).collect()}
+    assert pend_a == pend_b
+
+    base = compacted.state.frontier_base_wave()
+    assert base is not None and base >= 1
+    assert os.path.isdir(os.path.join(str(tmp_path / "compact"),
+                                      "frontier_base", f"wave={base}"))
+    # superseded deltas/tombstones are gone; later ones remain
+    for w in range(-1, base + 1):
+        assert not os.path.exists(os.path.join(
+            str(tmp_path / "compact"), "frontier_delta", f"wave={w}"))
+    # a RESUMED run over the compacted state keeps matching the plain one
+    resumed = CrawlRun(
+        spark, str(tmp_path / "compact"),
+        fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
+        default_budget=budget, n_salts=4, compact_every=2,
+    )
+    plain2 = CrawlRun(
+        spark, str(tmp_path / "plain"),
+        fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
+        default_budget=budget, n_salts=4, compact_every=0,
+    )
+    resumed.run(n_waves + 2)
+    plain2.run(n_waves + 2)
+    assert _spark_schedule_log(plain2) == _spark_schedule_log(resumed)

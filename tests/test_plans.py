@@ -294,26 +294,25 @@ def test_ann_md5_bucket_zero_python_codegen(spark):
 
 
 def test_wave_subtraction_broadcasts_scheduled(spark, tmp_path):
-    """Round-3 wave optimization: the next-frontier subtraction
-    (pending ANTI JOIN scheduled) must broadcast the budget-bounded
-    scheduled hash set — the multi-million-row pending table is never
-    shuffled just to subtract one wave's fetches. Pinned by driving one
-    real wave and inspecting the executed frontier-write plan via the
-    wave's own timings contract (counts) plus an isolated plan build."""
+    """Round-3 delta-frontier state: read_pending's tombstone
+    subtraction (pending deltas ANTI JOIN fetched) must broadcast the
+    budget-bounded tombstone side — sized from the LEDGER's own
+    scheduled counts, no Spark action — so the frontier fold is never
+    shuffled just to subtract fetched waves. Pinned on a real state dir
+    produced by two driven waves."""
+    from llm_scraper_spark.crawl.waves import CrawlRun, synthetic_fetcher
     from llm_scraper_spark.plans.explain import physical_plan
+    from llm_scraper_spark.sources.synthetic import synth_seeds
 
-    # isolated shape: pending (big, from parquet) anti-join broadcast
-    # scheduled (small) — mirrors run_wave's construction exactly
-    pending = spark.range(200_000).select(
-        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
-        F.col("id").alias("seq"),
-    )
-    sched = pending.limit(1000).select("url_hash")
-    joined = pending.join(F.broadcast(sched), on="url_hash", how="left_anti")
-    p = physical_plan(joined, "simple")
+    d = str(tmp_path / "delta_state")
+    run = CrawlRun(spark, d, fetcher=synthetic_fetcher(n_hosts=8, fanout=3),
+                   default_budget=16, n_salts=2)
+    run.run(2, seeds=synth_seeds(spark, 300, n_hosts=8))
+    pending = run.state.read_pending(2)
+    p = physical_plan(pending, "simple")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
-    # exactly one exchange allowed: the broadcast itself — pending must
-    # not be re-partitioned for the subtraction
+    # the fold itself must not re-partition: union of delta parquet
+    # scans + one broadcast anti-join, zero hash-partition exchanges
     assert p.count("Exchange hashpartitioning") == 0
 
 
@@ -333,7 +332,8 @@ def test_wave_loop_python_stages_only_fetch_and_chunk(spark, tmp_path):
     assert stats[0]["scheduled"] > 0 and stats[0]["deduped_new"] > 0
     # per-write timing keys committed with the wave stats (round 3)
     for k in ("write_schedule_log", "write_documents", "write_seen_delta",
-              "write_frontier", "write_metrics", "state_writes"):
+              "write_fetched", "write_frontier_delta", "write_metrics",
+              "state_writes"):
         assert k in stats[0]["timings"], k
     log = spark.read.parquet(f"{d}/schedule_log")
     for w in (0, 1):
