@@ -368,3 +368,59 @@ def test_compaction_preserves_crawl_equality(spark, tmp_path):
     resumed.run(n_waves + 2)
     plain2.run(n_waves + 2)
     assert _spark_schedule_log(plain2) == _spark_schedule_log(resumed)
+
+
+def test_crash_during_compaction_resumes_exactly(spark, tmp_path, monkeypatch):
+    """Compaction follows the same table-then-atomic-ledger protocol as
+    wave commits: a crash after the frontier_base table write but before
+    the ledger names it must leave the orphan fold invisible (reads keep
+    folding from deltas), clean_uncommitted must remove it, and the
+    resumed crawl must still match an uninterrupted uncompacted run."""
+    from llm_scraper_spark.crawl.state import CrawlState
+    from llm_scraper_spark.crawl.waves import CrawlRun, synthetic_fetcher
+
+    n_seeds, budget = 30, 3
+    plain = CrawlRun(
+        spark, str(tmp_path / "plain"),
+        fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
+        default_budget=budget, n_salts=4, compact_every=0,
+    )
+    plain.run(4, seeds=_mk_seeds(spark, n_seeds))
+
+    crash_dir = str(tmp_path / "crash")
+    run_a = CrawlRun(
+        spark, crash_dir,
+        fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
+        default_budget=budget, n_salts=4, compact_every=2,
+    )
+    orig_write_ledger = CrawlState._write_ledger
+
+    def crashing_ledger(self, ledger):
+        if "frontier_base" in ledger:  # the compaction's ledger update
+            raise RuntimeError("simulated crash mid-compaction")
+        return orig_write_ledger(self, ledger)
+
+    monkeypatch.setattr(CrawlState, "_write_ledger", crashing_ledger)
+    with pytest.raises(RuntimeError, match="mid-compaction"):
+        run_a.run(2, seeds=_mk_seeds(spark, n_seeds))
+    monkeypatch.setattr(CrawlState, "_write_ledger", orig_write_ledger)
+
+    # wave 1 committed; the fold table exists but the ledger never named
+    # it -> invisible to reads, removed by resume hygiene
+    import os
+    assert run_a.state.last_wave() == 1
+    assert run_a.state.frontier_base_wave() is None
+    assert os.path.isdir(os.path.join(crash_dir, "frontier_base", "wave=1"))
+    run_b = CrawlRun(
+        spark, crash_dir,
+        fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
+        default_budget=budget, n_salts=4, compact_every=2,
+    )
+    run_b.run(4)
+    assert not os.path.isdir(os.path.join(crash_dir, "frontier_base",
+                                          "wave=1"))
+    assert _spark_schedule_log(plain) == _spark_schedule_log(run_b)
+    assert run_b.state.frontier_base_wave() is not None
+    pend_a = {r["url_hash"] for r in plain.state.read_pending(4).collect()}
+    pend_b = {r["url_hash"] for r in run_b.state.read_pending(4).collect()}
+    assert pend_a == pend_b
