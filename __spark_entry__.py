@@ -1064,6 +1064,36 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_image_resize(spark, sf_dir):
+    """Resize stage of the multimodal pipeline (the brief's decode ->
+    feature-extract -> RESIZE -> frame-sample list): real container
+    decode (PNG/GIF/JPEG) -> real nearest-neighbor resize to 32x32 over
+    the decoded array (multimodal.resize_pixels, pure index math) ->
+    stats over the RESIZED pixels. The DuckDB oracle recomputes source
+    dims and resized means in closed form from md5(media_ref); the
+    resized array's crc32 content witness is pinned in pytest
+    (test_ops) — DuckDB has no crc32."""
+    from llm_scraper_spark.operators.multimodal import (
+        image_resize_udf, synth_assets)
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    assets = synth_assets(spark, docs)
+    r = assets.withColumn("rz", image_resize_udf(32, 32)(F.col("payload")))
+    return r.select(
+        "asset_id", "doc_id", "media_ref", "mime",
+        F.col("rz.src_width").alias("src_width"),
+        F.col("rz.src_height").alias("src_height"),
+        F.col("rz.out_width").alias("out_width"),
+        F.col("rz.out_height").alias("out_height"),
+        F.col("rz.mean_r").alias("mean_r"),
+        F.col("rz.mean_g").alias("mean_g"),
+        F.col("rz.mean_b").alias("mean_b"),
+        F.col("rz.ok").alias("decoded_ok"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path of q_embedding_topk)."""
     from llm_scraper_spark.operators.similarity import ann_topk
@@ -1887,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "image_resize": q_image_resize,
         "ann_topk": q_ann_topk,
         "ann_topk_md5": q_ann_topk_md5,
         "extract_articles": q_extract_articles,
@@ -2366,6 +2397,35 @@ def oracle_sql() -> dict[str, str]:
                    round(((b0 + 29 * f.k) % 256) / 255.0, 6) AS mean_b
             FROM d CROSS JOIN (SELECT unnest(range(4)) AS k) f
             WHERE f.k < n_frames
+        """,
+        # image_resize: NN-resize of a constant-color image is the same
+        # constant, so resized means equal the md5-derived color exactly;
+        # src dims are the header dims (asset_dims_of)
+        "image_resize": """
+            WITH m AS (
+              SELECT doc_id, media_ref, "offset"
+              FROM read_parquet('/root/repo/goldens/spans_sf0.01.parquet')
+              WHERE kind = 'media'
+            )
+            SELECT doc_id || '#' || "offset"::VARCHAR AS asset_id, doc_id,
+                   media_ref,
+                   CASE (('0x' || substring(md5(media_ref), 5, 2))::INT % 3)
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'image/jpeg'
+                     ELSE 'image/gif' END AS mime,
+                   (16 + ('0x' || substring(md5(media_ref), 1, 2))::INT)::INT
+                     AS src_width,
+                   (16 + ('0x' || substring(md5(media_ref), 3, 2))::INT)::INT
+                     AS src_height,
+                   32::INT AS out_width, 32::INT AS out_height,
+                   round((('0x' || substring(md5(media_ref), 7, 2))::INT)
+                         / 255.0, 6) AS mean_r,
+                   round((('0x' || substring(md5(media_ref), 9, 2))::INT)
+                         / 255.0, 6) AS mean_g,
+                   round((('0x' || substring(md5(media_ref), 11, 2))::INT)
+                         / 255.0, 6) AS mean_b,
+                   true AS decoded_ok
+            FROM m
         """,
         "crawl_schedule_log": """
             SELECT wave::INT AS wave, seq::BIGINT AS seq, url

@@ -1033,3 +1033,28 @@ def test_gif_frames_demux_compat_and_rejection():
     for bad in [None, b"", b"GIF89a", mm.synth_wav("m1"), anim[:40],
                 mm.synth_png(20, 20, "ab" * 16)]:
         assert mm.decode_gif_frames(bad) is None
+
+
+def test_resize_pixels_matches_naive_nn_and_closed_form():
+    """Nearest-neighbor resize must equal the per-pixel naive mapping on
+    an arbitrary image, and on the synthetic constant-color corpus the
+    resized tile's crc32 equals the closed form the module documents."""
+    import hashlib
+    import zlib as zl
+
+    rng = np.random.RandomState(0)
+    px = rng.randint(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    out = mm.resize_pixels(px, 5, 9)
+    for y in range(9):
+        for x in range(5):
+            assert (out[y, x] == px[y * 13 // 9, x * 7 // 5]).all()
+    # upscale too
+    up = mm.resize_pixels(px, 14, 26)
+    assert up.shape == (26, 14, 3)
+
+    ref = "https://cdn.example.com/img/7.png"
+    hx = hashlib.md5(ref.encode()).hexdigest()
+    w, h, _ = mm.asset_dims_of(ref)
+    rs = mm.resize_pixels(mm.decode_png_pixels(mm.synth_png(w, h, hx)), 32, 32)
+    r, g, b = mm.png_rgb_of(hx)
+    assert zl.crc32(rs.tobytes()) == zl.crc32(bytes([r, g, b]) * (32 * 32))
