@@ -1351,6 +1351,24 @@ def q_knn_join_md5(spark, sf_dir):
     ).orderBy("lid", "rank")
 
 
+def q_embedding_neardup_md5(spark, sf_dir):
+    """Embedding cosine near-dup pairs on the md5-Rademacher sign-LSH
+    family (goldenless, the ann_topk_md5 pattern): the DuckDB oracle
+    rebuilds the whole chain — sign matrix from keyed md5, 2^20
+    fixed-point projections, bucket self-join, sequential-fold cosine,
+    threshold — from the embeddings parquet alone. The sequential folds
+    on both engines make the `>= 0.30` boundary comparison exact, not
+    approximate (production default stays the rng family at 0.95)."""
+    from llm_scraper_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(emb, threshold=0.30, planes=6, seed=42,
+                              dim=64, hash_family="md5")
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard verification of LSH candidate pairs
     (dedup.py ngram_jaccard_pairs) on the md5 hash family: candidate
@@ -1928,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule_log": q_crawl_schedule_log,
         "knn_join": q_knn_join,
         "knn_join_md5": q_knn_join_md5,
+        "embedding_neardup_md5": q_embedding_neardup_md5,
         "ngram_jaccard": q_ngram_jaccard,
         "stream_host_budget": q_stream_host_budget,
         "rss_head_links": q_rss_head_links,
@@ -2491,6 +2510,36 @@ def oracle_sql() -> dict[str, str]:
                    FROM prs)
             SELECT lid, rid, round(cos, 6) AS cos_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 3 ORDER BY lid, rank
+        """,
+        # embedding_neardup_md5: NO goldens — same md5-Rademacher chain as
+        # knn_join_md5, ending in a pair threshold instead of a top-k window.
+        "embedding_neardup_md5": """
+            WITH dims AS (SELECT unnest(range(64)) AS d),
+                 ps AS (SELECT unnest(range(6)) AS p),
+                 signs AS (
+                   SELECT p, d,
+                          CASE WHEN ('0x' || substring(md5('hp:42:' || p || ':' || d), 1, 15))::BIGINT % 2 = 0
+                               THEN 1 ELSE -1 END AS s
+                   FROM ps CROSS JOIN dims),
+                 eproj AS (
+                   SELECT e.vec_id, s.p,
+                          sum(s.s * floor(e.embedding[s.d + 1]::DOUBLE * 1048576)::BIGINT)::BIGINT AS proj
+                   FROM embeddings e CROSS JOIN signs s
+                   GROUP BY e.vec_id, s.p),
+                 ebucket AS (
+                   SELECT vec_id, sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)::BIGINT AS b
+                   FROM eproj GROUP BY vec_id),
+                 e AS (
+                   SELECT emb.vec_id, emb.embedding::DOUBLE[] AS v, eb.b AS bucket
+                   FROM embeddings emb JOIN ebucket eb USING (vec_id)),
+                 prs AS (
+                   SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                          list_dot_product(l.v, r.v) /
+                            (sqrt(list_dot_product(l.v, l.v)) *
+                             sqrt(list_dot_product(r.v, r.v))) AS cos
+                   FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+            SELECT id_a, id_b, round(cos, 6) AS cos_sim
+            FROM prs WHERE cos >= 0.30 ORDER BY id_a, id_b
         """,
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "rss_head_links": """

@@ -388,21 +388,44 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
 def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.95,
                         planes: int = 16, seed: int = 42,
-                        dim: int | None = None) -> DataFrame:
+                        dim: int | None = None,
+                        hash_family: str = "rng") -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH bucketing + exact
-    cosine verification on bucket-mates."""
-    from .similarity import cosine_expr, hyperplane_bucket
+    cosine verification on bucket-mates.
+
+    hash_family='rng' (default) buckets with the numpy-matmul pandas UDF
+    (`similarity.hyperplane_bucket`); 'md5' uses the md5-Rademacher
+    native-expression twin (`hyperplane_bucket_md5`, requires ``dim``) so
+    the ENTIRE chain — sign matrix, fixed-point projections, buckets,
+    pair join, sequential-fold cosine, threshold — is recomputable by a
+    SQL oracle with no goldens (the ann_topk_md5 pattern). Both share the
+    same 100 TB shape: a slim bucket self-join, never all-pairs."""
+    from .similarity import (cosine_expr, hyperplane_bucket,
+                             hyperplane_bucket_md5)
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    bucketed = hyperplane_bucket(base, "v", planes=planes, seed=seed, dim=dim)
+    if hash_family == "md5":
+        if dim is None:
+            raise ValueError("hash_family='md5' requires dim")
+        bucketed = hyperplane_bucket_md5(base, "v", planes=planes,
+                                         seed=seed, dim=dim)
+    else:
+        bucketed = hyperplane_bucket(base, "v", planes=planes, seed=seed,
+                                     dim=dim)
     a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
                         F.col("bucket").alias("bucket_a"))
     b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
                         F.col("bucket").alias("bucket_b"))
-    return (
+    if hash_family == "md5":
+        # native-expression buckets: a plain equi-key is fine (no UDF to
+        # double-plan) and keeps the join broadcast/SMJ-eligible as-is
+        joined = a.join(b, F.col("bucket_a") == F.col("bucket_b"))
+    else:
         # eqNullSafe: a plain equi-key injects IsNotNull filters that make
         # the bucket UDF plan twice per side (see similarity.knn_join)
-        a.join(b, F.col("bucket_a").eqNullSafe(F.col("bucket_b")))
+        joined = a.join(b, F.col("bucket_a").eqNullSafe(F.col("bucket_b")))
+    return (
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos_sim", cosine_expr("v_a", "v_b"))
