@@ -1445,6 +1445,71 @@ def q_stream_host_budget(spark, sf_dir):
     return spark.table(qname).select("host", "url", "seq").orderBy("host", "seq")
 
 
+def q_result_sink_ttl(spark, sf_dir):
+    """S9 result sink + T5 TTL retention under the driver gate (reference
+    TTL semantics: cache.py:229-263): write the documents table as five
+    per-wave result commits (wave = doc_id % 5) through the production
+    CrawlState write -> commit_wave protocol, expire all but the last two
+    waves with expire_results, and return the ledger-bounded snapshot read
+    of what survived. Deterministic end to end: survivors are exactly the
+    docs with doc_id % 5 in (3, 4), which the SQL oracle recomputes from
+    the parquet alone — so the sink, the atomic ledger commit, the TTL
+    sweep, AND the snapshot-isolated multi-wave read are all content-gated.
+    The result is localCheckpointed (block-manager-backed) before the state
+    dir is deleted, so the returned frame outlives its source files."""
+    import shutil
+    import uuid
+
+    from llm_scraper_spark.crawl.state import CrawlState
+
+    tune_session(spark)
+    base = f"/tmp/spark_graft_ttl_{uuid.uuid4().hex[:8]}"
+    st = CrawlState(spark, base)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 5).alias("wave"))
+    try:
+        for w in range(5):
+            st.write("documents", w,
+                     docs.filter(F.col("wave") == w).select("doc_id"))
+            st.commit_wave(w, next_seq=0, stats={})
+        expired = st.expire_results(keep_last_n_waves=2)
+        assert expired == [0, 1, 2], f"unexpected TTL sweep: {expired}"
+        out = (
+            st.read_all("documents")
+            .select("doc_id",
+                    F.col("wave").cast("long").alias("wave_part"))
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_topic_dedupe_cap(spark, sf_dir):
+    """D5/O2/O3 order-preserving topic dedup+cap under the driver gate
+    (reference models/schema.py:210-216 — topics[:5] after first-occurrence
+    dedup): topics are the first 12 whitespace tokens of each document,
+    deduped preserving first occurrence and capped at 5 via the production
+    `dedupe_cap` expression (array_distinct + slice, pure codegen, no
+    shuffle). Joined with '|' so both engines compare an unambiguous scalar;
+    the DuckDB oracle recomputes first-occurrence order independently with
+    min(pos) + row_number (it cannot use list_distinct, which does not
+    guarantee order — an independent recompute, not a transliteration)."""
+    from llm_scraper_spark.functions.text import dedupe_cap
+
+    tune_session(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.concat_ws(
+                "|", dedupe_cap(F.slice(F.split(F.col("text"), " "), 1, 12), 5)
+            ).alias("topics"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # generated oracle SQL (md5-twin pipelines too wide to hand-write)
 # ---------------------------------------------------------------------------
@@ -1949,6 +2014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_md5": q_embedding_neardup_md5,
         "ngram_jaccard": q_ngram_jaccard,
         "stream_host_budget": q_stream_host_budget,
+        "result_sink_ttl": q_result_sink_ttl,
+        "topic_dedupe_cap": q_topic_dedupe_cap,
         "rss_head_links": q_rss_head_links,
         "discovery_orchestration": q_discovery_orchestration,
     }
@@ -2572,6 +2639,36 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY source ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn <= 12 ORDER BY host, seq
+        """,
+        # result_sink_ttl: the Spark side round-trips through the real
+        # CrawlState sink (write -> ledger commit -> TTL expire -> snapshot
+        # read); with wave = doc_id % 5 and keep_last_n_waves=2 the
+        # survivors are a pure function of doc_id.
+        "result_sink_ttl": """
+            SELECT doc_id, doc_id % 5 AS wave_part
+            FROM documents WHERE doc_id % 5 >= 3 ORDER BY doc_id
+        """,
+        # topic_dedupe_cap: first-occurrence order recomputed independently
+        # (min(pos) per token + row_number) — DuckDB's list_distinct does
+        # not guarantee order, so this is NOT a transliteration of
+        # array_distinct.
+        "topic_dedupe_cap": """
+            WITH arrs AS (
+              SELECT doc_id, string_split(text, ' ')[1:12] AS arr
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(arr) AS w,
+                     generate_subscripts(arr, 1) AS pos
+              FROM arrs
+            ), firsts AS (
+              SELECT doc_id, w, min(pos) AS p FROM toks GROUP BY doc_id, w
+            ), ranked AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY p) AS r
+              FROM firsts
+            )
+            SELECT doc_id, string_agg(w, '|' ORDER BY r) AS topics
+            FROM ranked WHERE r <= 5 GROUP BY doc_id ORDER BY doc_id
         """,
     }
 
