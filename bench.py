@@ -731,8 +731,6 @@ def render_scaling_md() -> None:
                 f"for {n}->{n4} procs. Per-rep normalized values: "
                 f"{per_rep_norm}.\n\n" if norm_best else ""
             )
-            + peak_line
-            + _default_runs_section()
             + f"Seeds: {results[n4]['frontier']['n_seeds']:,}; candidates: "
             f"{results[n4]['frontier']['n_candidates']:,}; "
             f"new after dedup: {results[n4]['frontier']['n_new']:,}.\n\n"
@@ -742,7 +740,9 @@ def render_scaling_md() -> None:
             "Concurrent hw probes (units/s): "
             f"local[{n}]={results[n]['all_hw_units_per_sec']}, "
             f"local[{n4}]={results[n4]['all_hw_units_per_sec']}\n\n"
-            "## Attempt history (all --scaling invocations; best window "
+            + peak_line
+            + _default_runs_section()
+            + "## Attempt history (all --scaling invocations; best window "
             "reported above)\n\n"
             "The shared host's delivered parallelism swings between ~0.95\n"
             "and ~0.24 efficiency over tens of minutes (see concurrent hw\n"
