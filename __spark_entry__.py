@@ -1510,6 +1510,98 @@ def q_topic_dedupe_cap(spark, sf_dir):
     )
 
 
+# URL construction for q_url_hygiene — ONE SQL fragment both engines run
+# verbatim (Spark F.expr and DuckDB agree on CASE/||/repeat/%), so the
+# INPUT is identical by construction and the hygiene chain itself is the
+# only thing under test (computed by independent implementations).
+# Six deterministic families: tracking params, session params, variable
+# path depth, asset extension, variable param count, variable length.
+_URL_HYGIENE_CASE = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'https://' || source || '.example.com/a/' || doc_id
+                  || '?utm_source=x&id=' || doc_id
+      WHEN 1 THEN 'https://' || source || '.example.com/p/' || doc_id
+                  || '?gclid=abc&q=1&jsessionid=Z'
+      WHEN 2 THEN 'https://' || source || '.example.com/'
+                  || repeat('d/', CAST(doc_id % 12 AS INT)) || 'x'
+      WHEN 3 THEN 'https://' || source || '.example.com/img/' || doc_id
+                  || '.jpg'
+      WHEN 4 THEN 'https://' || source || '.example.com/x?'
+                  || repeat('k=1&', CAST(doc_id % 12 AS INT)) || 'z=2'
+      ELSE 'https://' || source || '.example.com/long/'
+                  || repeat('a', CAST((doc_id % 5) * 600 AS INT))
+    END
+"""
+
+
+def q_url_hygiene(spark, sf_dir):
+    """Frontier URL hygiene (training-data-pipeline tier; the reference
+    crawls curated seeds and has no scope control — scraper.py:64-76): strip
+    tracking/session query params (utm_* prefix + exact set, survivor order
+    preserved), then annotate crawl-scope booleans (path depth, non-content
+    extension, param count, URL length) on the cleaned URL. All native
+    split/filter/regexp expressions (functions/urls.py) — the plan test
+    pins zero Python stages. The DuckDB oracle recomputes the full chain
+    with list_filter/regexp_extract over the same shared URL construction;
+    the tracking-param and extension lists are generated from the SAME
+    module constants (one source of truth, no transcription drift)."""
+    from llm_scraper_spark.functions.urls import (strip_tracking_params,
+                                                  with_crawl_scope)
+
+    tune_session(spark)
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", F.expr(_URL_HYGIENE_CASE).alias("url"))
+    cleaned = urls.select("doc_id", strip_tracking_params("url").alias("url"))
+    return with_crawl_scope(cleaned).orderBy("doc_id")
+
+
+def _url_hygiene_oracle_sql() -> str:
+    """Full DuckDB recompute of q_url_hygiene: param strip via list_filter,
+    scope flags via regexp/split — lists generated from the module
+    constants the Spark operator uses."""
+    from llm_scraper_spark.functions.urls import (NON_CONTENT_EXTS,
+                                                  TRACKING_PARAMS)
+
+    tracking = "[" + ", ".join(f"'{p}'" for p in TRACKING_PARAMS) + "]"
+    exts = "[" + ", ".join(f"'{e}'" for e in NON_CONTENT_EXTS) + "]"
+    kept = (
+        "list_filter(string_split(substring(url, instr(url, '?') + 1), '&'),"
+        " kv -> NOT (starts_with(lower(split_part(kv, '=', 1)), 'utm_')"
+        f" OR list_contains({tracking}, lower(split_part(kv, '=', 1)))))"
+    )
+    path_re = r"'^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)'"
+    return f"""
+        WITH u AS (
+          SELECT doc_id, {_URL_HYGIENE_CASE} AS url FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 CASE WHEN instr(url, '?') = 0 THEN url
+                      WHEN len({kept}) = 0 THEN split_part(url, '?', 1)
+                      ELSE split_part(url, '?', 1) || '?' ||
+                           array_to_string({kept}, '&')
+                 END AS url
+          FROM u
+        ), f AS (
+          SELECT doc_id, url,
+                 len(string_split(regexp_extract(url, {path_re}, 1), '/')) - 1
+                   > 8 AS too_deep,
+                 list_contains({exts},
+                   lower(regexp_extract(regexp_extract(url, {path_re}, 1),
+                                        '\\.([A-Za-z0-9]+)$', 1))) AS bad_ext,
+                 CASE WHEN instr(url, '?') = 0 THEN 0
+                      ELSE len(string_split(substring(url, instr(url, '?') + 1),
+                                            '&'))
+                 END > 8 AS too_many_params,
+                 len(url) > 2048 AS too_long
+          FROM c
+        )
+        SELECT doc_id, url, too_deep, bad_ext, too_many_params, too_long,
+               NOT (too_deep OR bad_ext OR too_many_params OR too_long)
+                 AS in_scope
+        FROM f ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # generated oracle SQL (md5-twin pipelines too wide to hand-write)
 # ---------------------------------------------------------------------------
@@ -2016,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_host_budget": q_stream_host_budget,
         "result_sink_ttl": q_result_sink_ttl,
         "topic_dedupe_cap": q_topic_dedupe_cap,
+        "url_hygiene": q_url_hygiene,
         "rss_head_links": q_rss_head_links,
         "discovery_orchestration": q_discovery_orchestration,
     }
@@ -2670,6 +2763,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(w, '|' ORDER BY r) AS topics
             FROM ranked WHERE r <= 5 GROUP BY doc_id ORDER BY doc_id
         """,
+        "url_hygiene": _url_hygiene_oracle_sql(),
     }
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from urllib.parse import urlsplit, urlunsplit
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from pyspark.sql import types as T
 
@@ -256,3 +256,98 @@ def same_domain_filter(df: DataFrame, domain_col: str = "domain",
     h = F.col(host_col)
     return df.filter((h == d) | (h == F.concat(F.lit("www."), d)) |
                      (F.concat(F.lit("www."), h) == d))
+
+
+# ---------------------------------------------------------------------------
+# Frontier URL hygiene (training-data-pipeline tier, not reference parity:
+# the reference crawls curated seed domains and needs no scope control —
+# scraper.py:64-76 follows every same-domain link. A 10^10-URL open-web
+# frontier does: tracking-parameter aliases multiply the URL space without
+# adding content, and non-HTML asset URLs waste fetch budget. All pure
+# native expressions — split/filter/array_join HOFs are JVM codegen, so
+# this runs inside the same whole-stage pipeline as canonicalization.)
+# ---------------------------------------------------------------------------
+
+# exact-match tracking/session parameter names (lowercased); utm_* is
+# matched by prefix on top of these
+TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "dclid", "yclid", "igshid", "mc_eid",
+    "ref", "ref_src", "sessionid", "phpsessid", "jsessionid", "sid",
+)
+
+# extensions that are never HTML pages — skip fetching entirely
+NON_CONTENT_EXTS = (
+    "jpg", "jpeg", "png", "gif", "webp", "svg", "ico", "bmp",
+    "css", "js", "mjs", "map", "woff", "woff2", "ttf", "eot",
+    "mp3", "mp4", "avi", "mov", "mkv", "webm", "wav", "flac",
+    "zip", "gz", "bz2", "xz", "tar", "rar", "7z", "exe", "dmg", "iso",
+)
+
+
+def strip_tracking_params(col) -> Column:
+    """Drop known tracking/session query parameters (``utm_*`` by prefix +
+    ``TRACKING_PARAMS`` exact, case-insensitive on the name), preserving
+    the relative order of surviving parameters; the ``?`` itself goes when
+    nothing survives. Fragments are assumed already stripped (run this on
+    canonical URLs). Expression shape: substring_index head + filter() HOF
+    + array_join — zero UDF, exactly twinnable in DuckDB list_filter."""
+    c = col if isinstance(col, Column) else F.col(col)
+    base = F.substring_index(c, "?", 1)
+    query = F.substring(c, F.instr(c, "?") + F.lit(1), F.length(c))
+
+    def _keep(kv):
+        name = F.lower(F.substring_index(kv, "=", 1))
+        return ~(name.startswith("utm_") | name.isin(*TRACKING_PARAMS))
+
+    kept = F.filter(F.split(query, "&"), _keep)
+    return (
+        F.when(F.instr(c, "?") == 0, c)
+        .when(F.size(kept) == 0, base)
+        .otherwise(F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+    )
+
+
+def with_crawl_scope(df: DataFrame, url_col: str = "url",
+                     max_depth: int = 8, max_params: int = 8,
+                     max_len: int = 2048,
+                     exts: tuple[str, ...] = NON_CONTENT_EXTS) -> DataFrame:
+    """Annotate each URL with scope booleans + the final ``in_scope``:
+
+    - ``too_deep``    — path has more than ``max_depth`` segments (crawler
+      traps: calendars, faceted nav, infinite breadcrumb chains)
+    - ``bad_ext``     — path ends in a non-content extension
+    - ``too_many_params`` — more than ``max_params`` query parameters
+      (faceted-search explosions)
+    - ``too_long``    — URL longer than ``max_len`` bytes
+
+    Booleans instead of a single reason string so downstream metrics can
+    count overlaps without re-deriving anything. Pure regexp/split
+    expressions over the URL string — no parse, no UDF, no shuffle."""
+    c = F.col(url_col)
+    path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    query = F.substring(c, F.instr(c, "?") + F.lit(1), F.length(c))
+    depth = F.size(F.split(path, "/")) - F.lit(1)
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
+    n_params = F.when(F.instr(c, "?") == 0, F.lit(0)).otherwise(
+        F.size(F.split(query, "&")))
+    out = (
+        df.withColumn("too_deep", depth > max_depth)
+        .withColumn("bad_ext", ext.isin(*exts))
+        .withColumn("too_many_params", n_params > max_params)
+        .withColumn("too_long", F.length(c) > max_len)
+    )
+    return out.withColumn(
+        "in_scope",
+        ~(F.col("too_deep") | F.col("bad_ext") | F.col("too_many_params")
+          | F.col("too_long")),
+    )
+
+
+def crawl_scope_filter(df: DataFrame, url_col: str = "url",
+                       **kwargs) -> DataFrame:
+    """``with_crawl_scope`` then keep only in-scope rows, dropping the
+    annotation columns — the shape the wave loop would splice in between
+    canonicalization and the seen-set anti-join."""
+    annotated = with_crawl_scope(df, url_col, **kwargs)
+    return annotated.filter("in_scope").drop(
+        "too_deep", "bad_ext", "too_many_params", "too_long", "in_scope")

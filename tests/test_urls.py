@@ -3,6 +3,7 @@
 import hashlib
 
 import pandas as pd
+from pyspark.sql import functions as F
 from hypothesis import given, settings, strategies as st
 
 from llm_scraper_spark.functions.urls import canonicalize_batch, canonicalize_url
@@ -98,3 +99,73 @@ def test_native_fast_path_agrees_with_udf(spark):
         for r in with_canonical(df, native_fast_path=False).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Frontier URL hygiene (strip_tracking_params / with_crawl_scope)
+# ---------------------------------------------------------------------------
+
+STRIP_CASES = [
+    # (input, expected)
+    ("https://h.com/a?utm_source=x&id=7", "https://h.com/a?id=7"),
+    ("https://h.com/a?id=7&utm_campaign=c&gclid=g", "https://h.com/a?id=7"),
+    ("https://h.com/a?UTM_Source=x&GCLID=g", "https://h.com/a"),
+    ("https://h.com/a?a=1&b=2", "https://h.com/a?a=1&b=2"),
+    ("https://h.com/a", "https://h.com/a"),
+    ("https://h.com/a?jsessionid=Z", "https://h.com/a"),
+    ("https://h.com/a?ref=tw&x=1&ref_src=s", "https://h.com/a?x=1"),
+    # param order among survivors is preserved
+    ("https://h.com/a?z=9&utm_x=1&a=0", "https://h.com/a?z=9&a=0"),
+    # trailing '?' with empty query survives untouched (split('','&')=[''])
+    ("https://h.com/a?", "https://h.com/a?"),
+]
+
+
+def test_strip_tracking_params(spark):
+    from llm_scraper_spark.functions.urls import strip_tracking_params
+
+    df = spark.createDataFrame([(u,) for u, _ in STRIP_CASES], ["url"])
+    got = [r.out for r in
+           df.select(strip_tracking_params("url").alias("out")).collect()]
+    assert got == [want for _, want in STRIP_CASES]
+
+
+def test_crawl_scope_flags(spark):
+    from llm_scraper_spark.functions.urls import (crawl_scope_filter,
+                                                  with_crawl_scope)
+
+    rows = [
+        ("https://h.com/a/b", True, dict()),
+        ("https://h.com/" + "d/" * 9 + "x", False, dict(too_deep=True)),
+        ("https://h.com/img/x.JPG", False, dict(bad_ext=True)),
+        ("https://h.com/x.html", True, dict()),
+        ("https://h.com/x?" + "&".join(f"k{i}=1" for i in range(9)), False,
+         dict(too_many_params=True)),
+        ("https://h.com/" + "a" * 2100, False,
+         dict(too_long=True, too_deep=False)),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], ["url"])
+    out = {r.url: r.asDict() for r in with_crawl_scope(df).collect()}
+    for url, in_scope, flags in rows:
+        r = out[url]
+        assert r["in_scope"] == in_scope, url
+        for k, v in flags.items():
+            assert r[k] == v, (url, k)
+    kept = crawl_scope_filter(df)
+    assert kept.columns == ["url"]
+    assert {r.url for r in kept.collect()} == {u for u, ok, _ in rows if ok}
+
+
+def test_url_hygiene_is_udf_free(spark):
+    """The hygiene chain must stay whole-stage-codegen (no Python stage)."""
+    from llm_scraper_spark.functions.urls import (strip_tracking_params,
+                                                  with_crawl_scope)
+
+    df = spark.range(10).select(
+        F.concat(F.lit("https://h.com/a?utm_source=x&id="),
+                 F.col("id").cast("string")).alias("url"))
+    plan = (
+        with_crawl_scope(df.select(strip_tracking_params("url").alias("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
