@@ -1555,6 +1555,85 @@ def q_url_hygiene(spark, sf_dir):
     return with_crawl_scope(cleaned).orderBy("doc_id")
 
 
+def q_sitemap_priority_frontier(spark, sf_dir):
+    """Sitemap-priority-seeded frontier (sitemaps.org protocol extension —
+    the reference's discovery.py:28-60 keeps only <loc>): per source, a
+    REAL sitemap XML document is built natively (deterministic fields from
+    doc_id: priority digit, lastmod day, changefreq cycle, with priority
+    omitted when doc_id%5==0 and lastmod when doc_id%3==0 to exercise the
+    protocol defaults), parsed back through the Arrow-batched
+    sitemap_entries_udf, and the recovered entries are scheduled by the
+    production priority frontier (schedule_wave: per-host top-3 by
+    priority DESC, seq ASC — WindowGroupLimit, skew-immune). The oracle
+    never sees the XML: it recomputes every field closed-form from doc_id
+    and replays the window — so the XML build, the parse round-trip
+    (incl. the 0.5 default), and the priority scheduling are all gated."""
+    from llm_scraper_spark.operators.discovery import sitemap_entries_udf
+    from llm_scraper_spark.operators.frontier import schedule_wave
+
+    tune_session(spark)
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    frag = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.com/p/"), d, F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit("<lastmod>2026-01-"),
+                     F.lpad(((F.col("doc_id") % 28) + 1).cast("string"),
+                            2, "0"),
+                     F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("<changefreq>"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("daily", "weekly", "monthly", "yearly")]),
+            ((F.col("doc_id") % 4) + 1).cast("int"),
+        ),
+        F.lit("</changefreq>"),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(F.lit("<priority>0."),
+                     ((F.col("doc_id") * 37) % 10).cast("string"),
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = docs.groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset '
+                  'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id").alias("k"),
+                                                frag.alias("frag")))),
+                    lambda x: x["frag"],
+                ), ""),
+            F.lit("</urlset>"),
+        ).alias("body")
+    )
+    entries = sitemaps.select(
+        "source",
+        F.explode(sitemap_entries_udf(F.encode(F.col("body"), "utf-8")))
+        .alias("e"),
+    )
+    pending = entries.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.col("e.loc").alias("url"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("e.changefreq").alias("changefreq"),
+        F.col("e.priority").alias("priority"),
+        F.regexp_extract(F.col("e.loc"), r"/p/(\d+)$", 1).cast("long")
+        .alias("seq"),
+    )
+    sched = schedule_wave(pending, default_budget=3)
+    return sched.select(
+        "host", "url", "lastmod", "changefreq",
+        F.round("priority", 6).alias("priority"), "seq", "sched_rank"
+    ).orderBy("host", "sched_rank")
+
+
 def _url_hygiene_oracle_sql() -> str:
     """Full DuckDB recompute of q_url_hygiene: param strip via list_filter,
     scope flags via regexp/split — lists generated from the module
@@ -2109,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_sink_ttl": q_result_sink_ttl,
         "topic_dedupe_cap": q_topic_dedupe_cap,
         "url_hygiene": q_url_hygiene,
+        "sitemap_priority_frontier": q_sitemap_priority_frontier,
         "rss_head_links": q_rss_head_links,
         "discovery_orchestration": q_discovery_orchestration,
     }
@@ -2764,6 +2844,35 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE r <= 5 GROUP BY doc_id ORDER BY doc_id
         """,
         "url_hygiene": _url_hygiene_oracle_sql(),
+        # sitemap_priority_frontier: the oracle never parses XML — every
+        # field is a closed form of doc_id, and the priority window is
+        # replayed directly.
+        "sitemap_priority_frontier": """
+            WITH e AS (
+              SELECT source || '.example.com' AS host,
+                     'https://' || source || '.example.com/p/' || doc_id
+                       AS url,
+                     CASE WHEN doc_id % 3 = 0 THEN NULL
+                          ELSE '2026-01-' ||
+                               lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     END AS lastmod,
+                     ['daily','weekly','monthly','yearly']
+                       [CAST(doc_id % 4 AS INT) + 1] AS changefreq,
+                     CASE WHEN doc_id % 5 = 0 THEN 0.5
+                          ELSE ((doc_id * 37) % 10) / 10.0 END AS priority,
+                     doc_id AS seq
+              FROM documents
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, seq ASC) AS sched_rank
+              FROM e
+            )
+            SELECT host, url, lastmod, changefreq,
+                   round(priority, 6) AS priority, seq,
+                   CAST(sched_rank AS INT) AS sched_rank
+            FROM r WHERE sched_rank <= 3 ORDER BY host, sched_rank
+        """,
     }
 
 

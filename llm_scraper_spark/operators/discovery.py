@@ -99,6 +99,58 @@ def find_rss_feeds(html: str, base_url: str) -> list[str]:
     return feeds
 
 
+SITEMAP_ENTRY_TYPE = T.ArrayType(T.StructType([
+    T.StructField("loc", T.StringType()),
+    T.StructField("lastmod", T.StringType()),
+    T.StructField("changefreq", T.StringType()),
+    T.StructField("priority", T.DoubleType()),
+]))
+
+
+def parse_sitemap_entries(content: bytes) -> list[tuple]:
+    """Full per-URL sitemap entries — (loc, lastmod, changefreq, priority)
+    per the sitemaps.org protocol. Extension beyond the reference (its
+    discovery.py:28-60 keeps only <loc>): priority/lastmod feed the
+    priority frontier (operators/frontier.py schedule_wave orders by
+    priority DESC) and freshness-aware re-crawl. Same tolerance rules as
+    parse_sitemap: gzip sniff, namespace-agnostic, malformed -> []; a
+    missing <priority> defaults to 0.5 (protocol default), missing
+    lastmod/changefreq stay NULL, entries without <loc> are dropped."""
+    out: list[tuple] = []
+    if content is None:
+        return out
+    try:
+        if content[:2] == b"\x1f\x8b":
+            content = gzip.decompress(content)
+        root = ET.fromstring(content)
+        ns = root.tag.split("}")[0][1:] if "}" in root.tag else ""
+        pre = ("{" + ns + "}") if ns else ""
+        for url_el in root.iter(pre + "url"):
+            loc = url_el.findtext(pre + "loc")
+            if not loc or not loc.strip():
+                continue
+            pr_text = url_el.findtext(pre + "priority")
+            try:
+                priority = float(pr_text) if pr_text is not None else 0.5
+            except ValueError:
+                priority = 0.5
+            lastmod = url_el.findtext(pre + "lastmod")
+            changefreq = url_el.findtext(pre + "changefreq")
+            out.append((loc.strip(),
+                        lastmod.strip() if lastmod else None,
+                        changefreq.strip() if changefreq else None,
+                        priority))
+    except ET.ParseError:
+        pass
+    return out
+
+
+@F.pandas_udf(SITEMAP_ENTRY_TYPE)
+def sitemap_entries_udf(bodies: pd.Series) -> pd.Series:
+    return bodies.map(
+        lambda b: parse_sitemap_entries(bytes(b) if b is not None else None))
+
+
 @F.pandas_udf(URLS_TYPE)
 def parse_sitemap_udf(bodies: pd.Series) -> pd.Series:
     return bodies.map(lambda b: parse_sitemap(bytes(b) if b is not None else None))

@@ -1058,3 +1058,28 @@ def test_resize_pixels_matches_naive_nn_and_closed_form():
     rs = mm.resize_pixels(mm.decode_png_pixels(mm.synth_png(w, h, hx)), 32, 32)
     r, g, b = mm.png_rgb_of(hx)
     assert zl.crc32(rs.tobytes()) == zl.crc32(bytes([r, g, b]) * (32 * 32))
+
+
+def test_parse_sitemap_entries_protocol_fields():
+    """Full sitemaps.org entries: loc required, priority defaults to 0.5,
+    missing lastmod/changefreq stay None, bogus priority falls back, gzip
+    sniffed — same tolerance envelope as parse_sitemap."""
+    import gzip
+
+    from llm_scraper_spark.operators.discovery import parse_sitemap_entries
+
+    xml = (b'<?xml version="1.0"?>'
+           b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+           b'<url><loc>https://a.com/1</loc><lastmod>2026-01-02</lastmod>'
+           b'<changefreq>daily</changefreq><priority>0.7</priority></url>'
+           b'<url><loc>https://a.com/2</loc></url>'
+           b'<url><lastmod>2026-01-03</lastmod></url>'
+           b'<url><loc> https://a.com/3 </loc><priority>x</priority></url>'
+           b'</urlset>')
+    want = [("https://a.com/1", "2026-01-02", "daily", 0.7),
+            ("https://a.com/2", None, None, 0.5),
+            ("https://a.com/3", None, None, 0.5)]
+    assert parse_sitemap_entries(xml) == want
+    assert parse_sitemap_entries(gzip.compress(xml)) == want
+    assert parse_sitemap_entries(b"not xml") == []
+    assert parse_sitemap_entries(None) == []
