@@ -134,6 +134,7 @@ class CrawlRun:
         link_priority: float = 1.0,
         seen_filter: str | None = None,
         compact_every: int = 8,
+        scope_filter: bool = False,
     ):
         self.spark = spark
         self.state = CrawlState(spark, state_dir)
@@ -144,6 +145,13 @@ class CrawlRun:
         self.n_salts = n_salts
         self.use_bloom = use_bloom
         self.link_priority = link_priority
+        # opt-in frontier URL hygiene (functions/urls.py): strip tracking/
+        # session params from canonical URLs (re-hashing natively so alias
+        # URLs collapse in dedup and the seen set) and drop out-of-scope
+        # URLs (depth / non-content extension / param count / length)
+        # before they enter the frontier. Off by default: reference crawl-
+        # ordering equality is defined on raw canonical URLs.
+        self.scope_filter = scope_filter
         # the standing approximate seen-filter: "bloom" (default) or
         # "cuckoo" (operators/cuckoo.py — deletable fingerprints, same
         # no-false-negative contract, same executor-side build + per-wave
@@ -186,12 +194,26 @@ class CrawlRun:
             self._bloom = build(seen_df, capacity=max(4 * n_seen, 100_000))
         return self._bloom
 
+
+    def _apply_scope(self, cand: DataFrame) -> DataFrame:
+        """Frontier hygiene splice (scope_filter=True): tracking-param strip
+        + native re-hash + crawl-scope drop, all JVM expressions — adds no
+        Python stage to the wave plan."""
+        from ..functions.urls import crawl_scope_filter, strip_tracking_params
+
+        cand = cand.withColumn(
+            "canonical_url", strip_tracking_params(F.col("canonical_url"))
+        ).withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
+        return crawl_scope_filter(cand, "canonical_url")
+
     # ------------------------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """Wave -1 'commit': canonicalize seeds, first-occurrence dedup,
         mark seen at enqueue (reference add_url semantics, cache.py:78-92)."""
         canon = with_canonical(seeds.select("url", "priority", "seq"),
                                key_hex=False)
+        if self.scope_filter:
+            canon = self._apply_scope(canon)
         deduped = seen_ops.first_occurrence_dedup(canon, "url_hash", "seq")
         frontier = (
             frontier_ops.with_salt(deduped, self.n_salts)
@@ -296,6 +318,8 @@ class CrawlRun:
             )
         )
         cand = with_canonical(links, key_hex=False)
+        if self.scope_filter:
+            cand = self._apply_scope(cand)
         cand = seen_ops.first_occurrence_dedup(cand, "url_hash", "_disc_ord")
         # checkpoint: (a) the bloom split consumes cand on two branches —
         # without materialization both branches would recompute the

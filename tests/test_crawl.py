@@ -424,3 +424,67 @@ def test_crash_during_compaction_resumes_exactly(spark, tmp_path, monkeypatch):
     pend_a = {r["url_hash"] for r in plain.state.read_pending(4).collect()}
     pend_b = {r["url_hash"] for r in run_b.state.read_pending(4).collect()}
     assert pend_a == pend_b
+
+
+def _alias_fetcher():
+    """Fetcher whose every page links to one clean URL, a tracking-param
+    alias of the SAME URL, and one non-content asset — exercising the
+    scope_filter splice."""
+    from llm_scraper_spark.crawl.waves import FETCH_RESULT_DDL
+
+    def fetch(scheduled):
+        cols = ["url", "canonical_url", "host", "salt", "url_hash",
+                "priority", "wave", "seq"]
+
+        def gen(batches):
+            for pdf in batches:
+                out = pdf[cols].copy()
+                outlinks = []
+                for u, h in zip(pdf["canonical_url"], pdf["host"]):
+                    n = abs(hash(u)) % 1000
+                    outlinks.append([
+                        f"https://{h}/p/{n}",
+                        f"https://{h}/p/{n}?utm_source=x&gclid=g",
+                        f"https://{h}/img/{n}.jpg",
+                    ])
+                out["content"] = ""
+                out["outlinks"] = outlinks
+                out["media_refs"] = [[] for _ in outlinks]
+                out["ok"] = True
+                yield out
+
+        return scheduled.select(*cols).mapInPandas(gen, schema=FETCH_RESULT_DDL)
+
+    return fetch
+
+
+def test_scope_filter_collapses_aliases_and_drops_assets(spark, tmp_path):
+    """scope_filter=True: tracking aliases collapse to one seen entry (the
+    alias never appears as its own canonical URL) and asset links never
+    enter the frontier; the splice is pure JVM (no third Python stage)."""
+    state_dir = str(tmp_path / "scope_state")
+    run = CrawlRun(
+        spark, state_dir, fetcher=_alias_fetcher(), default_budget=4,
+        n_salts=2, scope_filter=True,
+    )
+    seeds = spark.createDataFrame(
+        [(f"https://h{i}.test/start?utm_campaign=launch", 1.0, i)
+         for i in range(6)],
+        ["url", "priority", "seq"],
+    )
+    run.run(2, seeds=seeds)
+    seen = run.state.read_seen(10).toPandas()
+    # the seen table keys by url_hash; check canonical URLs on the
+    # frontier deltas instead
+    import os
+
+    base = os.path.join(state_dir, "frontier_delta")
+    fr = spark.read.option("basePath", base).parquet(base)
+    canon = [r.canonical_url for r in fr.select("canonical_url").collect()]
+    assert canon, "frontier is empty"
+    assert all("utm_" not in u and "gclid" not in u for u in canon), canon
+    assert all(not u.endswith(".jpg") for u in canon), canon
+    # aliases collapsed: every canonical URL unique in the seen set
+    assert len(seen) == len(set(seen["url_hash"]))
+    # seeds entered with their params stripped
+    assert any(u.endswith("/start") for u in canon)
