@@ -1567,7 +1567,13 @@ def q_sitemap_priority_frontier(spark, sf_dir):
     priority DESC, seq ASC — WindowGroupLimit, skew-immune). The oracle
     never sees the XML: it recomputes every field closed-form from doc_id
     and replays the window — so the XML build, the parse round-trip
-    (incl. the 0.5 default), and the priority scheduling are all gated."""
+    (incl. the 0.5 default), and the priority scheduling are all gated.
+
+    Scale note: the groupBy-collect_list XML build is the TEST harness
+    (one synthetic sitemap per source); it is bounded in production by the
+    sitemaps.org 50k-URLs-per-file protocol cap, and a real deployment
+    parses fetched sitemap bodies row-wise (one body per row through
+    sitemap_entries_udf — no aggregation anywhere in that path)."""
     from llm_scraper_spark.operators.discovery import sitemap_entries_udf
     from llm_scraper_spark.operators.frontier import schedule_wave
 

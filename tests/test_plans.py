@@ -6,6 +6,8 @@ about plan shape as much as output values.
 
 from pyspark.sql import functions as F
 
+SF_DIR = "/root/testdata/sf0.01"
+
 from llm_scraper_spark.plans.explain import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -340,3 +342,28 @@ def test_wave_loop_python_stages_only_fetch_and_chunk(spark, tmp_path):
         seqs = [r["seq"] for r in
                 log.filter(F.col("wave") == w).orderBy("seq").collect()]
         assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_url_hygiene_plan_pure_codegen(spark):
+    """The hygiene chain compiles to Projects only: no Python stage, and no
+    exchange besides the presentation orderBy's range partitioning."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["url_hygiene"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+def test_sitemap_priority_plan_shape(spark):
+    """One Python stage (the sitemap parse UDF) and a map-side
+    WindowGroupLimit Partial pass before the single host exchange."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["sitemap_priority_frontier"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Partial" in plan and "WindowGroupLimit" in plan
+    # exactly two shuffles: the per-source XML groupBy and the host window
+    assert plan.count("hashpartitioning(host") == 1
+    assert plan.count("hashpartitioning(source") == 1
