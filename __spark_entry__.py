@@ -2134,6 +2134,132 @@ def _simhash_oracle_sql(n_bits: int = 60) -> str:
     """
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Incremental-crawl snapshot diff (crawl_snapshot_diff): two
+    deterministic crawl snapshots are derived from events (prev holds
+    every url except multiples of 7, curr every url except multiples of
+    5; curr keeps prev's fingerprint on multiples of 3 and redraws it
+    otherwise, both from the 60-bit md5 family), then each URL is
+    classified new / vanished / changed / unchanged by ONE full-outer
+    join. All four statuses occur; the oracle replays the same closed
+    forms through DuckDB's FULL OUTER JOIN — a complete independent
+    recompute."""
+    from llm_scraper_spark.operators.frontier import crawl_snapshot_diff
+
+    ids = _t(spark, sf_dir, "events").select("event_id").distinct()
+    url = F.concat(F.lit("u"), F.col("event_id").cast("string"))
+    fp_a = (_md5_60bit(F.col("event_id"), ":pa") % 5).cast("string")
+    fp_b = (_md5_60bit(F.col("event_id"), ":pb") % 5).cast("string")
+    prev = ids.filter(F.col("event_id") % 7 != 0).select(
+        url.alias("url"), fp_a.alias("fingerprint"))
+    curr = ids.filter(F.col("event_id") % 5 != 0).select(
+        url.alias("url"),
+        F.when(F.col("event_id") % 3 == 0, fp_a)
+        .otherwise(fp_b).alias("fingerprint"))
+    return crawl_snapshot_diff(prev, curr).orderBy("url")
+
+
+def q_anchor_terms(spark, sf_dir):
+    """Anchor-text rollup (anchor_topk_terms): a deterministic link graph
+    with 3-word anchor texts is synthesized from events via the 60-bit
+    md5 family (40 source hosts, 25 targets, 8-word vocabulary per slot),
+    then the top-3 anchor terms per target are computed by explode ->
+    map-side-combined count -> WindowGroupLimit top-k with a
+    deterministic term tie-break. The oracle rebuilds the identical
+    anchors and replays split/unnest/count/row_number in DuckDB."""
+    from llm_scraper_spark.operators.graph import anchor_topk_terms
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+
+    def word(tag, m):
+        return F.concat(F.lit("w"), (_md5_60bit(F.col("event_id"), tag) % m)
+                        .cast("string"))
+
+    edges = ev.select(
+        F.concat(F.lit("h"), (_md5_60bit(F.col("event_id"), ":as") % 40)
+                 .cast("string")).alias("src"),
+        F.concat(F.lit("h"), (_md5_60bit(F.col("event_id"), ":ad") % 25)
+                 .cast("string")).alias("dst"),
+        F.concat_ws(" ", word(":a0", 8), word(":a1", 8),
+                    word(":a2", 8)).alias("anchor"),
+    )
+    out = anchor_topk_terms(edges, k=3)
+    return (out.select("dst", "term", "n",
+                       F.col("rank").alias("term_rank"))
+            .orderBy("dst", "term_rank"))
+
+
+STREAM_WIN_BASE = 1_700_000_000
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    """Event-time windowed streaming aggregation under the driver gate:
+    stream_windowed_counts (tumbling 10s windows + 5s watermark, append
+    mode) driven over 3 ascending-event-time micro-batches derived from
+    documents (ts = base + doc_id % 97, host = source) plus two
+    far-future sentinel rows whose only job is to push the watermark past
+    every real window (append mode emits a window only once the watermark
+    passes its end, one trigger later). The cumulative emitted set is
+    then exactly the batch GROUP BY of the real rows, which the oracle
+    recomputes closed-form (no timestamps needed: window_start =
+    base + (off DIV 10)*10). Watermark eviction is what bounds streaming
+    state at 100 TB-feed scale — this gates that the bounded-state path
+    emits complete, exact counts."""
+    import os
+    import shutil
+    import uuid
+
+    from llm_scraper_spark.streaming.ingest import stream_windowed_counts
+
+    tune_session(spark)
+    run_id = uuid.uuid4().hex[:8]
+    base = f"/tmp/spark_graft_stream_win_{run_id}"
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    feed = _t(spark, sf_dir, "documents").select(
+        F.timestamp_seconds(F.lit(STREAM_WIN_BASE)
+                            + F.col("doc_id") % 97).alias("ts"),
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 97).alias("off"),
+    )
+    sentinel = spark.createDataFrame(
+        [(STREAM_WIN_BASE + 10_000,), (STREAM_WIN_BASE + 10_001,)],
+        "sec long",
+    ).select(F.timestamp_seconds(F.col("sec")).alias("ts"),
+             F.lit("zz_sentinel").alias("host"),
+             F.lit(-1).alias("off"))
+    out = stream_windowed_counts(spark, in_dir)
+    qname = f"stream_win_{run_id}"
+    query = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(base, "cp"))
+        .start()
+    )
+    try:
+        batches = [
+            feed.filter(F.col("off") <= 32),
+            feed.filter((F.col("off") > 32) & (F.col("off") <= 65)),
+            feed.filter(F.col("off") > 65),
+            sentinel.filter(F.col("sec") == STREAM_WIN_BASE + 10_000),
+            sentinel.filter(F.col("sec") == STREAM_WIN_BASE + 10_001),
+        ]
+        for part in batches:
+            (part.select("ts", "host").coalesce(1)
+             .write.mode("append").parquet(in_dir))
+            query.processAllAvailable()
+    finally:
+        query.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        spark.table(qname)
+        .filter(F.col("host") != "zz_sentinel")
+        .select(F.col("window_start").cast("long").alias("window_start"),
+                "host", "n_events")
+        .orderBy("window_start", "host")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2197,6 +2323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_priority_frontier": q_sitemap_priority_frontier,
         "rss_head_links": q_rss_head_links,
         "discovery_orchestration": q_discovery_orchestration,
+        "crawl_diff": q_crawl_diff,
+        "anchor_terms": q_anchor_terms,
+        "stream_windowed_counts": q_stream_windowed_counts,
     }
 
 
@@ -2878,6 +3007,76 @@ def oracle_sql() -> dict[str, str]:
                    round(priority, 6) AS priority, seq,
                    CAST(sched_rank AS INT) AS sched_rank
             FROM r WHERE sched_rank <= 3 ORDER BY host, sched_rank
+        """,
+        # crawl_diff: full independent recompute — both snapshots are
+        # closed forms of event_id, the diff is DuckDB's own FULL OUTER
+        # JOIN + CASE.
+        "crawl_diff": """
+            WITH ids AS (SELECT DISTINCT event_id FROM events),
+            p AS (
+              SELECT 'u' || event_id::VARCHAR AS url,
+                     (('0x' || substring(md5(event_id::VARCHAR || ':pa'),
+                                         1, 15))::BIGINT % 5)::VARCHAR
+                       AS prev_fingerprint
+              FROM ids WHERE event_id % 7 <> 0
+            ),
+            c AS (
+              SELECT 'u' || event_id::VARCHAR AS url,
+                     CASE WHEN event_id % 3 = 0 THEN
+                       (('0x' || substring(md5(event_id::VARCHAR || ':pa'),
+                                           1, 15))::BIGINT % 5)::VARCHAR
+                     ELSE
+                       (('0x' || substring(md5(event_id::VARCHAR || ':pb'),
+                                           1, 15))::BIGINT % 5)::VARCHAR
+                     END AS curr_fingerprint
+              FROM ids WHERE event_id % 5 <> 0
+            )
+            SELECT COALESCE(p.url, c.url) AS url,
+                   prev_fingerprint, curr_fingerprint,
+                   CASE WHEN prev_fingerprint IS NULL THEN 'new'
+                        WHEN curr_fingerprint IS NULL THEN 'vanished'
+                        WHEN prev_fingerprint = curr_fingerprint
+                          THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM p FULL OUTER JOIN c ON p.url = c.url
+            ORDER BY url
+        """,
+        # anchor_terms: anchors rebuilt closed-form, then DuckDB's own
+        # string_split/unnest/count/row_number replay the rollup.
+        "anchor_terms": """
+            WITH e AS (
+              SELECT 'h' || (('0x' || substring(md5(event_id::VARCHAR
+                       || ':ad'), 1, 15))::BIGINT % 25)::VARCHAR AS dst,
+                     'w' || (('0x' || substring(md5(event_id::VARCHAR
+                       || ':a0'), 1, 15))::BIGINT % 8)::VARCHAR || ' ' ||
+                     'w' || (('0x' || substring(md5(event_id::VARCHAR
+                       || ':a1'), 1, 15))::BIGINT % 8)::VARCHAR || ' ' ||
+                     'w' || (('0x' || substring(md5(event_id::VARCHAR
+                       || ':a2'), 1, 15))::BIGINT % 8)::VARCHAR AS anchor
+              FROM events
+            ), t AS (
+              SELECT dst, unnest(string_split(anchor, ' ')) AS term FROM e
+            ), cnt AS (
+              SELECT dst, term, COUNT(*) AS n FROM t
+              WHERE term <> '' GROUP BY dst, term
+            ), r AS (
+              SELECT dst, term, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY dst ORDER BY n DESC, term) AS INT)
+                       AS term_rank
+              FROM cnt
+            )
+            SELECT dst, term, n, term_rank FROM r
+            WHERE term_rank <= 3 ORDER BY dst, term_rank
+        """,
+        # stream_windowed_counts: the watermarked streaming emission must
+        # equal the plain batch GROUP BY — window_start recomputed
+        # closed-form (epoch seconds), no timestamps in the compare.
+        "stream_windowed_counts": """
+            SELECT 1700000000 + ((doc_id % 97) // 10) * 10 AS window_start,
+                   source AS host, COUNT(*) AS n_events
+            FROM documents
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
 

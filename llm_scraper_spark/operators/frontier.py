@@ -319,3 +319,45 @@ def recrawl_intervals(history: DataFrame, max_exponent: int = 10,
                     (F.col(wave_col) + F.col("interval")).cast("long"))
         .drop("_obs")
     )
+
+
+def crawl_snapshot_diff(prev: DataFrame, curr: DataFrame,
+                        url_col: str = "url",
+                        fp_col: str = "fingerprint") -> DataFrame:
+    """Incremental-crawl snapshot diff: classify every URL across two
+    consecutive crawl snapshots ``(url, fingerprint)`` as ``new`` (only in
+    the current crawl), ``vanished`` (only in the previous), ``changed``
+    (present in both, fingerprint differs) or ``unchanged``.
+
+    This is the batch producer for ``recrawl_intervals``' fetch history
+    (the reference re-fetches every configured URL each run —
+    /root/reference/worker.py:98-219 — and has no change detection at
+    all; at a 10^10-URL corpus the diff IS the crawl report): the
+    ``changed``/``new`` partition seeds the next wave's priority frontier,
+    ``vanished`` rows feed tombstones, and the per-status counts are the
+    wave's freshness metrics.
+
+    Scale shape: ONE full-outer join on the URL key. Both snapshot sides
+    are unique on ``url`` (crawl outputs), so the join carries no skew
+    and AQE's post-shuffle coalescing right-sizes the output; when the
+    standing snapshots are written co-bucketed on the url key
+    (``sinks/bucketed.py``) the sort-merge join needs no exchange at all.
+    Status is a codegen'd CASE over the two fingerprint columns — no
+    second pass, no Python.
+    """
+    p = prev.select(F.col(url_col).alias("url"),
+                    F.col(fp_col).alias("prev_fingerprint"))
+    c = curr.select(F.col(url_col).alias("url"),
+                    F.col(fp_col).alias("curr_fingerprint"))
+    status = (
+        F.when(F.col("prev_fingerprint").isNull(), F.lit("new"))
+        .when(F.col("curr_fingerprint").isNull(), F.lit("vanished"))
+        .when(F.col("prev_fingerprint") == F.col("curr_fingerprint"),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        p.join(c, "url", "full_outer")
+        .select("url", "prev_fingerprint", "curr_fingerprint",
+                status.alias("status"))
+    )

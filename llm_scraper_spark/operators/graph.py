@@ -163,3 +163,39 @@ pr{i} AS (
         )
     parts.append(f"\nSELECT host, rank FROM pr{iterations}")
     return "".join(parts)
+
+
+def anchor_topk_terms(edges: DataFrame, k: int = 3,
+                      dst_col: str = "dst",
+                      anchor_col: str = "anchor") -> DataFrame:
+    """Anchor-text aggregation: the top-``k`` most frequent anchor terms
+    pointing at each target URL/host, ``(dst, term, n, rank)``.
+
+    Anchor text is the classic off-page relevance signal (Brin & Page
+    1998 §2.2 — "anchors often provide more accurate descriptions of web
+    pages than the pages themselves"); a crawl corpus at training scale
+    wants it rolled up per target as document metadata. The reference
+    extracts per-page links (worker.py:552-560) but never aggregates the
+    link graph; this is the missing corpus-level rollup.
+
+    Scale shape: ``explode(split(...))`` is narrow (no shuffle); the
+    term count is one hash aggregate with map-side partial combine (the
+    (dst, term) key space is bounded by vocabulary x targets, far below
+    edge count); the top-k is ``row_number() <= k`` which Spark >= 3.5
+    plans as WindowGroupLimit — each map task forwards at most k rows
+    per dst into the window exchange. Ties break deterministically on
+    the term string, so output is reproducible under any partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    terms = (
+        edges.select(F.col(dst_col).alias("dst"),
+                     F.explode(F.split(F.col(anchor_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = terms.groupBy("dst", "term").agg(F.count("*").alias("n"))
+    w = W.partitionBy("dst").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )

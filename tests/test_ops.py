@@ -1083,3 +1083,34 @@ def test_parse_sitemap_entries_protocol_fields():
     assert parse_sitemap_entries(gzip.compress(xml)) == want
     assert parse_sitemap_entries(b"not xml") == []
     assert parse_sitemap_entries(None) == []
+
+
+def test_crawl_snapshot_diff_statuses(spark):
+    from llm_scraper_spark.operators.frontier import crawl_snapshot_diff
+
+    prev = spark.createDataFrame(
+        [("a", "f1"), ("b", "f2"), ("c", "f3")], "url string, fingerprint string")
+    curr = spark.createDataFrame(
+        [("a", "f1"), ("b", "fX"), ("d", "f9")], "url string, fingerprint string")
+    out = {r["url"]: r for r in crawl_snapshot_diff(prev, curr).collect()}
+    assert out["a"]["status"] == "unchanged"
+    assert out["b"]["status"] == "changed"
+    assert out["c"]["status"] == "vanished" and out["c"]["curr_fingerprint"] is None
+    assert out["d"]["status"] == "new" and out["d"]["prev_fingerprint"] is None
+    assert len(out) == 4
+
+
+def test_anchor_topk_terms_counts_and_tiebreak(spark):
+    from llm_scraper_spark.operators.graph import anchor_topk_terms
+
+    edges = spark.createDataFrame(
+        [("s1", "t", "apple banana"), ("s2", "t", "apple cherry"),
+         ("s3", "t", "banana cherry"), ("s4", "u", "solo")],
+        "src string, dst string, anchor string")
+    out = anchor_topk_terms(edges, k=2).collect()
+    t_rows = sorted([r for r in out if r["dst"] == "t"], key=lambda r: r["rank"])
+    # all three terms tie at n=2 -> deterministic term-order tiebreak, top-2
+    assert [(r["term"], r["n"], r["rank"]) for r in t_rows] == [
+        ("apple", 2, 1), ("banana", 2, 2)]
+    u_rows = [r for r in out if r["dst"] == "u"]
+    assert [(r["term"], r["n"], r["rank"]) for r in u_rows] == [("solo", 1, 1)]
