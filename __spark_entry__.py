@@ -1831,12 +1831,10 @@ def _contamination_oracle_sql(n: int = 8) -> str:
     """
 
 
-def _dedup_clusters_oracle_sql(min_len: int = 30, cap: int = 200) -> str:
-    """DuckDB recomputation of q_dedup_clusters: same banner injection, same
-    60-bit md5 line hash, same >=2 / <=cap line-sharing window, same pair
-    join — and the connected-components closure itself recomputed as a
-    WITH RECURSIVE min-label fixpoint, independently of the distributed
-    alternating-star algorithm under test."""
+def _dedup_clusters_cte(min_len: int = 30, cap: int = 200) -> str:
+    """The shared WITH RECURSIVE body (banner injection -> line hashing ->
+    line-sharing pairs -> closure -> per-doc label ``lab`` + sizes ``sz``)
+    used by both the dedup_clusters and dedup_representatives oracles."""
     return f"""
         WITH RECURSIVE banner AS (
           SELECT doc_id,
@@ -1874,10 +1872,45 @@ def _dedup_clusters_oracle_sql(min_len: int = 30, cap: int = 200) -> str:
           SELECT cluster_id, count(*) AS cluster_size FROM lab
           GROUP BY cluster_id
         )
+    """
+
+
+def _dedup_clusters_oracle_sql(min_len: int = 30, cap: int = 200) -> str:
+    """DuckDB recomputation of q_dedup_clusters: same banner injection, same
+    60-bit md5 line hash, same >=2 / <=cap line-sharing window, same pair
+    join — and the connected-components closure itself recomputed as a
+    WITH RECURSIVE min-label fixpoint, independently of the distributed
+    alternating-star algorithm under test."""
+    return _dedup_clusters_cte(min_len, cap) + """
         SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
                lab.doc_id = lab.cluster_id AS keep
         FROM lab JOIN sz USING (cluster_id)
         ORDER BY lab.doc_id
+    """
+
+
+def _dedup_representatives_oracle_sql(min_len: int = 30,
+                                      cap: int = 200) -> str:
+    """DuckDB recomputation of q_dedup_representatives: the identical
+    closure chain as dedup_clusters (recursive fixpoint), then the same
+    md5-derived quality score and the arg-max-quality / min-id-tiebreak
+    representative replayed via row_number — value-exact."""
+    return _dedup_clusters_cte(min_len, cap) + """
+        , q AS (
+          SELECT lab.doc_id, lab.cluster_id,
+                 ('0x' || substring(md5(lab.doc_id::VARCHAR || ':q'),
+                                    1, 15))::BIGINT % 1000 AS quality
+          FROM lab
+        ), rep AS (
+          SELECT cluster_id, doc_id AS rep_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY quality DESC, doc_id) AS rn
+          FROM q
+        )
+        SELECT q.doc_id, q.cluster_id, q.quality, rep.rep_id,
+               q.doc_id = rep.rep_id AS is_rep
+        FROM q JOIN rep ON rep.cluster_id = q.cluster_id AND rep.rn = 1
+        ORDER BY q.doc_id
     """
 
 
@@ -2260,6 +2293,78 @@ def q_stream_windowed_counts(spark, sf_dir):
     )
 
 
+def q_dedup_representatives(spark, sf_dir):
+    """Canonical-doc selection over near-dup clusters
+    (select_representatives): the dedup_clusters line-sharing closure
+    assigns clusters, a deterministic md5-derived quality score
+    (md5_60bit(doc_id, ':q') % 1000) ranks members, and each cluster
+    keeps its highest-quality doc (ties -> smallest id) via ONE
+    arg-min aggregate. The oracle replays the identical recursive-CTE
+    closure plus the same quality/tiebreak rule via row_number —
+    value-exact, fully recomputed."""
+    from llm_scraper_spark.operators.dedup import (
+        line_share_clusters,
+        select_representatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncluster banner padding padding "),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("\nbridge banner padding padding "),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("text"),
+    )
+    assign = line_share_clusters(docs, hash_family="md5")
+    quality = docs.select(
+        "doc_id", (_md5_60bit(F.col("doc_id"), ":q") % 1000).alias("quality"))
+    return select_representatives(assign, quality).orderBy("doc_id")
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC archive round trip (write_warc -> read_warc): a deterministic
+    response corpus is synthesized closed-form from events (uri, status,
+    content type, and a repeat(md5)-derived body), written as real
+    per-record-gzipped .warc.gz shards by a distributed applyInPandas
+    sink (one task = one shard), then re-read via binaryFile +
+    mapInPandas stdlib parsing. The driver compares uri/status/ctype plus
+    payload length and payload md5 against a DuckDB recompute of the same
+    closed forms — so the entire serialize/compress/split/parse chain
+    must be byte-faithful for the hashes to agree."""
+    import os
+    import uuid
+
+    from llm_scraper_spark.sources.warc import read_warc, write_warc
+
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = os.path.join("/tmp", f"spark_graft_warc_{run_id}")
+    ids = _t(spark, sf_dir, "events").select("event_id").distinct()
+    records = ids.select(
+        F.concat(F.lit("http://h"), (F.col("event_id") % 40).cast("string"),
+                 F.lit(".example/p"), F.col("event_id").cast("string"))
+        .alias("target_uri"),
+        F.when(F.col("event_id") % 17 == 0, 404).otherwise(200)
+        .cast("int").alias("http_status"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("text/html"))
+        .otherwise(F.lit("text/plain")).alias("content_type"),
+        F.encode(
+            F.expr("repeat(md5(concat(cast(event_id as string), ':wb')), "
+                   "cast(event_id % 3 + 1 as int))"), "utf-8",
+        ).alias("payload"),
+        (F.col("event_id") % 8).alias("file_id"),
+    )
+    write_warc(records, out_dir).collect()  # materialize the shards
+    return (
+        read_warc(spark, out_dir)
+        .select("target_uri", "http_status", "content_type",
+                F.length("payload").cast("long").alias("payload_len"),
+                F.md5("payload").alias("payload_md5"))
+        .orderBy("target_uri")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2326,6 +2431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "anchor_terms": q_anchor_terms,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "dedup_representatives": q_dedup_representatives,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 
@@ -3077,6 +3184,31 @@ def oracle_sql() -> dict[str, str]:
                    source AS host, COUNT(*) AS n_events
             FROM documents
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # dedup_representatives: the full closure chain recomputed
+        # recursively + the same quality/tiebreak arg-max via row_number.
+        "dedup_representatives": _dedup_representatives_oracle_sql(),
+        # warc_roundtrip: the synthesized corpus's closed forms recomputed
+        # directly — uri/status/ctype plus body length and md5. The Spark
+        # side only matches if serialize -> gzip -> shard -> parse is
+        # byte-faithful end-to-end.
+        "warc_roundtrip": """
+            WITH ids AS (SELECT DISTINCT event_id FROM events),
+            r AS (
+              SELECT 'http://h' || (event_id % 40)::VARCHAR || '.example/p'
+                       || event_id::VARCHAR AS target_uri,
+                     CASE WHEN event_id % 17 = 0 THEN 404 ELSE 200 END
+                       AS http_status,
+                     CASE WHEN event_id % 2 = 0 THEN 'text/html'
+                          ELSE 'text/plain' END AS content_type,
+                     repeat(md5(event_id::VARCHAR || ':wb'),
+                            (event_id % 3 + 1)::INT) AS body
+              FROM ids
+            )
+            SELECT target_uri, CAST(http_status AS INT) AS http_status,
+                   content_type, CAST(length(body) AS BIGINT) AS payload_len,
+                   md5(body) AS payload_md5
+            FROM r ORDER BY target_uri
         """,
     }
 

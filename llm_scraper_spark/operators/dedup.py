@@ -695,3 +695,38 @@ def line_share_clusters(df: DataFrame, text_col: str = "text",
         id_col, "cluster_id", "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+def select_representatives(assign: DataFrame, quality: DataFrame,
+                           id_col: str = "doc_id",
+                           cluster_col: str = "cluster_id",
+                           quality_col: str = "quality") -> DataFrame:
+    """Canonical-document selection: given a near-dup cluster assignment
+    (``id, cluster``) and a per-document quality score, keep the
+    highest-quality member of each cluster (ties break to the smallest
+    id, so the choice is reproducible under any partitioning). This is
+    the decision step the dedup tier feeds — the reference deletes
+    arbitrary duplicates (its store upserts by URL id,
+    /root/reference/worker.py:221-318); a training-corpus pipeline wants
+    the BEST duplicate kept, not the first seen (cf. the quality-first
+    keep rule in deduplication writeups like Lee et al. 2022 §3).
+
+    Returns every input doc as (id, cluster, quality, rep_id, is_rep).
+
+    Scale shape: one inner join on the id key (both sides unique on id —
+    no skew), then ONE hash aggregate per cluster using
+    ``min_by(id, struct(-quality, id))`` — an arg-min with full map-side
+    partial combine, chosen over a row_number window because the window
+    would sort every cluster's members while the agg forwards exactly one
+    candidate row per cluster per map task. The rep table (one row per
+    cluster) joins back on the cluster key; AQE broadcasts it when small.
+    """
+    j = assign.join(quality.select(id_col, quality_col), id_col)
+    reps = j.groupBy(cluster_col).agg(
+        F.min_by(F.col(id_col),
+                 F.struct((-F.col(quality_col)).alias("_nq"),
+                          F.col(id_col).alias("_id"))).alias("rep_id"))
+    return j.join(reps, cluster_col).select(
+        id_col, cluster_col, quality_col, "rep_id",
+        (F.col(id_col) == F.col("rep_id")).alias("is_rep"),
+    )

@@ -1114,3 +1114,25 @@ def test_anchor_topk_terms_counts_and_tiebreak(spark):
         ("apple", 2, 1), ("banana", 2, 2)]
     u_rows = [r for r in out if r["dst"] == "u"]
     assert [(r["term"], r["n"], r["rank"]) for r in u_rows] == [("solo", 1, 1)]
+
+
+def test_select_representatives_quality_and_tiebreak(spark):
+    from llm_scraper_spark.operators.dedup import select_representatives
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id long, cluster_id long")
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 1), (9, 4), (10, 2)],
+        "doc_id long, quality long")
+    out = {r["doc_id"]: r for r in
+           select_representatives(assign, quality).collect()}
+    # cluster 1: docs 2 and 3 tie at q=9 -> smallest id (2) wins
+    assert out[1]["rep_id"] == 2 and not out[1]["is_rep"]
+    assert out[2]["rep_id"] == 2 and out[2]["is_rep"]
+    assert out[3]["rep_id"] == 2 and not out[3]["is_rep"]
+    # singleton cluster: its only member is the rep
+    assert out[7]["rep_id"] == 7 and out[7]["is_rep"]
+    # cluster 9: doc 9 has higher quality
+    assert out[9]["is_rep"] and not out[10]["is_rep"]
+    assert all(r["quality"] is not None for r in out.values())
