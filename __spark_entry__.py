@@ -2365,6 +2365,51 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_cdx_fetch(spark, sf_dir):
+    """CDX-indexed selective archive access (write_warc_cdx +
+    fetch_warc_records): the same closed-form corpus as warc_roundtrip is
+    written as .warc.gz shards, but access goes through the capture index
+    — filter the slim CDX table to the 404 captures, then ranged-fetch
+    ONLY those gzip members (the Common Crawl access model: scan cost
+    scales with the selection, never the archive). The oracle recomputes
+    the 404 subset's uri/ctype/body closed forms; payload md5 equality
+    proves each ranged member round-tripped byte-faithfully."""
+    import os
+    import uuid
+
+    from llm_scraper_spark.sources.warc import (
+        fetch_warc_records,
+        write_warc_cdx,
+    )
+
+    run_id = uuid.uuid4().hex[:8]
+    out_dir = os.path.join("/tmp", f"spark_graft_warc_cdx_{run_id}")
+    ids = _t(spark, sf_dir, "events").select("event_id").distinct()
+    records = ids.select(
+        F.concat(F.lit("http://h"), (F.col("event_id") % 40).cast("string"),
+                 F.lit(".example/p"), F.col("event_id").cast("string"))
+        .alias("target_uri"),
+        F.when(F.col("event_id") % 17 == 0, 404).otherwise(200)
+        .cast("int").alias("http_status"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("text/html"))
+        .otherwise(F.lit("text/plain")).alias("content_type"),
+        F.encode(
+            F.expr("repeat(md5(concat(cast(event_id as string), ':wb')), "
+                   "cast(event_id % 3 + 1 as int))"), "utf-8",
+        ).alias("payload"),
+        (F.col("event_id") % 8).alias("file_id"),
+    )
+    cdx = write_warc_cdx(records, out_dir)
+    hits = cdx.filter(F.col("http_status") == 404)
+    return (
+        fetch_warc_records(spark, hits)
+        .select("target_uri", "http_status", "content_type",
+                F.length("payload").cast("long").alias("payload_len"),
+                F.md5("payload").alias("payload_md5"))
+        .orderBy("target_uri")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2433,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_representatives": q_dedup_representatives,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_cdx_fetch": q_warc_cdx_fetch,
     }
 
 
@@ -3206,6 +3252,25 @@ def oracle_sql() -> dict[str, str]:
               FROM ids
             )
             SELECT target_uri, CAST(http_status AS INT) AS http_status,
+                   content_type, CAST(length(body) AS BIGINT) AS payload_len,
+                   md5(body) AS payload_md5
+            FROM r ORDER BY target_uri
+        """,
+        # warc_cdx_fetch: the 404-selected subset of the same closed-form
+        # corpus — selective CDX access must return exactly these rows,
+        # byte-faithfully (payload md5).
+        "warc_cdx_fetch": """
+            WITH ids AS (SELECT DISTINCT event_id FROM events),
+            r AS (
+              SELECT 'http://h' || (event_id % 40)::VARCHAR || '.example/p'
+                       || event_id::VARCHAR AS target_uri,
+                     CASE WHEN event_id % 2 = 0 THEN 'text/html'
+                          ELSE 'text/plain' END AS content_type,
+                     repeat(md5(event_id::VARCHAR || ':wb'),
+                            (event_id % 3 + 1)::INT) AS body
+              FROM ids WHERE event_id % 17 = 0
+            )
+            SELECT target_uri, CAST(404 AS INT) AS http_status,
                    content_type, CAST(length(body) AS BIGINT) AS payload_len,
                    md5(body) AS payload_md5
             FROM r ORDER BY target_uri

@@ -66,6 +66,16 @@ WARC_MANIFEST_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.LongType()),
 ])
 
+# CDX(J)-style capture index: one row per record with the byte range of
+# its gzip member — what turns a 100 TB archive into ranged fetches.
+WARC_CDX_SCHEMA = T.StructType([
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("length", T.LongType()),
+    T.StructField("http_status", T.IntegerType()),
+])
+
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a stream of concatenated gzip members (the standard
@@ -208,6 +218,45 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         gen, schema=WARC_RECORD_SCHEMA)
 
 
+def _serialize_group(pdf: pd.DataFrame, uri_col: str, status_col: str,
+                     ctype_col: str, payload_col: str, date: str,
+                     compress: bool) -> tuple[bytes, list[dict]]:
+    """One shard's bytes + its per-record CDX rows (offset/length of each
+    gzip member within the shard). Rows are URI-sorted so the shard is
+    byte-deterministic under any upstream partitioning."""
+    pdf = pdf.sort_values(uri_col, kind="mergesort")
+    parts: list[bytes] = []
+    cdx: list[dict] = []
+    offset = 0
+    for _, row in pdf.iterrows():
+        status = int(row[status_col])
+        reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently",
+                  500: "Internal Server Error"}.get(status, "Unknown")
+        body = row[payload_col]
+        body = bytes(body) if body is not None else b""
+        uri = str(row[uri_col])
+        rec = build_warc_record(
+            "response",
+            "<urn:md5:%s>" % hashlib.md5(uri.encode()).hexdigest(),
+            date, uri,
+            build_http_response(status, reason, str(row[ctype_col]), body),
+        )
+        member = (gzip.compress(rec, compresslevel=6, mtime=0)
+                  if compress else rec)
+        parts.append(member)
+        cdx.append({"target_uri": uri, "offset": offset,
+                    "length": len(member), "http_status": status})
+        offset += len(member)
+    return b"".join(parts), cdx
+
+
+def _publish(path: str, blob: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic publish, crash-safe like the ledger
+
+
 def write_warc(records: DataFrame, out_dir: str,
                file_col: str = "file_id", uri_col: str = "target_uri",
                status_col: str = "http_status",
@@ -228,29 +277,10 @@ def write_warc(records: DataFrame, out_dir: str,
 
     def emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(key[0])
-        pdf = pdf.sort_values(uri_col, kind="mergesort")
-        parts = []
-        for _, row in pdf.iterrows():
-            status = int(row[status_col])
-            reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently",
-                      500: "Internal Server Error"}.get(status, "Unknown")
-            body = row[payload_col]
-            body = bytes(body) if body is not None else b""
-            uri = str(row[uri_col])
-            rec = build_warc_record(
-                "response",
-                "<urn:md5:%s>" % hashlib.md5(uri.encode()).hexdigest(),
-                date, uri,
-                build_http_response(status, reason, str(row[ctype_col]), body),
-            )
-            parts.append(gzip.compress(rec, compresslevel=6, mtime=0)
-                         if compress else rec)
-        blob = b"".join(parts)
+        blob, _ = _serialize_group(pdf, uri_col, status_col, ctype_col,
+                                   payload_col, date, compress)
         path = os.path.join(out_dir, f"part-{fid:05d}{ext}")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)  # atomic publish, crash-safe like the ledger
+        _publish(path, blob)
         return pd.DataFrame([{"file_id": fid, "path": path,
                               "n_records": len(pdf), "n_bytes": len(blob)}])
 
@@ -258,3 +288,67 @@ def write_warc(records: DataFrame, out_dir: str,
         records.groupBy(file_col)
         .applyInPandas(emit, schema=WARC_MANIFEST_SCHEMA)
     )
+
+
+def write_warc_cdx(records: DataFrame, out_dir: str,
+                   file_col: str = "file_id", uri_col: str = "target_uri",
+                   status_col: str = "http_status",
+                   ctype_col: str = "content_type",
+                   payload_col: str = "payload",
+                   date: str = "2026-08-19T00:00:00Z") -> DataFrame:
+    """``write_warc`` variant that returns the CDX capture index instead
+    of the shard manifest: one row per record, ``(target_uri, path,
+    offset, length, http_status)`` — the byte range of the record's own
+    gzip member within its shard. This is Common Crawl's access model:
+    the index (a few GB) is the queryable table; the archive (100s of TB)
+    is only touched via ranged fetches of single members. Always
+    compressed (per-record members are what make ranged access work)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(key[0])
+        blob, cdx = _serialize_group(pdf, uri_col, status_col, ctype_col,
+                                     payload_col, date, compress=True)
+        path = os.path.join(out_dir, f"part-{fid:05d}.warc.gz")
+        _publish(path, blob)
+        for row in cdx:
+            row["path"] = path
+        return pd.DataFrame(
+            cdx, columns=[f.name for f in WARC_CDX_SCHEMA.fields])
+
+    return records.groupBy(file_col).applyInPandas(
+        emit, schema=WARC_CDX_SCHEMA)
+
+
+def read_warc_member(path: str, offset: int, length: int) -> dict | None:
+    """Ranged fetch of ONE record: seek to the gzip member's byte range,
+    inflate, parse. On object storage this is a ranged GET — the only
+    archive touch a CDX-driven pipeline makes."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    recs = parse_warc_bytes(member)
+    return recs[0] if recs else None
+
+
+def fetch_warc_records(spark: SparkSession, cdx: DataFrame) -> DataFrame:
+    """Distributed ranged-record fetch: a ``mapInPandas`` stage turns each
+    CDX row into its parsed record. Tasks touch exactly the byte ranges
+    they need — scan cost scales with the SELECTION, not the archive.
+    Partition the CDX by ``path`` upstream (one repartition on a slim
+    table) to coalesce each shard's ranged reads into one task."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, off, ln in zip(pdf["path"], pdf["offset"],
+                                     pdf["length"]):
+                rec = read_warc_member(str(path), int(off), int(ln))
+                if rec is not None:
+                    rec["warc_file"] = os.path.basename(str(path))
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields])
+
+    return cdx.select("path", "offset", "length").mapInPandas(
+        gen, schema=WARC_RECORD_SCHEMA)

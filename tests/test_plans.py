@@ -367,3 +367,52 @@ def test_sitemap_priority_plan_shape(spark):
     # exactly two shuffles: the per-source XML groupBy and the host window
     assert plan.count("hashpartitioning(host") == 1
     assert plan.count("hashpartitioning(source") == 1
+
+
+def test_anchor_topk_windowgrouplimit(spark):
+    """anchor_topk_terms plans a map-side WindowGroupLimit (each task
+    forwards at most k rows per dst into the window exchange), a partial
+    hash aggregate before the (dst, term) exchange, and zero Python."""
+    from llm_scraper_spark.operators.graph import anchor_topk_terms
+
+    edges = spark.createDataFrame(
+        [("s", "t", "a b c")], "src string, dst string, anchor string")
+    plan = (anchor_topk_terms(edges, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_crawl_snapshot_diff_single_join_no_python(spark):
+    """crawl_snapshot_diff is ONE join node + a codegen'd CASE: no second
+    pass, no Python stage, no cartesian."""
+    from llm_scraper_spark.operators.frontier import crawl_snapshot_diff
+
+    prev = spark.range(10).select(
+        F.col("id").cast("string").alias("url"),
+        F.lit("f").alias("fingerprint"))
+    curr = spark.range(5, 15).select(
+        F.col("id").cast("string").alias("url"),
+        F.lit("g").alias("fingerprint"))
+    out = crawl_snapshot_diff(prev, curr)
+    assert_no_cartesian(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_select_representatives_argmin_agg_not_window(spark):
+    """select_representatives uses a hash aggregate with a map-side
+    partial (min_by forwards one candidate per cluster per task) — NOT a
+    per-cluster sort window — and stays JVM-side."""
+    from llm_scraper_spark.operators.dedup import select_representatives
+
+    assign = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10).alias("cluster_id"))
+    quality = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("quality"))
+    out = select_representatives(assign, quality)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan or "Partial" in plan
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -131,3 +131,64 @@ def test_write_deterministic(spark, tmp_path):
     b1 = open(os.path.join(d1, "part-00000.warc.gz"), "rb").read()
     b2 = open(os.path.join(d2, "part-00000.warc.gz"), "rb").read()
     assert b1 == b2
+
+
+def test_cdx_ranged_fetch_equals_full_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.sources.warc import fetch_warc_records, write_warc_cdx
+
+    records = spark.range(0, 30).select(
+        F.concat(F.lit("http://c"), (F.col("id") % 4).cast("string"),
+                 F.lit(".example/r"), F.col("id").cast("string"))
+        .alias("target_uri"),
+        F.lit(200).cast("int").alias("http_status"),
+        F.lit("text/plain").alias("content_type"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")),
+                 "utf-8").alias("payload"),
+        (F.col("id") % 4).alias("file_id"),
+    )
+    out_dir = str(tmp_path / "cdx")
+    cdx = write_warc_cdx(records, out_dir)
+    cdx_rows = cdx.collect()
+    assert len(cdx_rows) == 30
+    # offsets tile each shard exactly: sorted ranges are contiguous from 0
+    by_path = {}
+    for r in cdx_rows:
+        by_path.setdefault(r["path"], []).append((r["offset"], r["length"]))
+    for path, ranges in by_path.items():
+        pos = 0
+        for off, ln in sorted(ranges):
+            assert off == pos
+            pos += ln
+        assert pos == os.path.getsize(path)
+
+    fetched = fetch_warc_records(spark, cdx).collect()
+    assert len(fetched) == 30
+    for r in fetched:
+        i = int(r["target_uri"].rsplit("r", 1)[1])
+        assert bytes(r["payload"]) == f"payload-{i}".encode()
+        assert r["http_status"] == 200
+
+
+def test_cdx_selective_fetch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.sources.warc import fetch_warc_records, write_warc_cdx
+
+    records = spark.range(0, 20).select(
+        F.concat(F.lit("http://s.example/r"), F.col("id").cast("string"))
+        .alias("target_uri"),
+        F.when(F.col("id") % 5 == 0, 404).otherwise(200)
+        .cast("int").alias("http_status"),
+        F.lit("text/plain").alias("content_type"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("payload"),
+        (F.col("id") % 2).alias("file_id"),
+    )
+    cdx = write_warc_cdx(records, str(tmp_path / "sel"))
+    # the index is the queryable side: filter on it, touch only those members
+    hits = fetch_warc_records(spark, cdx.filter(F.col("http_status") == 404))
+    out = hits.collect()
+    assert sorted(int(r["target_uri"].rsplit("r", 1)[1]) for r in out) == [
+        0, 5, 10, 15]
+    assert all(r["http_status"] == 404 for r in out)
