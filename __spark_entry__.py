@@ -2410,6 +2410,34 @@ def q_warc_cdx_fetch(spark, sf_dir):
     )
 
 
+def q_surt_keys(spark, sf_dir):
+    """SURT canonical archive ordering (surt_key): a deterministic URL
+    corpus with www-variants, mixed TLDs, and query strings is built
+    closed-form from events, and each URL gets its sort-friendly reversed
+    key (com,example,h7)/p123?q=4). Sorting a CDX table by this key makes
+    every domain a contiguous range — per-domain selections become range
+    scans instead of full-index filters. The whole transform is native
+    expressions (plan-asserted UDF-free in tests); the oracle replays the
+    identical lower/regexp/split/reverse/join chain in DuckDB."""
+    from llm_scraper_spark.functions.urls import surt_key
+
+    ids = _t(spark, sf_dir, "events").select("event_id").distinct()
+    url = F.concat(
+        F.when(F.col("event_id") % 3 == 0, F.lit("http://www."))
+        .otherwise(F.lit("http://")),
+        F.lit("h"), (F.col("event_id") % 40).cast("string"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(".example.com"))
+        .otherwise(F.lit(".example.org")),
+        F.lit("/p"), F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 5 == 0,
+               F.concat(F.lit("?q="), (F.col("event_id") % 7).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return (ids.select(url.alias("url"))
+            .select("url", surt_key(F.col("url")).alias("surt"))
+            .orderBy("url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2479,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_cdx_fetch": q_warc_cdx_fetch,
+        "surt_keys": q_surt_keys,
     }
 
 
@@ -3274,6 +3303,35 @@ def oracle_sql() -> dict[str, str]:
                    content_type, CAST(length(body) AS BIGINT) AS payload_len,
                    md5(body) AS payload_md5
             FROM r ORDER BY target_uri
+        """,
+        # surt_keys: the identical closed-form URL corpus and the identical
+        # lower/regexp/split/reverse/join SURT chain replayed in DuckDB.
+        "surt_keys": """
+            WITH ids AS (SELECT DISTINCT event_id FROM events),
+            u AS (
+              SELECT (CASE WHEN event_id % 3 = 0 THEN 'http://www.'
+                           ELSE 'http://' END)
+                     || 'h' || (event_id % 40)::VARCHAR
+                     || (CASE WHEN event_id % 2 = 0 THEN '.example.com'
+                              ELSE '.example.org' END)
+                     || '/p' || event_id::VARCHAR
+                     || (CASE WHEN event_id % 5 = 0
+                              THEN '?q=' || (event_id % 7)::VARCHAR
+                              ELSE '' END) AS url
+              FROM ids
+            ), parts AS (
+              SELECT url,
+                     regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                     regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$', 1) AS tail
+              FROM u
+            )
+            SELECT url,
+                   array_to_string(list_reverse(string_split(
+                     regexp_replace(host, '^www\\.', ''), '.')), ',')
+                     || ')' || tail AS surt
+            FROM parts ORDER BY url
         """,
     }
 

@@ -169,3 +169,54 @@ def test_url_hygiene_is_udf_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_surt_key_literal_cases(spark):
+    from llm_scraper_spark.functions.urls import surt_key
+
+    cases = [
+        ("http://www.News.Example.com/a?b=1", "com,example,news)/a?b=1"),
+        ("https://example.com/", "com,example)/"),
+        ("https://example.com", "com,example)"),
+        ("http://sub.www2.example.org/p/q", "org,example,www2,sub)/p/q"),
+        # www stripped only as a LEADING label
+        ("http://wwwx.example.com/", "com,example,wwwx)/"),
+        ("http://a.b.co.uk/x#frag", "uk,co,b,a)/x#frag"),
+        # schemeless input passes through (lowercased), no ')' emitted
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = [r["k"] for r in
+           df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert out == [want for _, want in cases]
+
+
+def test_surt_key_groups_domains_contiguously(spark):
+    """Sorting by SURT makes each registrable domain a contiguous range —
+    the property that turns per-domain CDX selections into range scans."""
+    from llm_scraper_spark.functions.urls import surt_key
+
+    urls = [f"http://{sub}.example{d}.com/p{i}"
+            for d in (1, 2) for sub in ("a", "www", "z") for i in (1, 2)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = (df.select("url", surt_key(F.col("url")).alias("k"))
+            .orderBy("k").collect())
+    domains = [r["k"].split(")")[0].split(",")[1] for r in rows]
+    # once sorted, each domain appears as one contiguous block
+    seen, prev = set(), None
+    for d in domains:
+        if d != prev:
+            assert d not in seen
+            seen.add(d)
+        prev = d
+
+
+def test_surt_key_udf_free(spark):
+    from llm_scraper_spark.functions.urls import surt_key
+
+    df = spark.range(5).select(
+        F.concat(F.lit("http://h"), F.col("id").cast("string"),
+                 F.lit(".example.com/p")).alias("url"))
+    plan = (df.select(surt_key(F.col("url")).alias("k"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
