@@ -135,6 +135,8 @@ class CrawlRun:
         seen_filter: str | None = None,
         compact_every: int = 8,
         scope_filter: bool = False,
+        archive_dir: str | None = None,
+        archive_shards: int = 8,
     ):
         self.spark = spark
         self.state = CrawlState(spark, state_dir)
@@ -169,6 +171,14 @@ class CrawlRun:
         # bounds both the per-read delta dir count and the tombstone
         # anti-join side (<= N waves x budget rows). 0 disables.
         self.compact_every = compact_every
+        # opt-in Common-Crawl-style archiving (sources/warc.py): each
+        # wave's fetch output is written as wave=N/.warc.gz shards plus a
+        # CDX capture index. Shards are byte-deterministic and published
+        # atomically, so a wave replay after a crash rewrites identical
+        # bytes — same idempotence contract as the ledger tables. Off by
+        # default: archiving is an extra job per wave.
+        self.archive_dir = archive_dir
+        self.archive_shards = archive_shards
 
     # ------------------------------------------------------------------
     def _standing_bloom(self, seen_df: DataFrame | None):
@@ -296,6 +306,28 @@ class CrawlRun:
 
         pages = _ck(self.fetcher(scheduled))
         _mark("fetch")
+
+        if self.archive_dir:
+            import os
+
+            from ..sources.warc import write_warc_cdx
+
+            arc_dir = os.path.join(self.archive_dir, f"wave={wave}")
+            recs = pages.select(
+                F.col("url").alias("target_uri"),
+                F.when(F.col("ok"), 200).otherwise(500)
+                .cast("int").alias("http_status"),
+                F.lit("text/html").alias("content_type"),
+                F.encode(F.coalesce(F.col("content"), F.lit("")), "utf-8")
+                .alias("payload"),
+                F.pmod(F.col("url_hash"), F.lit(self.archive_shards))
+                .alias("file_id"),
+            )
+            # the CDX parquet write is the one action that drives the
+            # applyInPandas shard writes; overwrite keeps replay idempotent
+            write_warc_cdx(recs, arc_dir).write.mode("overwrite").parquet(
+                os.path.join(arc_dir, "cdx.parquet"))
+            _mark("archive_warc")
 
         # --- documents: uuid5 doc id + interleaved spans (production 512/50)
         docs = (
