@@ -2438,6 +2438,21 @@ def q_surt_keys(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing sketches (Schleimer/Wilkerson/Aiken SIGMOD'03, the MOSS
+    algorithm) over documents: md5 word-3-gram hashes, window-of-4
+    minima, distinct per doc — the local-overlap detector (quoted
+    passages, partial mirrors) that whole-doc MinHash misses. One
+    codegen'd projection per doc + one distinct exchange. The oracle
+    replays the identical gram/window/min chain with DuckDB list
+    functions — value-exact, fully recomputed."""
+    from llm_scraper_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (winnow_fingerprints(docs, k=3, w=4, hash_family="md5")
+            .orderBy("doc_id", "fp"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2508,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_cdx_fetch": q_warc_cdx_fetch,
         "surt_keys": q_surt_keys,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -3332,6 +3348,31 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(host, '^www\\.', ''), '.')), ',')
                      || ')' || tail AS surt
             FROM parts ORDER BY url
+        """,
+        # winnow_fingerprints: the identical gram-hash / window-min /
+        # distinct chain replayed with DuckDB list functions (k=3, w=4,
+        # md5 hex lexicographic min — both engines compare ASCII hex).
+        "winnow_fingerprints": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(toks) - 1), i ->
+                       md5(array_to_string(toks[i:i+2], ' '))) AS grams
+              FROM t
+            ), f AS (
+              SELECT doc_id,
+                     CASE WHEN len(grams) >= 4 THEN
+                       list_distinct(list_transform(
+                         range(1, len(grams) - 2), j ->
+                           list_aggregate(grams[j:j+3], 'min')))
+                     WHEN len(grams) >= 1 THEN
+                       [list_aggregate(grams, 'min')]
+                     ELSE [] END AS fps
+              FROM g
+            )
+            SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f
+            ORDER BY doc_id, fp
         """,
     }
 

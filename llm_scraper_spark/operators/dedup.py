@@ -730,3 +730,79 @@ def select_representatives(assign: DataFrame, quality: DataFrame,
         id_col, cluster_col, quality_col, "rep_id",
         (F.col(id_col) == F.col("rep_id")).alias("is_rep"),
     )
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3, w: int = 4,
+                        hash_family: str = "xxhash64") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive gram hashes, keep each window's minimum.
+    The selected set is a position-robust sketch with the paper's
+    guarantee: any shared run of at least ``w + k - 1`` tokens between two
+    documents yields at least one shared fingerprint — unlike MinHash
+    (whole-doc similarity) this catches LOCAL overlap (quoted passages,
+    boilerplate splices, partial mirrors), and unlike every-gram
+    fingerprinting it keeps only ~2/(w+1) of the grams.
+
+    Returns the exploded sketch ``(id, fp)``, distinct per doc.
+
+    Scale shape: the gram hashing and window minima are ONE codegen'd
+    projection per document (higher-order transform over sequence —
+    O(m*w) comparisons per doc, all JVM, no shuffle); the only exchange
+    is the final distinct on (id, fp). Docs shorter than ``w`` grams
+    degrade to their single overall-min gram (the whole-doc degenerate
+    that ``text_analysis.fingerprint`` uses); docs with no full gram emit
+    nothing.
+
+    ``hash_family='md5'`` (lexicographic hex min) lets a DuckDB oracle
+    replay the identical chain; production default is xxhash64 (numeric
+    min, 8-byte fps).
+    """
+    toks = F.split(F.col(text_col), " ")
+    m = F.size(toks) - F.lit(k - 1)  # number of k-grams
+
+    def gram_hash(i):
+        joined = F.concat_ws(" ", F.slice(toks, i, k))
+        if hash_family == "md5":
+            return F.md5(joined)
+        return F.xxhash64(joined)
+
+    grams = F.transform(F.sequence(F.lit(1), m), gram_hash)
+    n_win = m - F.lit(w - 1)
+    window_mins = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_win),
+                    lambda j: F.array_min(F.slice(grams, j, w))))
+    fps = (
+        F.when(m >= w, window_mins)
+        .when(m >= 1, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast(
+            "array<string>" if hash_family == "md5" else "array<long>"))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(fps: DataFrame, id_col: str = "doc_id",
+                 min_shared: int = 2,
+                 max_docs_per_fp: int = 200) -> DataFrame:
+    """Candidate pairs from winnowing sketches: docs sharing >=
+    ``min_shared`` fingerprints, with the standard megaclique cap (a
+    fingerprint carried by more than ``max_docs_per_fp`` docs is
+    boilerplate, not evidence — same rationale as the LSH bucket and
+    line-share caps). Slim (fp, id) self-join -> pair count >= threshold;
+    only hashes and ids ever shuffle."""
+    ok = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+          .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs_per_fp))
+          .select("fp"))
+    slim = fps.join(ok, "fp")
+    a = slim.select(F.col("fp"), F.col(id_col).alias("a"))
+    b = slim.select(F.col("fp"), F.col(id_col).alias("b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

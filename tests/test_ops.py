@@ -1136,3 +1136,66 @@ def test_select_representatives_quality_and_tiebreak(spark):
     # cluster 9: doc 9 has higher quality
     assert out[9]["is_rep"] and not out[10]["is_rep"]
     assert all(r["quality"] is not None for r in out.values())
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """The SIGMOD'03 guarantee: any shared token run of length >= w+k-1
+    yields at least one shared fingerprint; and short docs degrade to the
+    single overall-min gram."""
+    from llm_scraper_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [(1, "one two " + shared + " three four five six"),
+         (2, "seven eight nine " + shared + " ten"),
+         (3, "totally different words everywhere here now and then"),
+         (4, "tiny doc"),          # < k tokens: no gram, no fp
+         (5, "just four tokens here")],  # 2 grams < w: one overall min
+        "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=3, w=4, hash_family="md5")
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fp"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1
+    # density: winnowing keeps far fewer than all grams
+    n_grams_1 = len(docs.collect()[0]["text"].split()) - 2
+    assert len(by_doc[1]) < n_grams_1
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    """Value-exact vs a direct single-node transcription of the paper's
+    definition (every window's min, set-deduped)."""
+    import hashlib
+
+    from llm_scraper_spark.operators.dedup import winnow_fingerprints
+
+    text = "a b c a b c d e f a b c d x y z w q"
+    k, w = 3, 4
+    toks = text.split(" ")
+    grams = [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+             for i in range(len(toks) - k + 1)]
+    expected = {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["fp"] for r in
+           winnow_fingerprints(docs, k=k, w=w, hash_family="md5").collect()}
+    assert got == expected
+
+
+def test_winnow_pairs_threshold_and_cap(spark):
+    from llm_scraper_spark.operators.dedup import winnow_pairs
+
+    fps = spark.createDataFrame(
+        [(1, "f1"), (1, "f2"), (1, "f3"),
+         (2, "f1"), (2, "f2"),
+         (3, "f3"),
+         (4, "boiler"), (5, "boiler"), (6, "boiler")],
+        "doc_id long, fp string")
+    out = winnow_pairs(fps, min_shared=2, max_docs_per_fp=2)
+    rows = [(r["a"], r["b"], r["n_shared"]) for r in out.collect()]
+    # only (1,2) share >=2 capped fps; 'boiler' (3 docs) is over the cap
+    assert rows == [(1, 2, 2)]
