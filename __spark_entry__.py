@@ -2453,6 +2453,72 @@ def q_winnow_fingerprints(spark, sf_dir):
             .orderBy("doc_id", "fp"))
 
 
+def q_trap_patterns(spark, sf_dir):
+    """Crawler-trap detection (trap_patterns): a synthetic URL corpus
+    where a quarter of URLs are calendar-maze pages (/cal/N/N templates,
+    hundreds of distinct URLs per host) and the rest are digit-free
+    article paths (each its own singleton template). Digit-normalization
+    + one (host, pattern) hash aggregate flags exactly the calendar
+    templates. The oracle rebuilds the same URLs and replays the
+    normalization/count/threshold in DuckDB (regexp_replace with the 'g'
+    flag — Spark's is global by default)."""
+    from llm_scraper_spark.operators.frontier import trap_patterns
+
+    ids = _t(spark, sf_dir, "events").select("event_id").distinct()
+    url = F.concat(
+        F.lit("http://h"), (F.col("event_id") % 12).cast("string"),
+        F.lit(".example"),
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(F.lit("/cal/"), (F.col("event_id") % 17).cast("string"),
+                     F.lit("/"), (F.col("event_id") % 29).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("/doc-"),
+                     F.translate(
+                         F.substring(F.md5(F.col("event_id").cast("string")),
+                                     1, 8),
+                         "0123456789", "ghijklmnop")),
+        ),
+    )
+    return (trap_patterns(ids.select(url.alias("url")), min_urls=10)
+            .orderBy("host", "pattern"))
+
+
+def q_mime_sniff(spark, sf_dir):
+    """Magic-number MIME sniffing (sniff_mime_expr): nine payload
+    families are synthesized closed-form — real magic prefixes (PNG,
+    GIF89a, JPEG, PDF, gzip, zip, RIFF/WAVE, WARC/) plus an HTML text
+    heuristic case — and the sniffer must label every one from CONTENT
+    bytes alone. The oracle maps the same id->family closed form straight
+    to the expected label, so any sniffing error on any family breaks the
+    hash compare."""
+    from llm_scraper_spark.operators.multimodal import sniff_mime_expr
+
+    ids = _t(spark, sf_dir, "events").select("event_id").distinct()
+    filler = F.encode(F.md5(F.col("event_id").cast("string")), "utf-8")
+    b = F.col("event_id") % 9
+
+    def lit_b(bs: bytes):
+        return F.lit(bs)
+
+    payload = (
+        F.when(b == 0, F.concat(lit_b(b"\x89PNG\r\n\x1a\n"), filler))
+        .when(b == 1, F.concat(lit_b(b"GIF89a"), filler))
+        .when(b == 2, F.concat(lit_b(b"\xff\xd8\xff\xe0"), filler))
+        .when(b == 3, F.concat(lit_b(b"%PDF-1.7 "), filler))
+        .when(b == 4, F.concat(lit_b(b"\x1f\x8b\x08"), filler))
+        .when(b == 5, F.concat(lit_b(b"PK\x03\x04"), filler))
+        .when(b == 6, F.concat(lit_b(b"RIFF\x00\x00\x00\x00WAVE"), filler))
+        .when(b == 7, F.concat(lit_b(b"WARC/1.0\r\n"), filler))
+        .otherwise(F.concat(lit_b(b"  <!DOCTYPE html><html>"), filler))
+    )
+    return (
+        ids.select("event_id", payload.alias("payload"))
+        .select("event_id", sniff_mime_expr("payload").alias("mime"))
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2524,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx_fetch": q_warc_cdx_fetch,
         "surt_keys": q_surt_keys,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "trap_patterns": q_trap_patterns,
+        "mime_sniff": q_mime_sniff,
     }
 
 
@@ -3373,6 +3441,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f
             ORDER BY doc_id, fp
+        """,
+        # trap_patterns: same URL closed forms, digit-normalization with
+        # the 'g' flag (DuckDB regexp_replace is first-match by default;
+        # Spark's is global), same distinct/count/threshold.
+        "trap_patterns": """
+            WITH ids AS (SELECT DISTINCT event_id FROM events),
+            u AS (
+              SELECT 'http://h' || (event_id % 12)::VARCHAR || '.example'
+                || CASE WHEN event_id % 4 = 0 THEN
+                     '/cal/' || (event_id % 17)::VARCHAR || '/'
+                       || (event_id % 29)::VARCHAR
+                   ELSE
+                     '/doc-' || translate(
+                       substring(md5(event_id::VARCHAR), 1, 8),
+                       '0123456789', 'ghijklmnop')
+                   END AS url
+              FROM ids
+            ), norm AS (
+              SELECT DISTINCT
+                     regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                     regexp_replace(
+                       regexp_extract(url, '^[a-z]+://[^/?#]+(.*)$', 1),
+                       '[0-9]+', 'N', 'g') AS pattern,
+                     url
+              FROM u
+            )
+            SELECT host, pattern, COUNT(*) AS n_urls
+            FROM norm GROUP BY host, pattern
+            HAVING COUNT(*) >= 10
+            ORDER BY host, pattern
+        """,
+        # mime_sniff: the id->family closed form maps straight to the
+        # expected label; the Spark side must RE-DERIVE it from payload
+        # bytes via the magic-number sniffer.
+        "mime_sniff": """
+            WITH ids AS (SELECT DISTINCT event_id FROM events)
+            SELECT event_id,
+                   CASE event_id % 9
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'image/gif'
+                     WHEN 2 THEN 'image/jpeg'
+                     WHEN 3 THEN 'application/pdf'
+                     WHEN 4 THEN 'application/gzip'
+                     WHEN 5 THEN 'application/zip'
+                     WHEN 6 THEN 'audio/wav'
+                     WHEN 7 THEN 'application/warc'
+                     ELSE 'text/html' END AS mime
+            FROM ids ORDER BY event_id
         """,
     }
 

@@ -361,3 +361,39 @@ def crawl_snapshot_diff(prev: DataFrame, curr: DataFrame,
         .select("url", "prev_fingerprint", "curr_fingerprint",
                 status.alias("status"))
     )
+
+
+def trap_patterns(df: DataFrame, url_col: str = "url",
+                  min_urls: int = 50) -> DataFrame:
+    """Crawler-trap detection: collapse every URL to its digit-normalized
+    template (``/cal/2026/08/19`` -> ``/cal/N/N/N``) and flag (host,
+    pattern) templates that account for >= ``min_urls`` distinct URLs —
+    calendars, session-id mazes, paginated mirrors, the classic infinite
+    URL spaces (Heydon & Najork, "Mercator" 1999 §4; the reference has no
+    trap defense at all, its config lists fixed URLs,
+    /root/reference/worker.py:98-219). The flagged templates feed the
+    frontier as host+prefix deny rules — at 10^10 URLs an undetected
+    calendar trap spends the whole politeness budget of its host on
+    garbage.
+
+    Returns ``(host, pattern, n_urls)`` for flagged templates.
+
+    Scale shape: the normalization is one codegen'd regexp projection; the
+    count is one hash aggregate on (host, pattern) with map-side partial
+    combine (the template space is tiny next to the URL space — that
+    collapse IS the detector), and the threshold filter runs on the
+    aggregate side. distinct-before-count keeps re-discovered URLs from
+    inflating a template.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1)
+    pattern = F.regexp_replace(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+(.*)$", 1),
+        r"[0-9]+", "N")
+    return (
+        df.select(host.alias("host"), pattern.alias("pattern"),
+                  F.col(url_col).alias("url"))
+        .distinct()
+        .groupBy("host", "pattern")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .filter(F.col("n_urls") >= int(min_urls))
+    )

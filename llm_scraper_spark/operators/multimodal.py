@@ -58,7 +58,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 FEATURE_DIM = 64
@@ -1326,3 +1326,37 @@ def image_resize_udf(out_w: int = 32, out_h: int = 32):
         return pd.DataFrame(rows)
 
     return _udf
+
+
+def sniff_mime_expr(col) -> "Column":
+    """Magic-number MIME sniff over a binary payload column — the first
+    stage of multimodal ingest at archive scale: servers mislabel, so
+    the pipeline routes on CONTENT bytes (the same reason browsers
+    sniff; the reference trusts Content-Type headers outright,
+    /root/reference/scraper.py:78-109). One codegen'd projection of
+    hex-prefix comparisons plus a decode-based HTML heuristic — no
+    Python:
+
+    PNG / GIF / JPEG / PDF / gzip / zip / WAV (RIFF+WAVE) / WARC by
+    their leading magic bytes; HTML by ``<!doctype``/``<`` after
+    whitespace (case-insensitive) on the decoded text; else
+    ``application/octet-stream``.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    head = F.hex(F.substring(c, 1, 8))          # hex is uppercase
+    riff_tag = F.hex(F.substring(c, 9, 4))      # bytes 9-12: 'WAVE'
+    text = F.lower(F.ltrim(F.decode(F.substring(c, 1, 64), "UTF-8")))
+    return (
+        F.when(head.startswith("89504E47"), F.lit("image/png"))
+        .when(head.startswith("47494638"), F.lit("image/gif"))
+        .when(head.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(head.startswith("25504446"), F.lit("application/pdf"))
+        .when(head.startswith("1F8B"), F.lit("application/gzip"))
+        .when(head.startswith("504B0304"), F.lit("application/zip"))
+        .when(head.startswith("52494646") & (riff_tag == "57415645"),
+              F.lit("audio/wav"))
+        .when(head.startswith("574152432F"), F.lit("application/warc"))
+        .when(text.startswith("<!doctype") | text.startswith("<html")
+              | text.startswith("<"), F.lit("text/html"))
+        .otherwise(F.lit("application/octet-stream"))
+    )

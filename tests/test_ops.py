@@ -1199,3 +1199,53 @@ def test_winnow_pairs_threshold_and_cap(spark):
     rows = [(r["a"], r["b"], r["n_shared"]) for r in out.collect()]
     # only (1,2) share >=2 capped fps; 'boiler' (3 docs) is over the cap
     assert rows == [(1, 2, 2)]
+
+
+def test_trap_patterns_flags_calendar_not_articles(spark):
+    from llm_scraper_spark.operators.frontier import trap_patterns
+
+    urls = ([f"http://t.example/cal/2026/{m}/{d}"
+             for m in range(1, 7) for d in range(1, 11)]   # 60 trap urls
+            + [f"http://t.example/about-us", "http://t.example/contact"]
+            + [f"http://ok.example/cal/2026/1/{d}" for d in range(1, 6)])
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = trap_patterns(df, min_urls=50).collect()
+    assert [(r["host"], r["pattern"], r["n_urls"]) for r in out] == [
+        ("t.example", "/cal/N/N/N", 60)]
+    # duplicates don't inflate the count past the distinct URL space
+    out2 = trap_patterns(df.union(df), min_urls=50).collect()
+    assert out2[0]["n_urls"] == 60
+
+
+def test_sniff_mime_magic_bytes(spark):
+    from llm_scraper_spark.operators.multimodal import (
+        sniff_mime_expr,
+        synth_gif_anim,
+        synth_wav,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + b"rest"
+    cases = [
+        (png, "image/png"),
+        (synth_gif_anim(2, 2, "ab" * 16, 2, 5), "image/gif"),
+        (b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (b"%PDF-1.7 ...", "application/pdf"),
+        (b"\x1f\x8b\x08\x00junk", "application/gzip"),
+        (b"PK\x03\x04zipdata", "application/zip"),
+        (synth_wav("w"), "audio/wav"),
+        (b"RIFF\x00\x00\x00\x00AVI LIST", "application/octet-stream"),
+        (b"WARC/1.0\r\n", "application/warc"),
+        (b"  <!DOCTYPE HTML><html>", "text/html"),
+        (b"<html><body>x</body>", "text/html"),
+        (b"plain words only", "application/octet-stream"),
+        (b"", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame([(i, p) for i, (p, _) in enumerate(cases)],
+                               "i long, payload binary")
+    out = {r["i"]: r["mime"] for r in df.select(
+        "i", sniff_mime_expr("payload").alias("mime")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)
+    plan = (df.select(sniff_mime_expr("payload").alias("m"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
