@@ -2519,6 +2519,36 @@ def q_mime_sniff(spark, sf_dir):
     )
 
 
+def q_domain_rollup(spark, sf_dir):
+    """Registrable-domain (eTLD+1) politeness grouping
+    (registrable_domain): hosts with subdomain fanout across .com /
+    .co.uk / .com.au are rolled up to their registrable domain — the
+    grouping politeness budgets MUST use (per-hostname budgets would hit
+    a 50-subdomain origin at 50x the intended rate). The oracle derives
+    each host's true domain from the generator's closed form directly,
+    so Spark must RE-DERIVE it from the host string (split/slice/PSL
+    decision) to match — ground-truth gating, not replay."""
+    from llm_scraper_spark.functions.urls import registrable_domain
+
+    ids = _t(spark, sf_dir, "events").select("event_id").distinct()
+    suffix = (
+        F.when(F.col("event_id") % 3 == 0, F.lit(".com"))
+        .when(F.col("event_id") % 3 == 1, F.lit(".co.uk"))
+        .otherwise(F.lit(".com.au"))
+    )
+    host = F.concat(
+        F.lit("sub"), (F.col("event_id") % 5).cast("string"), F.lit("."),
+        F.lit("site"), (F.col("event_id") % 23).cast("string"), suffix)
+    return (
+        ids.select(host.alias("host"))
+        .select("host", registrable_domain(F.col("host")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.countDistinct("host").alias("n_hosts"),
+             F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("domain")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2592,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "trap_patterns": q_trap_patterns,
         "mime_sniff": q_mime_sniff,
+        "domain_rollup": q_domain_rollup,
     }
 
 
@@ -3489,6 +3520,25 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 7 THEN 'application/warc'
                      ELSE 'text/html' END AS mime
             FROM ids ORDER BY event_id
+        """,
+        # domain_rollup: the oracle knows each host's registrable domain
+        # from the generator closed form (ground truth); Spark re-derives
+        # it from the host string via the PSL decision.
+        "domain_rollup": """
+            WITH ids AS (SELECT DISTINCT event_id FROM events),
+            h AS (
+              SELECT 'sub' || (event_id % 5)::VARCHAR || '.'
+                       || 'site' || (event_id % 23)::VARCHAR
+                       || CASE event_id % 3 WHEN 0 THEN '.com'
+                            WHEN 1 THEN '.co.uk' ELSE '.com.au' END AS host,
+                     'site' || (event_id % 23)::VARCHAR
+                       || CASE event_id % 3 WHEN 0 THEN '.com'
+                            WHEN 1 THEN '.co.uk' ELSE '.com.au' END AS domain
+              FROM ids
+            )
+            SELECT domain, COUNT(DISTINCT host) AS n_hosts,
+                   COUNT(*) AS n_urls
+            FROM h GROUP BY domain ORDER BY domain
         """,
     }
 

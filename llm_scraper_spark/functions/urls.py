@@ -380,3 +380,44 @@ def surt_key(col) -> Column:
     rev = F.array_join(F.reverse(F.split(no_www, r"\.")), ",")
     # schemeless input: pass through unchanged rather than emit ")"
     return F.when(host == "", u).otherwise(F.concat(rev, F.lit(")"), tail))
+
+
+# Two-label public suffixes a crawler must not treat as registrable
+# domains (a pragmatic PSL subset — the full Public Suffix List is a
+# data file to broadcast-join at deploy time; this built-in set covers
+# the high-traffic cc-SLD families and is what the tests/oracle pin).
+PSL_TWO_LABEL = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+
+def registrable_domain(col) -> Column:
+    """The registrable domain (eTLD+1) of a host: ``a.b.example.co.uk``
+    -> ``example.co.uk``, ``x.example.com`` -> ``example.com``.
+
+    Politeness MUST group by registrable domain, not hostname — a hot
+    site fans out across subdomains (``img1..img50.example.com``), and a
+    per-hostname budget would hit the single origin with 50x the
+    intended rate (every production crawler does this; RFC 9309's
+    per-origin rules compose with it). Conversely grouping by bare TLD
+    would serialize the whole ``.com`` crawl. The suffix decision uses
+    the built-in two-label set above: if the last two labels are a
+    public suffix, keep three labels, else keep two.
+
+    Pure native expressions (split/slice/array_join + one IN over a
+    literal set) — codegen'd, broadcastable nowhere, shuffling nothing.
+    Hosts that ARE a bare suffix (or a single label) pass through whole.
+    """
+    c = F.lower(col if isinstance(col, Column) else F.col(col))
+    labels = F.split(c, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    is_psl2 = last2.isin(*PSL_TWO_LABEL)
+    keep = F.when(is_psl2, F.lit(3)).otherwise(F.lit(2))
+    return (
+        F.when(n <= keep, c)
+        .otherwise(F.array_join(F.slice(labels, -keep, keep), "."))
+    )

@@ -220,3 +220,27 @@ def test_surt_key_udf_free(spark):
     plan = (df.select(surt_key(F.col("url")).alias("k"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_registrable_domain_cases(spark):
+    from llm_scraper_spark.functions.urls import registrable_domain
+
+    cases = [
+        ("x.example.com", "example.com"),
+        ("img7.cdn.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", "co.uk"),            # bare suffix passes through
+        ("localhost", "localhost"),    # single label passes through
+        ("WWW.Example.COM", "example.com"),
+        ("shop.example.com.au", "example.com.au"),
+        ("deep.sub.example.org", "example.org"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    out = [r["d"] for r in
+           df.select(registrable_domain(F.col("host")).alias("d")).collect()]
+    assert out == [want for _, want in cases]
+    plan = (df.select(registrable_domain(F.col("host")).alias("d"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
