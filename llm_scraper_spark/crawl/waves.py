@@ -137,6 +137,7 @@ class CrawlRun:
         scope_filter: bool = False,
         archive_dir: str | None = None,
         archive_shards: int = 8,
+        deny_patterns: DataFrame | None = None,
     ):
         self.spark = spark
         self.state = CrawlState(spark, state_dir)
@@ -179,6 +180,11 @@ class CrawlRun:
         # default: archiving is an extra job per wave.
         self.archive_dir = archive_dir
         self.archive_shards = archive_shards
+        # opt-in crawler-trap deny list (frontier.trap_patterns output):
+        # candidates whose digit-normalized template is flagged die in a
+        # broadcast anti-join before costing a politeness slot. Off by
+        # default: crawl-ordering equality is defined without gating.
+        self.deny_patterns = deny_patterns
 
     # ------------------------------------------------------------------
     def _standing_bloom(self, seen_df: DataFrame | None):
@@ -366,6 +372,8 @@ class CrawlRun:
         bloom = self._standing_bloom(seen_df)
         _mark("bloom_standing")
         new = seen_ops.filter_unseen(cand, seen_df, bloom=bloom)
+        if self.deny_patterns is not None:
+            new = frontier_ops.gate_trap_patterns(new, self.deny_patterns)
         if self.robots is not None:
             new = gate_frontier(
                 frontier_ops.with_salt(new, self.n_salts), self.robots

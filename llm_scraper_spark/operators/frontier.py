@@ -397,3 +397,34 @@ def trap_patterns(df: DataFrame, url_col: str = "url",
         .agg(F.count(F.lit(1)).alias("n_urls"))
         .filter(F.col("n_urls") >= int(min_urls))
     )
+
+
+def gate_trap_patterns(frontier: DataFrame, deny: DataFrame,
+                       url_col: str = "url",
+                       host_col: str = "host") -> DataFrame:
+    """Drop frontier rows whose digit-normalized URL template is on the
+    deny list — the enforcement half of ``trap_patterns`` (its output IS
+    this input): once a calendar maze or session-id space is flagged,
+    every further URL minted by it dies here before costing a politeness
+    slot or a fetch.
+
+    Scale shape: the candidate's template is the same one codegen'd
+    regexp projection as the detector; the deny list is tiny (flagged
+    templates, not URLs) so the LEFT ANTI join on (host, pattern)
+    broadcasts — no shuffle touches the frontier.
+    """
+    pattern = F.regexp_replace(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+(.*)$", 1),
+        r"[0-9]+", "N")
+    deny_slim = F.broadcast(
+        deny.select(F.col(host_col).alias("_deny_host"),
+                    F.col("pattern").alias("_deny_pattern")).distinct())
+    annotated = frontier.withColumn("_pattern", pattern)
+    return (
+        annotated.join(
+            deny_slim,
+            (annotated[host_col] == deny_slim["_deny_host"])
+            & (annotated["_pattern"] == deny_slim["_deny_pattern"]),
+            "left_anti",
+        ).drop("_pattern")
+    )

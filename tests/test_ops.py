@@ -1249,3 +1249,27 @@ def test_sniff_mime_magic_bytes(spark):
     plan = (df.select(sniff_mime_expr("payload").alias("m"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gate_trap_patterns_enforces_deny(spark):
+    from llm_scraper_spark.operators.frontier import (
+        gate_trap_patterns,
+        trap_patterns,
+    )
+
+    urls = ([f"http://t.example/cal/2026/{m}/{d}"
+             for m in range(1, 4) for d in range(1, 5)]  # 12 trap urls
+            + ["http://t.example/about", "http://ok.example/cal/2026/1/1"])
+    df = spark.createDataFrame(
+        [(u, u.split("/")[2]) for u in urls], "url string, host string")
+    deny = trap_patterns(df.select("url"), min_urls=10)
+    kept = gate_trap_patterns(df, deny).collect()
+    kept_urls = sorted(r["url"] for r in kept)
+    # the flagged host+template dies; same template on an unflagged host
+    # and other paths on the flagged host survive
+    assert kept_urls == ["http://ok.example/cal/2026/1/1",
+                         "http://t.example/about"]
+    assert all("_pattern" not in r.asDict() for r in kept)
+    plan = (gate_trap_patterns(df, deny)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
