@@ -2549,6 +2549,24 @@ def q_domain_rollup(spark, sf_dir):
     )
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-smoothed mixture sampling (temperature_sample, the
+    mBERT/XLM-R/mT5 alpha rule): per-source weights w_i = floor(n_i^0.5 *
+    1e6) as integers (pow's 1-ulp libm spread cannot move the floor),
+    integer-summed normalization, one IEEE division/multiply for the rate,
+    membership = the md5 60-bit uniform < rate. Every step is
+    correctly-rounded-identical across engines, so the oracle recomputes
+    EXACT membership — sampled ids, not sample statistics."""
+    from llm_scraper_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        temperature_sample(docs, alpha=0.5, boost=3, seed="temp")
+        .select("doc_id", "source", "rate")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2623,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_patterns": q_trap_patterns,
         "mime_sniff": q_mime_sniff,
         "domain_rollup": q_domain_rollup,
+        "temperature_sample": q_temperature_sample,
     }
 
 
@@ -3539,6 +3558,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, COUNT(DISTINCT host) AS n_hosts,
                    COUNT(*) AS n_urls
             FROM h GROUP BY domain ORDER BY domain
+        """,
+        # temperature_sample: exact-membership recompute — fixed-point
+        # integer weights survive libm pow spread, the normalizing sum is
+        # integer, the rate is one IEEE division+multiply, and the uniform
+        # is the shared md5 60-bit family.
+        "temperature_sample": """
+            WITH c AS (
+              SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+            ), w AS (
+              SELECT source, n_docs,
+                     CAST(floor(pow(n_docs, 0.5) * 1000000.0) AS BIGINT) AS w
+              FROM c
+            ), t AS (
+              SELECT SUM(w) AS tw, SUM(n_docs) AS tn FROM w
+            ), r AS (
+              SELECT source, n_docs, w,
+                     least(1.0, 3.0 * (w::DOUBLE / tw) * (tn::DOUBLE / n_docs))
+                       AS rate
+              FROM w, t
+            )
+            SELECT d.doc_id, d.source, r.rate
+            FROM documents d JOIN r USING (source)
+            WHERE (('0x' || substring(md5(d.doc_id::VARCHAR || '#temp'),
+                                      1, 15))::BIGINT
+                   / 1152921504606846976.0) < r.rate
+            ORDER BY d.doc_id
         """,
     }
 

@@ -81,3 +81,62 @@ def split_train_eval(df: DataFrame, eval_frac: float = 0.01,
         F.when(hash_uniform(key_col, seed) < F.lit(eval_frac), F.lit("eval"))
         .otherwise(F.lit("train")),
     )
+
+
+def temperature_mixture_rates(df: DataFrame, source_col: str = "source",
+                              alpha: float = 0.5,
+                              boost: int = 3) -> DataFrame:
+    """Temperature-based mixture weights: a source with n_i documents gets
+    sampling probability proportional to n_i^alpha (alpha < 1 upsamples
+    the tail — the multinomial smoothing rule of mBERT/XLM-R/mT5,
+    Conneau & Lample 2019 §3.1; alpha=1 is natural proportions, alpha=0
+    uniform over sources). The per-row keep rate is
+    ``min(1, boost * p_i * n_total / n_i)``-free form: we expose
+    ``rate_i = min(1, boost * w_i / sum_j w_j * n_total / n_i)`` reduced
+    to its stable fixed-point form below.
+
+    Cross-engine determinism (what makes the sample EXACTLY oracle-able,
+    not statistically): ``w_i = floor(pow(n_i, alpha) * 1e6)`` as BIGINT —
+    pow's worst-case 1-ulp libm difference is ~1e-8 of an integer step,
+    so the floor agrees across engines; the normalizing sum is then
+    INTEGER (associativity-proof), and the final rate is a single IEEE
+    division + multiply, correctly rounded everywhere.
+
+    Returns one row per source: (source, n_docs, w, rate).
+
+    Scale shape: one map-side-combined count aggregate over the corpus;
+    the rate table is |sources| rows — broadcast it into the membership
+    filter (temperature_sample)."""
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    w = F.floor(F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+                * F.lit(1_000_000.0)).cast("long")
+    weighted = counts.withColumn("w", w)
+    tot = weighted.agg(F.sum("w").alias("_tw"), F.sum("n_docs").alias("_tn"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(boost)) * (F.col("w").cast("double") / F.col("_tw"))
+        * (F.col("_tn").cast("double") / F.col("n_docs")),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select("source", "n_docs", "w", rate.alias("rate"))
+    )
+
+
+def temperature_sample(df: DataFrame, source_col: str = "source",
+                       key_col: str = "doc_id", alpha: float = 0.5,
+                       boost: int = 3, seed: str = "temp") -> DataFrame:
+    """Apply temperature mixture rates as deterministic membership: keep a
+    row iff hash_uniform(key, seed) < rate(source). Two jobs total: the
+    tiny rate table (one aggregate) broadcasts into a codegen'd filter —
+    the corpus itself is touched by exactly one scan with no shuffle, so
+    the sample composes with whatever pushdown the scan already has."""
+    rates = temperature_mixture_rates(df, source_col, alpha, boost)
+    return (
+        df.join(F.broadcast(rates.select(
+            F.col("source").alias("_rate_source"), "rate")),
+            F.col(source_col) == F.col("_rate_source"))
+        .filter(hash_uniform(key_col, seed) < F.col("rate"))
+        .drop("_rate_source")
+    )

@@ -1273,3 +1273,44 @@ def test_gate_trap_patterns_enforces_deny(spark):
     plan = (gate_trap_patterns(df, deny)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_temperature_mixture_rates_and_sample(spark):
+    import math
+
+    from llm_scraper_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_sample,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 0, "rare")   # 10 docs
+        .otherwise("common").alias("source"))    # 990 docs
+    rates = {r["source"]: r for r in
+             temperature_mixture_rates(df, alpha=0.5, boost=1).collect()}
+    # fixed-point weights match the closed form
+    assert rates["rare"]["w"] == math.floor(math.sqrt(10) * 1e6)
+    assert rates["common"]["w"] == math.floor(math.sqrt(990) * 1e6)
+    # alpha<1 upsamples the tail: rare keeps a higher per-row rate
+    assert rates["rare"]["rate"] > rates["common"]["rate"]
+    tw = rates["rare"]["w"] + rates["common"]["w"]
+    want_rare = min(1.0, (rates["rare"]["w"] / tw) * (1000 / 10))
+    assert abs(rates["rare"]["rate"] - want_rare) < 1e-12
+
+    out = temperature_sample(df, alpha=0.5, boost=1, seed="t1")
+    got = {r["doc_id"] for r in out.collect()}
+    # membership is exactly the hash rule — recompute it row by row
+    import hashlib
+    expect = set()
+    for i in range(1000):
+        src = "rare" if i % 100 == 0 else "common"
+        u = int(hashlib.md5(f"{i}#t1".encode()).hexdigest()[:15], 16) / (1 << 60)
+        if u < rates[src]["rate"]:
+            expect.add(i)
+    assert got == expect
+    # partition-layout invariance
+    got2 = {r["doc_id"] for r in
+            temperature_sample(df.repartition(17), alpha=0.5, boost=1,
+                               seed="t1").collect()}
+    assert got2 == got
