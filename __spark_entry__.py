@@ -2567,6 +2567,33 @@ def q_temperature_sample(spark, sf_dir):
     )
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing candidate pairs (winnow_pairs): every doc gets a 6-token
+    group-tagged suffix (q<g> w<g> ... y<g>, g = doc_id % 97), so by the
+    SIGMOD'03 guarantee all docs in a group share at least one
+    fingerprint that is group-specific (the suffix is one full window),
+    while fingerprints from the documents' common phrasing hit the
+    megaclique cap. The slim (fp, id) self-join then yields exactly the
+    within-group pairs plus any true text overlap — and the oracle
+    replays fingerprinting AND the capped pair join in DuckDB,
+    value-exact including n_shared."""
+    from llm_scraper_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    g = (F.col("doc_id") % 97).cast("string")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 *[x for t in "qwerty"
+                   for x in (F.lit(f" {t}"), g)]).alias("text"),
+    )
+    fps = winnow_fingerprints(docs, k=3, w=4, hash_family="md5")
+    return (winnow_pairs(fps, min_shared=1, max_docs_per_fp=200)
+            .orderBy("a", "b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2642,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "domain_rollup": q_domain_rollup,
         "temperature_sample": q_temperature_sample,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -3584,6 +3612,50 @@ def oracle_sql() -> dict[str, str]:
                                       1, 15))::BIGINT
                    / 1152921504606846976.0) < r.rate
             ORDER BY d.doc_id
+        """,
+        # winnow_pairs: fingerprinting AND the capped pair join replayed —
+        # group-suffixed corpus, k=3 w=4 md5, cap 200, min_shared 1.
+        "winnow_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     text
+                       || ' q' || (doc_id % 97)::VARCHAR
+                       || ' w' || (doc_id % 97)::VARCHAR
+                       || ' e' || (doc_id % 97)::VARCHAR
+                       || ' r' || (doc_id % 97)::VARCHAR
+                       || ' t' || (doc_id % 97)::VARCHAR
+                       || ' y' || (doc_id % 97)::VARCHAR AS text
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM t
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(toks) - 1), i ->
+                       md5(array_to_string(toks[i:i+2], ' '))) AS grams
+              FROM tok
+            ), f AS (
+              SELECT doc_id,
+                     CASE WHEN len(grams) >= 4 THEN
+                       list_distinct(list_transform(
+                         range(1, len(grams) - 2), j ->
+                           list_aggregate(grams[j:j+3], 'min')))
+                     WHEN len(grams) >= 1 THEN
+                       [list_aggregate(grams, 'min')]
+                     ELSE [] END AS fps
+              FROM g
+            ), fp AS (
+              SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f
+            ), ok AS (
+              SELECT fp FROM fp GROUP BY fp
+              HAVING COUNT(*) >= 2 AND COUNT(*) <= 200
+            ), slim AS (
+              SELECT fp.fp, fp.doc_id FROM fp JOIN ok USING (fp)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
+            FROM slim a JOIN slim b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 1
+            ORDER BY a, b
         """,
     }
 
