@@ -2594,6 +2594,23 @@ def q_winnow_pairs(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring removal spans (Lee et al. 2022
+    ExactSubstr, arXiv:2107.06499), distributed formulation: every 5-token
+    n-gram is 60-bit md5-hashed; an n-gram seen in >= 2 distinct docs marks
+    a duplicated window, and overlapping windows merge into maximal
+    [span_start, span_end) token spans — the substrings a trainer cuts.
+    The oracle replays the whole chain (tokenize -> gram -> hash -> cross-
+    doc count -> hit join -> interval merge) in DuckDB, value-exact.
+    Production hash family is xxhash64 (same plan, 64-bit hashes)."""
+    from llm_scraper_spark.operators.dedup import duplicated_substring_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_substring_spans(
+        docs, window=5, min_docs=2, hash_family="md5"
+    ).orderBy("doc_id", "span_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2670,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "temperature_sample": q_temperature_sample,
         "winnow_pairs": q_winnow_pairs,
+        "substring_dedup": q_substring_dedup,
     }
 
 
@@ -3656,6 +3674,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.doc_id, b.doc_id
             HAVING COUNT(*) >= 1
             ORDER BY a, b
+        """,
+        "substring_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), grams0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(len(t) - 5 + 1),
+                            i -> {'pos': i,
+                                  'gram': array_to_string(t[i+1:i+5], ' ')}))
+                       AS g
+              FROM toks WHERE len(t) >= 5
+            ), hashed AS (
+              SELECT doc_id, g.pos AS pos,
+                     ('0x' || substring(md5(g.gram), 1, 15))::BIGINT AS h
+              FROM grams0
+            ), dup AS (
+              SELECT h FROM hashed GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM hashed JOIN dup USING (h)
+            ), flag AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos > lag(pos) OVER w + 5
+                          THEN 1 ELSE 0 END AS is_new
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), grp AS (
+              SELECT doc_id, pos,
+                     sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM flag
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 5 AS BIGINT) AS span_end,
+                   count(*) AS n_windows
+            FROM grp GROUP BY doc_id, g
+            ORDER BY doc_id, span_start
         """,
     }
 

@@ -1314,3 +1314,72 @@ def test_temperature_mixture_rates_and_sample(spark):
             temperature_sample(df.repartition(17), alpha=0.5, boost=1,
                                seed="t1").collect()}
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring spans (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+def test_duplicated_substring_spans_merge_and_coords(spark):
+    # docs 1 and 2 share the run "a b c d e f g" (7 tokens -> three
+    # overlapping 5-gram windows at pos 0,1,2 in doc 1; pos 2,3,4 in doc 2);
+    # doc 3 is disjoint. Windows must merge into one maximal span per doc.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g x y z z2 z3"),
+            (2, "p q a b c d e f g"),
+            (3, "m n o r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in dd.duplicated_substring_spans(docs, window=5).collect()
+    }
+    assert got == {(1, 0, 7, 3), (2, 2, 9, 3)}
+
+    # hash families agree on membership (different hashes, same spans)
+    got_md5 = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in dd.duplicated_substring_spans(
+            docs, window=5, hash_family="md5").collect()
+    }
+    assert got_md5 == got
+
+
+def test_duplicated_substring_spans_adjacent_windows_merge(spark):
+    # two duplicated runs separated by exactly `window` positions merge
+    # (half-open adjacency), while a wider gap stays two spans
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e XX a b c d e YY1 YY2 YY3 YY4 YY5 YY6 a b c d e"),
+            (2, "a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dd.duplicated_substring_spans(docs, window=5).collect()
+    )
+    # doc1: dup windows at pos 0, 6, 17 -> 0 and 6 merge (gap > window?
+    # 6 - 0 = 6 > 5 -> NOT merged); expect three spans 0-5, 6-11, 17-22
+    assert rows == [(1, 0, 5), (1, 6, 11), (1, 17, 22), (2, 0, 5)]
+
+
+def test_substring_dup_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g x y z"),
+            (2, "a b c d e f g"),
+            (3, "m n o r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dd.duplicated_substring_spans(docs, window=5)
+    stats = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans)
+        for r in dd.substring_dup_stats(spans, docs).collect()
+    }
+    assert stats[1] == (10, 7, 1)
+    assert stats[2] == (7, 7, 1)
+    assert stats[3] == (9, 0, 0)
