@@ -2611,6 +2611,29 @@ def q_substring_dedup(spark, sf_dir):
     ).orderBy("doc_id", "span_start")
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog cardinality sketch (Flajolet et al. 2007):
+    distinct event_ids per event_type, m=256 registers derived from a
+    60-bit md5 hash so the ENTIRE sketch — register indexes, max-rho
+    values, the integer-scaled harmonic sum, and the estimate — is
+    recomputed bit-for-bit by the DuckDB oracle. At ~2000 distinct keys
+    per group this exercises the raw harmonic-mean branch (not just
+    linear counting); exact counts ride along so the estimate's error is
+    visible in the gated output. Production family is xxhash64."""
+    from llm_scraper_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "event_id", ["event_type"], p=8,
+                       hash_family="md5")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("n_exact"))
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "n_exact", "n_registers", "hll_estimate")
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2688,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "winnow_pairs": q_winnow_pairs,
         "substring_dedup": q_substring_dedup,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -3712,6 +3736,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_windows
             FROM grp GROUP BY doc_id, g
             ORDER BY doc_id, span_start
+        """,
+        "hll_distinct": """
+            WITH h AS (
+              SELECT event_type,
+                     ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                       AS hv
+              FROM events
+            ), parts AS (
+              SELECT event_type,
+                     hv // 4503599627370496 AS register,      -- 2^52
+                     hv % 4503599627370496 AS w
+              FROM h
+            ), rho AS (
+              SELECT event_type, register,
+                     CASE WHEN w = 0 THEN 53
+                          ELSE 53 - length(bin(w)) END AS rho
+              FROM parts
+            ), regs AS (
+              SELECT event_type, register, max(rho) AS max_rho
+              FROM rho GROUP BY event_type, register
+            ), agg AS (
+              SELECT event_type, count(*) AS n_registers,
+                     sum((1::BIGINT << (53 - max_rho))) AS ssum
+              FROM regs GROUP BY event_type
+            ), est AS (
+              SELECT event_type, n_registers, 256 - n_registers AS v,
+                     (ssum + (256 - n_registers)
+                             * (1::BIGINT << 53))::DOUBLE AS s_scaled
+              FROM agg
+            ), ex AS (
+              SELECT event_type, count(DISTINCT event_id) AS n_exact
+              FROM events GROUP BY event_type
+            )
+            SELECT est.event_type, ex.n_exact, est.n_registers,
+                   round(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                                   * 9007199254740992.0 / s_scaled
+                                <= 2.5 * 256 AND v > 0
+                         THEN 256.0 * ln(256.0 / v)
+                         ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                              * 9007199254740992.0 / s_scaled END,
+                         4) AS hll_estimate
+            FROM est JOIN ex USING (event_type)
+            ORDER BY est.event_type
         """,
     }
 

@@ -1383,3 +1383,47 @@ def test_substring_dup_stats(spark):
     assert stats[1] == (10, 7, 1)
     assert stats[2] == (7, 7, 1)
     assert stats[3] == (9, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketches
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_mergeable(spark):
+    from llm_scraper_spark.operators import sketches as sk
+
+    a = spark.range(0, 3000).select(F.concat(F.lit("k"), "id").alias("k"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("k"), "id").alias("k"))
+    ra, rb = sk.hll_registers(a, "k"), sk.hll_registers(b, "k")
+    merged = (ra.unionByName(rb).groupBy("register")
+              .agg(F.max("max_rho").alias("max_rho")))
+    direct = sk.hll_registers(a.unionByName(b), "k")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+def test_hll_estimate_accuracy_and_branches(spark):
+    from llm_scraper_spark.operators import sketches as sk
+
+    # raw harmonic branch: 10k distinct at m=256 (std err ~1.04/16 = 6.5%)
+    big = spark.range(0, 10000).select(F.concat(F.lit("u"), "id").alias("k"))
+    est = sk.hll_distinct(big, "k", p=8).collect()[0].hll_estimate
+    assert abs(est - 10000) / 10000 < 0.2
+    # linear-counting branch: 30 distinct -> near-exact
+    small = spark.range(0, 30).select(F.concat(F.lit("u"), "id").alias("k"))
+    est_s = sk.hll_distinct(small, "k", p=8).collect()[0].hll_estimate
+    assert abs(est_s - 30) < 5
+    # hash families: different sketches, both sane
+    est_m = sk.hll_distinct(big, "k", p=8, hash_family="md5").collect()[0]
+    assert abs(est_m.hll_estimate - 10000) / 10000 < 0.2
+
+
+def test_hll_null_keys_dropped(spark):
+    from llm_scraper_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "k string")
+    for fam in ("md5", "xxhash64"):
+        regs = sk.hll_registers(df, "k", hash_family=fam)
+        assert regs.count() <= 2, fam  # nulls contribute no register
