@@ -2634,6 +2634,41 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Hashed-bigram LM quality scoring (the CCNet perplexity-filter shape,
+    Wenzek et al. 2020, with DSIR's hashed-n-gram model bounding): train
+    add-one-smoothed bigram bucket counts (2^16 buckets — fixed-size,
+    broadcastable model no matter the corpus size), score every doc's
+    per-token log-probability. Per-term ln is quantized to 1e4 fixed point
+    and summed as BIGINT, so the oracle recomputes ll_fp exactly."""
+    from llm_scraper_spark.operators.lm import lm_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_score(docs, buckets_pow=16).orderBy("doc_id")
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al., NeurIPS 2023): hashed-
+    unigram importance weights ln(p_target/q_raw) per 2^14 bucket (target =
+    src0/src1 docs), per-doc BIGINT scores, then deterministic
+    Gumbel-top-50 resampling — the Gumbel noise derives from the md5
+    content hash, so selection is a pure function of (doc_id, seed) and
+    the oracle replays weights, scores, Gumbel keys, and the final top-k
+    ordering end-to-end."""
+    from llm_scraper_spark.operators.lm import (
+        dsir_resample,
+        dsir_scores,
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    w = dsir_weights(docs, target, buckets_pow=14)
+    scores = dsir_scores(docs, w, buckets_pow=14)
+    return dsir_resample(scores, k=50).select(
+        "doc_id", "n_tokens", "score_fp", "avg_log_ratio", "gumbel_key_fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2712,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "substring_dedup": q_substring_dedup,
         "hll_distinct": q_hll_distinct,
+        "lm_score": q_lm_score,
+        "dsir_resample": q_dsir_resample,
     }
 
 
@@ -3779,6 +3816,86 @@ def oracle_sql() -> dict[str, str]:
                          4) AS hll_estimate
             FROM est JOIN ex USING (event_type)
             ORDER BY est.event_type
+        """,
+        "lm_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), bi0 AS (
+              SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                     i -> {'w0': t[i+1], 'w1': t[i+2]})) AS g
+              FROM toks WHERE len(t) >= 2
+            ), bi AS (
+              SELECT doc_id, g.w0 AS w0, g.w1 AS w1 FROM bi0
+            ), b AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(w0 || ' ' || w1), 1, 15))::BIGINT
+                       % 65536 AS b2,
+                     ('0x' || substring(md5(w0), 1, 15))::BIGINT
+                       % 65536 AS b1
+              FROM bi
+            ), c2 AS (SELECT b2, count(*) AS c2 FROM b GROUP BY b2),
+            c1 AS (SELECT b1, count(*) AS c1 FROM b GROUP BY b1),
+            terms AS (
+              SELECT doc_id,
+                     CAST(floor(10000 * ln((c2.c2 + 1)::DOUBLE
+                                           / (c1.c1 + 65536))) AS BIGINT)
+                       AS ll
+              FROM b JOIN c2 USING (b2) JOIN c1 USING (b1)
+            ), per AS (
+              SELECT doc_id, sum(ll) AS ll_fp, count(*) AS n_bigrams
+              FROM terms GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(ll_fp, 0) AS ll_fp,
+                   round(ll_fp / (10000.0 * n_bigrams), 6) AS avg_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "dsir_resample": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS w
+              FROM documents
+            ), bt AS (
+              SELECT doc_id, source,
+                     ('0x' || substring(md5(w), 1, 15))::BIGINT % 16384
+                       AS bucket
+              FROM toks
+            ), q AS (SELECT bucket, count(*) AS q_cnt FROM bt GROUP BY bucket),
+            p AS (
+              SELECT bucket, count(*) AS p_cnt FROM bt
+              WHERE source IN ('src0', 'src1') GROUP BY bucket
+            ), tots AS (
+              SELECT (SELECT sum(p_cnt) FROM p) AS pt,
+                     (SELECT sum(q_cnt) FROM q) AS qt
+            ), wts AS (
+              SELECT q.bucket,
+                     CAST(floor(10000 * ln(
+                       ((coalesce(p_cnt, 0) + 1) * (qt + 16384))::DOUBLE
+                       / ((q_cnt + 1) * (pt + 16384))::DOUBLE)) AS BIGINT)
+                       AS w_fp
+              FROM q LEFT JOIN p USING (bucket), tots
+            ), per AS (
+              SELECT doc_id, sum(coalesce(w_fp, 0)) AS score_fp,
+                     count(*) AS n_tokens
+              FROM bt LEFT JOIN wts USING (bucket) GROUP BY doc_id
+            ), keyed AS (
+              SELECT doc_id, n_tokens, score_fp,
+                     round(score_fp / (10000.0 * n_tokens), 6)
+                       AS avg_log_ratio,
+                     CAST(floor(score_fp::DOUBLE / n_tokens::DOUBLE / 1.0
+                          + 10000 * (-ln(-ln(
+                            ('0x' || substring(md5(doc_id::VARCHAR || '#'
+                                                   || 'dsir'), 1, 15))::BIGINT
+                            / 1152921504606846976.0)))) AS BIGINT)
+                       AS gumbel_key_fp
+              FROM per
+            )
+            SELECT doc_id, n_tokens, score_fp, avg_log_ratio, gumbel_key_fp
+            FROM keyed ORDER BY gumbel_key_fp DESC, doc_id LIMIT 50
         """,
     }
 

@@ -1427,3 +1427,58 @@ def test_hll_null_keys_dropped(spark):
     for fam in ("md5", "xxhash64"):
         regs = sk.hll_registers(df, "k", hash_family=fam)
         assert regs.count() <= 2, fam  # nulls contribute no register
+
+
+# ---------------------------------------------------------------------------
+# hashed n-gram LM + DSIR
+# ---------------------------------------------------------------------------
+
+def test_lm_score_prefers_in_distribution_text(spark):
+    from llm_scraper_spark.operators import lm
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "zq xv jk qp wz vy"))  # out-of-distribution
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lm.lm_score(docs).collect()}
+    common = got[0]
+    rare = got[100]
+    assert common.avg_logprob > rare.avg_logprob
+    assert common.n_bigrams == 5 and rare.n_bigrams == 5
+    # deterministic: rerun gives identical fixed-point sums
+    again = {r.doc_id: r.ll_fp for r in lm.lm_score(docs).collect()}
+    assert again == {k: v.ll_fp for k, v in got.items()}
+
+
+def test_lm_score_empty_and_single_token_docs(spark):
+    from llm_scraper_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.ll_fp) for r in
+           lm.lm_score(docs).collect()}
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[1][0] == 2
+
+
+def test_dsir_selects_target_like_docs(spark):
+    from llm_scraper_spark.operators import lm
+
+    target_rows = [(i, "alpha beta gamma delta", "t") for i in range(30)]
+    other_rows = [(100 + i, "omega sigma theta kappa", "o")
+                  for i in range(30)]
+    docs = spark.createDataFrame(target_rows + other_rows,
+                                 "doc_id long, text string, source string")
+    target = docs.filter(F.col("source") == "t")
+    w = lm.dsir_weights(docs, target, buckets_pow=10)
+    scores = lm.dsir_scores(docs, w, buckets_pow=10)
+    by_src = {r.doc_id: r.avg_log_ratio for r in scores.collect()}
+    assert by_src[0] > by_src[100]  # target vocabulary upweighted
+
+    # Gumbel resample: deterministic per seed, seed-sensitive, and biased
+    # toward the target docs
+    sel1 = {r.doc_id for r in lm.dsir_resample(scores, 20, seed="s1").collect()}
+    sel1b = {r.doc_id for r in lm.dsir_resample(scores, 20, seed="s1").collect()}
+    sel2 = {r.doc_id for r in lm.dsir_resample(scores, 20, seed="s2").collect()}
+    assert sel1 == sel1b and sel1 != sel2
+    n_target = sum(1 for d in sel1 if d < 100)
+    assert n_target >= 14  # strong majority from the target distribution
