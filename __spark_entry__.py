@@ -2669,6 +2669,18 @@ def q_dsir_resample(spark, sf_dir):
         "doc_id", "n_tokens", "score_fp", "avg_log_ratio", "gumbel_key_fp")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted reservoir sample (Efraimidis-Spirakis A-ES):
+    50 docs sampled without replacement proportional to n_chars, ranked by
+    fixed-point -ln(u)/w keys with u the md5 content-hash uniform. The
+    oracle recomputes every key and the top-k ordering; the Spark plan is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from llm_scraper_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(docs, k=50, weight_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2749,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "lm_score": q_lm_score,
         "dsir_resample": q_dsir_resample,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -3896,6 +3909,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, score_fp, avg_log_ratio, gumbel_key_fp
             FROM keyed ORDER BY gumbel_key_fp DESC, doc_id LIMIT 50
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars,
+                   CAST(floor(1000000.0 * (-ln(
+                     ('0x' || substring(md5(doc_id::VARCHAR || '#' || 'wrs'),
+                                        1, 15))::BIGINT
+                     / 1152921504606846976.0)) / n_chars::DOUBLE) AS BIGINT)
+                     AS aes_key_fp
+            FROM documents WHERE n_chars > 0
+            ORDER BY aes_key_fp, doc_id LIMIT 50
         """,
     }
 

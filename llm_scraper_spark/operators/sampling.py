@@ -140,3 +140,34 @@ def temperature_sample(df: DataFrame, source_col: str = "source",
         .filter(hash_uniform(key_col, seed) < F.col("rate"))
         .drop("_rate_source")
     )
+
+
+def aes_key_fp(key_col, weight_col, seed: str = "wrs") -> Column:
+    """Efraimidis & Spirakis (IPL 2006) weighted-reservoir key, made
+    deterministic: keeping the k items with the LARGEST u^(1/w) samples
+    without replacement with probability proportional to weight w. We
+    rank by the equivalent -ln(u)/w ASCENDING (monotone transform, avoids
+    pow), with u the md5 content-hash uniform — so the sample is a pure
+    function of (key, seed), reproducible on any cluster layout.
+
+    Fixed-point: floor(1e6 * (-ln(u)) / w) as BIGINT. ln's 1-2 ulp libm
+    wiggle (~1e-15 abs) cannot move the floor except within 1e-15 of a
+    step — the same cross-engine argument as temperature_mixture_rates.
+    Zero/negative/null weights are rejected to NULL (never sampled)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = hash_uniform(key_col, seed)
+    key = F.floor(F.lit(1_000_000.0) * (-F.log(u)) / w.cast("double"))
+    return F.when(w > 0, key).cast("long")
+
+
+def weighted_sample_topk(df: DataFrame, k: int, weight_col: str,
+                         key_col: str = "doc_id",
+                         seed: str = "wrs") -> DataFrame:
+    """The k-item weighted sample: smallest A-ES keys first, ties broken
+    by the id for full determinism. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k heaps then a k-row driver
+    merge, NO global sort shuffle, which is what makes a top-k sample of
+    a 10^10-row table one scan."""
+    keyed = df.withColumn("aes_key_fp", aes_key_fp(key_col, weight_col, seed))
+    return (keyed.filter(F.col("aes_key_fp").isNotNull())
+            .orderBy(F.asc("aes_key_fp"), F.col(key_col)).limit(k))

@@ -1482,3 +1482,26 @@ def test_dsir_selects_target_like_docs(spark):
     assert sel1 == sel1b and sel1 != sel2
     n_target = sum(1 for d in sel1 if d < 100)
     assert n_target >= 14  # strong majority from the target distribution
+
+
+def test_weighted_sample_topk_deterministic_and_biased(spark):
+    from llm_scraper_spark.operators.sampling import weighted_sample_topk
+
+    # two weight classes, heavy 10x the light
+    rows = [(i, 1000 if i < 100 else 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = [r.doc_id for r in weighted_sample_topk(df, 40, "w").collect()]
+    s1b = [r.doc_id for r in
+           weighted_sample_topk(df.repartition(13), 40, "w").collect()]
+    assert s1 == s1b  # partition-invariant
+    s2 = [r.doc_id for r in
+          weighted_sample_topk(df, 40, "w", seed="other").collect()]
+    assert s1 != s2
+    heavy = sum(1 for d in s1 if d < 100)
+    assert heavy >= 25  # 10x weights dominate the sample
+
+    # zero/negative weights are never sampled
+    bad = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "doc_id long, w long")
+    got = [r.doc_id for r in weighted_sample_topk(bad, 3, "w").collect()]
+    assert got == [3]
