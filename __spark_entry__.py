@@ -2681,6 +2681,41 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample_topk(docs, k=50, weight_col="n_chars")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023 arXiv:2303.09540):
+    group embedding-space near-duplicates and keep one representative per
+    group. Their setup partitions with k-means then thresholds cosine
+    within a cluster; here the partitioner is the md5-Rademacher sign-LSH
+    bucket (goldenless, engine-replayable) and the epsilon-ball becomes
+    cosine >= 0.30 pairs -> connected components -> keep the min id. The
+    oracle rebuilds the full chain: sign matrix, fixed-point projections,
+    bucket pair join, sequential-fold cosine, WITH RECURSIVE closure, and
+    the keep flags."""
+    from llm_scraper_spark.operators.dedup import (
+        connected_components,
+        embedding_near_dups,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.30, planes=6, seed=42,
+                                dim=64, hash_family="md5")
+    cc = connected_components(pairs)
+    lab = (
+        emb.select("vec_id")
+        .join(cc.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select("vec_id",
+                F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
+    )
+    sz = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        lab.join(sz, "cluster_id")
+        .select("vec_id", "cluster_id", "cluster_size",
+                (F.col("vec_id") == F.col("cluster_id")).alias("keep"))
+        .orderBy("vec_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2762,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "dsir_resample": q_dsir_resample,
         "weighted_sample": q_weighted_sample,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3919,6 +3955,58 @@ def oracle_sql() -> dict[str, str]:
                      AS aes_key_fp
             FROM documents WHERE n_chars > 0
             ORDER BY aes_key_fp, doc_id LIMIT 50
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE dims AS (SELECT unnest(range(64)) AS d),
+            ps AS (SELECT unnest(range(6)) AS p),
+            signs AS (
+              SELECT p, d,
+                     CASE WHEN ('0x' || substring(md5('hp:42:' || p || ':'
+                                                      || d), 1, 15))::BIGINT
+                               % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM ps CROSS JOIN dims),
+            eproj AS (
+              SELECT e.vec_id, s.p,
+                     sum(s.s * floor(e.embedding[s.d + 1]::DOUBLE
+                                     * 1048576)::BIGINT)::BIGINT AS proj
+              FROM embeddings e CROSS JOIN signs s
+              GROUP BY e.vec_id, s.p),
+            ebucket AS (
+              SELECT vec_id,
+                     sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)::BIGINT
+                       AS b
+              FROM eproj GROUP BY vec_id),
+            e AS (
+              SELECT emb.vec_id, emb.embedding::DOUBLE[] AS v, eb.b AS bucket
+              FROM embeddings emb JOIN ebucket eb USING (vec_id)),
+            prs AS (
+              SELECT l.vec_id AS u, r.vec_id AS v
+              FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+              WHERE list_dot_product(l.v, r.v) /
+                      (sqrt(list_dot_product(l.v, l.v)) *
+                       sqrt(list_dot_product(r.v, r.v))) >= 0.30),
+            edges AS (
+              SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs
+            ), reach(node, lab) AS (
+              SELECT u AS node, u AS lab FROM edges
+              UNION
+              SELECT e2.u AS node, r.lab FROM edges e2
+              JOIN reach r ON r.node = e2.v
+            ), cc AS (
+              SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+            ), lab AS (
+              SELECT emb.vec_id,
+                     coalesce(cc.cluster_id, emb.vec_id) AS cluster_id
+              FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id
+            ), sz AS (
+              SELECT cluster_id, count(*) AS cluster_size FROM lab
+              GROUP BY cluster_id
+            )
+            SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
+                   lab.vec_id = lab.cluster_id AS keep
+            FROM lab JOIN sz USING (cluster_id)
+            ORDER BY lab.vec_id
         """,
     }
 

@@ -1505,3 +1505,22 @@ def test_weighted_sample_topk_deterministic_and_biased(spark):
         [(1, 0), (2, -5), (3, 10)], "doc_id long, w long")
     got = [r.doc_id for r in weighted_sample_topk(bad, 3, "w").collect()]
     assert got == [3]
+
+
+def test_semantic_dedup_composition(spark):
+    # three clones of one vector + one orthogonal: one cluster of 3, one
+    # singleton; keep = min id per cluster
+    import __spark_entry__ as entry
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0] * 16),
+        (1, [1.0, 0.0, 0.0, 0.0] * 16),
+        (2, [1.0, 0.0, 0.0, 0.0] * 16),
+        (3, [0.0, 1.0, 0.0, 0.0] * 16),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dd.embedding_near_dups(emb, threshold=0.9, planes=6, seed=42,
+                                   dim=64, hash_family="md5")
+    cc = dd.connected_components(pairs)
+    got = {r.node: r.cluster_id for r in cc.collect()}
+    assert got == {0: 0, 1: 0, 2: 0}
