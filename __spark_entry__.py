@@ -2716,6 +2716,28 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates: a depth-4 x 256-bucket sketch over event user_ids, point-
+    queried for every distinct user and joined to exact counts — the
+    one-sided overestimate property is visible in the gated output (a few
+    collided users estimate high, never low). The md5-salted hash rows
+    make the sketch deterministic, so the oracle rebuilds the identical
+    table and estimates. Production family is xxhash64 at 2^12+ width."""
+    from llm_scraper_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cms = cms_table(ev, "user_id", depth=4, width_pow=8, hash_family="md5")
+    est = cms_point_estimates(cms, ev.select("user_id"), "user_id",
+                              depth=4, width_pow=8, hash_family="md5")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(est, "user_id").select(
+        "user_id", "n_exact", "cms_estimate").orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2798,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "weighted_sample": q_weighted_sample,
         "semantic_dedup": q_semantic_dedup,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -4007,6 +4030,31 @@ def oracle_sql() -> dict[str, str]:
                    lab.vec_id = lab.cluster_id AS keep
             FROM lab JOIN sz USING (cluster_id)
             ORDER BY lab.vec_id
+        """,
+        "cms_heavy_hitters": """
+            WITH ds AS (SELECT unnest(range(4)) AS d),
+            cms AS (
+              SELECT d,
+                     ('0x' || substring(md5(user_id::VARCHAR || '#cms' || d),
+                                        1, 15))::BIGINT % 256 AS bucket,
+                     count(*) AS cnt
+              FROM events, ds GROUP BY d, bucket
+            ), uk AS (SELECT DISTINCT user_id FROM events),
+            probe AS (
+              SELECT uk.user_id, ds.d,
+                     ('0x' || substring(md5(uk.user_id::VARCHAR || '#cms'
+                                            || ds.d), 1, 15))::BIGINT % 256
+                       AS bucket
+              FROM uk, ds
+            ), est AS (
+              SELECT user_id, min(coalesce(cnt, 0)) AS cms_estimate
+              FROM probe LEFT JOIN cms USING (d, bucket) GROUP BY user_id
+            ), ex AS (
+              SELECT user_id, count(*) AS n_exact FROM events
+              GROUP BY user_id
+            )
+            SELECT user_id, n_exact, cms_estimate
+            FROM ex JOIN est USING (user_id) ORDER BY user_id
         """,
     }
 

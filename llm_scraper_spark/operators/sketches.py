@@ -141,3 +141,89 @@ def hll_distinct(df: DataFrame, key_col: str,
         hll_registers(df, key_col, group_cols, p, hash_family),
         group_cols, p,
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy hitters / frequency estimation)
+# ---------------------------------------------------------------------------
+
+def cms_table(df: DataFrame, key_col: str,
+              group_cols: list[str] | None = None, depth: int = 4,
+              width_pow: int = 12,
+              hash_family: str = "xxhash64") -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) as a table:
+    one row per (group, row d, bucket), counting keys whose d-th hash
+    lands in that bucket. Like hll_registers, the table IS the mergeable
+    state (sum is the merge) and is deterministic in the key content, so
+    two engines build the identical sketch.
+
+    The d hash functions are the content hash salted with the row index
+    (md5(key || '#cms' || d) for the oracle family; xxhash64(key, d) at
+    scale). Size is bounded at ``depth * 2^width_pow`` rows per group
+    regardless of input — broadcastable, storable, diffable.
+
+    Scale shape: one explode-free projection per row d (a union of d slim
+    aggregates — Spark unions aggregate partials without rescanning when
+    the source is cached; at 100 TB prefer depth scans of a cached slim
+    (group,key) projection), each a map-side-combined groupBy of
+    (group, bucket) rows."""
+    group_cols = list(group_cols or [])
+    width = 1 << width_pow
+    kc = F.col(key_col)
+    parts = []
+    for d in range(depth):
+        if hash_family == "md5":
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(kc.cast("string"),
+                                   F.lit(f"#cms{d}"))), 1, 15),
+                16, 10).cast("long")
+        elif hash_family == "xxhash64":
+            h = F.shiftrightunsigned(F.xxhash64(kc, F.lit(d)), 4)
+        else:
+            raise ValueError(f"unknown hash_family: {hash_family}")
+        parts.append(
+            df.filter(kc.isNotNull()).select(
+                *group_cols,
+                F.lit(d).alias("d"),
+                F.pmod(h, F.lit(width)).alias("bucket"),
+            )
+        )
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    return (allrows.groupBy(*group_cols, "d", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_point_estimates(cms: DataFrame, keys: DataFrame, key_col: str,
+                        depth: int = 4, width_pow: int = 12,
+                        hash_family: str = "xxhash64") -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: est = min over
+    rows d of cnt[d, h_d(key)] — the classic one-sided overestimate
+    (est >= true count, within eps*N w.h.p.). The sketch side is bounded
+    (depth * width rows) so every join is a broadcast; missing buckets
+    count 0."""
+    width = 1 << width_pow
+    kc = F.col(key_col)
+    out = keys.select(kc.alias("key")).distinct()
+    for d in range(depth):
+        if hash_family == "md5":
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("key").cast("string"),
+                                   F.lit(f"#cms{d}"))), 1, 15),
+                16, 10).cast("long")
+        else:
+            h = F.shiftrightunsigned(F.xxhash64(F.col("key"), F.lit(d)), 4)
+        side = (cms.filter(F.col("d") == d)
+                .select(F.col("bucket").alias(f"_b{d}"),
+                        F.col("cnt").alias(f"_c{d}")))
+        out = (out.withColumn(f"_k{d}", F.pmod(h, F.lit(width)))
+               .join(F.broadcast(side),
+                     F.col(f"_k{d}") == F.col(f"_b{d}"), "left")
+               .drop(f"_b{d}", f"_k{d}"))
+    est = F.least(*[F.coalesce(F.col(f"_c{d}"), F.lit(0))
+                    for d in range(depth)])
+    return out.select(F.col("key").alias(key_col),
+                      est.cast("long").alias("cms_estimate"))

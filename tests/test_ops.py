@@ -1524,3 +1524,27 @@ def test_semantic_dedup_composition(spark):
     cc = dd.connected_components(pairs)
     got = {r.node: r.cluster_id for r in cc.collect()}
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from llm_scraper_spark.operators import sketches as sk
+
+    # skewed stream: key i appears i+1 times, i in 0..49
+    rows = [(i,) for i in range(50) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k long")
+    cms = sk.cms_table(df, "k", depth=4, width_pow=6)
+    est = {r.k: r.cms_estimate for r in sk.cms_point_estimates(
+        cms, df.select("k"), "k", depth=4, width_pow=6).collect()}
+    for i in range(50):
+        assert est[i] >= i + 1  # one-sided
+    # heavy hitter is well-estimated even at width 64
+    assert est[49] <= 49 + 1 + 200
+
+    # merge = sum: sketch(a) + sketch(b) == sketch(a union b)
+    a, b = df.filter(F.col("k") < 25), df.filter(F.col("k") >= 25)
+    merged = (sk.cms_table(a, "k", depth=2, width_pow=6)
+              .unionByName(sk.cms_table(b, "k", depth=2, width_pow=6))
+              .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt")))
+    direct = sk.cms_table(df, "k", depth=2, width_pow=6)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()}
