@@ -2738,6 +2738,63 @@ def q_cms_heavy_hitters(spark, sf_dir):
         "user_id", "n_exact", "cms_estimate").orderBy("user_id")
 
 
+def q_stream_url_dedup(spark, sf_dir):
+    """Streaming first-occurrence URL dedup under the driver gate:
+    dropDuplicatesWithinWatermark over 3 micro-batches of a URL discovery
+    feed where every doc_id maps onto one of 120 canonical URLs (so each
+    URL arrives ~4x, within and across batches). Duplicate arrivals carry
+    IDENTICAL (ts, url) payloads, so whichever copy survives, the emitted
+    set equals the batch DISTINCT — which the oracle recomputes
+    closed-form. Gates that the bounded-state streaming dedup path drops
+    every re-arrival and emits every URL exactly once."""
+    import os
+    import shutil
+    import uuid
+
+    from llm_scraper_spark.streaming.ingest import stream_url_dedup
+
+    tune_session(spark)
+    run_id = uuid.uuid4().hex[:8]
+    base = f"/tmp/spark_graft_stream_dedup_{run_id}"
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    feed = _t(spark, sf_dir, "documents").select(
+        F.timestamp_seconds(F.lit(STREAM_WIN_BASE)
+                            + F.col("doc_id") % 120).alias("ts"),
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 120).cast("string"),
+                 F.lit(".example.com/p")).alias("url"),
+        F.col("doc_id").alias("_id"),
+    )
+    out = stream_url_dedup(spark, in_dir)
+    qname = f"stream_dedup_{run_id}"
+    query = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(base, "cp"))
+        .start()
+    )
+    try:
+        n = feed.count()
+        cuts = (n // 3, 2 * n // 3)
+        batches = [
+            feed.filter(F.col("_id") < cuts[0]),
+            feed.filter((F.col("_id") >= cuts[0]) & (F.col("_id") < cuts[1])),
+            feed.filter(F.col("_id") >= cuts[1]),
+        ]
+        for part in batches:
+            (part.select("ts", "url").coalesce(1)
+             .write.mode("append").parquet(in_dir))
+            query.processAllAvailable()
+    finally:
+        query.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        spark.table(qname)
+        .select(F.col("ts").cast("long").alias("ts_sec"), "url")
+        .orderBy("url")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2821,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "semantic_dedup": q_semantic_dedup,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "stream_url_dedup": q_stream_url_dedup,
     }
 
 
@@ -4055,6 +4113,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, n_exact, cms_estimate
             FROM ex JOIN est USING (user_id) ORDER BY user_id
+        """,
+        "stream_url_dedup": f"""
+            SELECT DISTINCT
+                   {STREAM_WIN_BASE} + (doc_id % 120) AS ts_sec,
+                   'http://h' || (doc_id % 120)::VARCHAR
+                     || '.example.com/p' AS url
+            FROM documents ORDER BY url
         """,
     }
 

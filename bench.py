@@ -180,7 +180,8 @@ def bench_queries(spark, sf_dir: str) -> dict:
              "minhash_neardup", "embedding_topk", "spans_documents",
              "line_dedup", "asof_join", "pack_sequences",
              "host_pagerank", "robots_gating", "recrawl_schedule",
-             "interleave_pack"]
+             "interleave_pack", "substring_dedup", "lm_score",
+             "hll_distinct"]
     # dedup_clusters (iterative connected components, ~60s at sf0.1) is
     # benched via its oracled driver query instead — keeping the default
     # bench's wall time bounded for per-round invocations.

@@ -217,3 +217,28 @@ def stream_windowed_counts(spark: SparkSession, input_dir: str,
         .agg(F.count("*").alias("n_events"))
         .select(F.col("win.start").alias("window_start"), "host", "n_events")
     )
+
+
+def stream_url_dedup(spark: SparkSession, input_dir: str,
+                     watermark: str = "3600 seconds") -> DataFrame:
+    """Streaming first-occurrence URL dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` over a landing feed
+    ``(ts timestamp, url string)`` — the continuous-ingest twin of the
+    batch seen-set anti-join (operators/seen.py). Each URL is emitted the
+    first time it arrives; re-arrivals inside the watermark horizon are
+    dropped, and state for URLs older than the watermark is EVICTED —
+    the property that keeps a perpetual discovery feed's dedup state
+    O(horizon traffic), not O(all URLs ever) (the standing Bloom +
+    periodic compaction covers the beyond-horizon tail in the batch
+    loop). Rows emit in the trigger they arrive (dedup does not wait for
+    the watermark; the watermark only bounds state retention)."""
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("url", T.StringType()),
+    ])
+    src = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"])

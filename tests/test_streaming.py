@@ -107,3 +107,29 @@ def test_stream_host_budget_carries_state_across_batches(spark, tmp_path):
         by_host.setdefault(r["host"], []).append(r["seq"])
     assert sorted(by_host["h1"]) == [0, 1, 3]  # budget 3, seq order, cross-batch
     assert sorted(by_host["h2"]) == [2]
+
+
+def test_stream_url_dedup_drops_rearrivals_across_batches(spark, tmp_path):
+    from llm_scraper_spark.streaming.ingest import stream_url_dedup
+
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    out = stream_url_dedup(spark, in_dir)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("t_url_dedup")
+         .option("checkpointLocation", str(tmp_path / "cp")).start())
+    try:
+        base = 1_700_000_000
+        b1 = [(base + 1, "http://a/1"), (base + 2, "http://a/2"),
+              (base + 1, "http://a/1")]              # in-batch dup
+        b2 = [(base + 1, "http://a/1"),              # cross-batch dup
+              (base + 3, "http://a/3")]
+        for rows in (b1, b2):
+            df = spark.createDataFrame(rows, "sec long, url string").select(
+                F.timestamp_seconds("sec").alias("ts"), "url")
+            df.coalesce(1).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+        got = sorted(r.url for r in spark.table("t_url_dedup").collect())
+        assert got == ["http://a/1", "http://a/2", "http://a/3"]
+    finally:
+        q.stop()
