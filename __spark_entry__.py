@@ -2795,6 +2795,29 @@ def q_stream_url_dedup(spark, sf_dir):
     )
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct sketch (Bar-Yossef et al. 2002, the theta-
+    sketch core): per event_type, the 64 smallest distinct md5-60bit
+    event_id hashes; estimate = 63 * 2^60 / h_64. Unlike HLL the kept
+    hashes double as a uniform mergeable sample of distinct keys. The
+    oracle rebuilds the distinct-hash set, the bottom-k ranking, and the
+    estimate exactly; Spark's rank<=k plans as WindowGroupLimit
+    (per-partition bottom-k heaps). xxhash64 is the scale family."""
+    from llm_scraper_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_id", ["event_type"], k=64, hash_family="md5")
+    est = kmv_estimate(sk, ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("n_exact"))
+    return est.join(exact, "event_type").select(
+        "event_type", "n_kept", "kmv_estimate", "n_exact"
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2879,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "stream_url_dedup": q_stream_url_dedup,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -4120,6 +4144,31 @@ def oracle_sql() -> dict[str, str]:
                    'http://h' || (doc_id % 120)::VARCHAR
                      || '.example.com/p' AS url
             FROM documents ORDER BY url
+        """,
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                       AS h
+              FROM events
+            ), rk AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rnk
+              FROM h QUALIFY rnk <= 64
+            ), agg AS (
+              SELECT event_type, count(*) AS n_kept, max(h) AS hk
+              FROM rk GROUP BY event_type
+            ), ex AS (
+              SELECT event_type, count(DISTINCT event_id) AS n_exact
+              FROM events GROUP BY event_type
+            )
+            SELECT agg.event_type, n_kept,
+                   round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                         ELSE 63.0 * 1152921504606846976.0 / hk::DOUBLE END,
+                         4) AS kmv_estimate,
+                   n_exact
+            FROM agg JOIN ex USING (event_type) ORDER BY agg.event_type
         """,
     }
 

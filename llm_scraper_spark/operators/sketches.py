@@ -30,7 +30,7 @@ input size; the estimate is a tiny second aggregate. No Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 _WORD_BITS = 52  # 60-bit hash: top 8+ bits pick the register at p<=8
 
@@ -227,3 +227,62 @@ def cms_point_estimates(cms: DataFrame, keys: DataFrame, key_col: str,
                     for d in range(depth)])
     return out.select(F.col("key").alias(key_col),
                       est.cast("long").alias("cms_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch
+# ---------------------------------------------------------------------------
+
+def kmv_sketch(df: DataFrame, key_col: str,
+               group_cols: list[str] | None = None, k: int = 64,
+               hash_family: str = "xxhash64") -> DataFrame:
+    """KMV (k-minimum-values) sketch, Bar-Yossef et al. RANDOM'02: per
+    group, the k smallest DISTINCT 60-bit key hashes. Dual-purpose state:
+    (a) distinct-count estimation from the k-th minimum, (b) a uniform
+    mergeable SAMPLE of distinct keys (each kept hash is a random
+    distinct key — the bottom-k trick behind theta sketches), which HLL
+    registers cannot give you. Merge = union two sketches, distinct,
+    re-bottom-k.
+
+    Scale shape: distinct on slim (group, h) rows (one map-side-combined
+    shuffle), then rank <= k — Spark plans the rank filter as
+    WindowGroupLimit, i.e. per-partition bottom-k heaps BEFORE the final
+    per-group pass, so the full distinct-hash set of a hot group never
+    concentrates on one task."""
+    group_cols = list(group_cols or [])
+    kc = F.col(key_col) if isinstance(key_col, str) else key_col
+    hashes = (
+        df.filter(kc.isNotNull())
+        .select(*group_cols, _hash60(key_col, hash_family).alias("h"))
+        .distinct()
+    )
+    # ungrouped sketches still get a (constant) partition key so the plan
+    # keeps the WindowGroupLimit per-partition bottom-k pass
+    parts = [F.col(c) for c in group_cols] or [F.lit(1)]
+    win = W.partitionBy(*parts).orderBy("h")
+    return (
+        hashes.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= int(k))
+        .select(*group_cols, "rnk", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str] | None = None,
+                 k: int = 64) -> DataFrame:
+    """Distinct-count estimate from the bottom-k sketch: if the group has
+    fewer than k distinct hashes the count is EXACT (= sketch size);
+    otherwise (k-1) * 2^60 / h_k with h_k the k-th minimum — one IEEE
+    division, engine-portable. Returns (group..., n_kept, kmv_estimate)."""
+    group_cols = list(group_cols or [])
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_kept") < int(k), F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60))
+        / F.col("_hk").cast("double")
+    )
+    return agg.select(*group_cols, "n_kept",
+                      F.round(est, 4).alias("kmv_estimate"))

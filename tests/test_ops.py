@@ -1548,3 +1548,30 @@ def test_cms_never_underestimates_and_merges(spark):
     direct = sk.cms_table(df, "k", depth=2, width_pow=6)
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in direct.collect()}
+
+
+def test_kmv_exact_below_k_and_merge(spark):
+    from llm_scraper_spark.operators import sketches as sk
+
+    # below k: estimate is EXACT
+    small = spark.range(0, 40).select(F.concat(F.lit("u"), "id").alias("k"))
+    est = sk.kmv_estimate(sk.kmv_sketch(small, "k", k=64), k=64).collect()[0]
+    assert est.n_kept == 40 and est.kmv_estimate == 40.0
+
+    # above k: within ~3 std errs (se ~ 1/sqrt(k-2) ~ 13% at k=64)
+    big = spark.range(0, 5000).select(F.concat(F.lit("u"), "id").alias("k"))
+    estb = sk.kmv_estimate(sk.kmv_sketch(big, "k", k=64), k=64).collect()[0]
+    assert abs(estb.kmv_estimate - 5000) / 5000 < 0.4
+
+    # merge: union + distinct + re-bottom-k == direct sketch of the union
+    a = spark.range(0, 3000).select(F.concat(F.lit("u"), "id").alias("k"))
+    b = spark.range(2000, 5000).select(F.concat(F.lit("u"), "id").alias("k"))
+    sa, sb = sk.kmv_sketch(a, "k", k=64), sk.kmv_sketch(b, "k", k=64)
+    merged_hashes = sa.select("h").unionByName(sb.select("h")).distinct()
+    from pyspark.sql import Window as W
+    remin = (merged_hashes
+             .withColumn("rnk", F.row_number().over(
+                 W.partitionBy(F.lit(1)).orderBy("h")))
+             .filter(F.col("rnk") <= 64).select("h"))
+    direct = sk.kmv_sketch(big, "k", k=64).select("h")
+    assert {r.h for r in remin.collect()} == {r.h for r in direct.collect()}
