@@ -416,3 +416,41 @@ def test_select_representatives_argmin_agg_not_window(spark):
     assert "partial_min_by" in plan or "Partial" in plan
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_session3_operators_plan_shapes(spark, sf_mid):
+    """The session-3 curation operators' scale-shape claims, pinned:
+    zero Python stages anywhere, single-exchange sketch builds, broadcast
+    LM/DSIR model joins, TakeOrderedAndProject weighted sampling, and
+    WindowGroupLimit bottom-k."""
+    from llm_scraper_spark.operators.lm import (dsir_scores, dsir_weights,
+                                                lm_score)
+    from llm_scraper_spark.operators.sampling import weighted_sample_topk
+    from llm_scraper_spark.operators.sketches import (cms_table,
+                                                      hll_registers,
+                                                      kmv_sketch)
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "text", "source", "n_chars")
+    ev = spark.read.parquet(f"{sf_mid}/events.parquet")
+
+    p = _exec_plan(weighted_sample_topk(docs, 50, "n_chars"))
+    assert "TakeOrderedAndProject" in p and "Sort" not in p
+    p = _exec_plan(kmv_sketch(ev, "event_id", ["event_type"], k=64))
+    assert "WindowGroupLimit" in p
+    for df in (hll_registers(ev, "event_id", ["event_type"]),
+               cms_table(ev, "user_id", depth=4)):
+        p = _exec_plan(df)
+        assert p.count("Exchange") == 1, p
+        assert "Python" not in p and "ArrowEval" not in p
+    p = _exec_plan(lm_score(docs))
+    assert p.count("BroadcastHashJoin") >= 2  # c2 + c1 model joins
+    assert "Python" not in p and "SortMergeJoin" not in p
+    w = dsir_weights(docs, docs.filter(F.col("source") == "src0"),
+                     buckets_pow=14)
+    p = _exec_plan(dsir_scores(docs, w, buckets_pow=14))
+    assert "BroadcastHashJoin" in p and "Python" not in p
