@@ -2818,6 +2818,49 @@ def q_kmv_distinct(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_mixture_build(spark, sf_dir):
+    """The composed training-mixture build — the session-3 curation
+    operators chained the way a real corpus run chains them:
+    (1) hashed-bigram LM quality gate (INTEGER comparison
+        ll_fp >= -77000 * n_bigrams, i.e. avg logprob >= -7.70 — exact on
+        both engines, no float threshold),
+    (2) duplicated-content gate (at most half the doc's 5-grams appear in
+        other docs: 2 * n_dup <= n_grams),
+    (3) DSIR importance resampling of the survivors toward the src0/src1
+        target (Gumbel-top-100, seed 'mix').
+    Each stage is an individually-oracled operator; this query gates the
+    COMPOSITION end-to-end, like curation_pipeline does for the round-2
+    funnel."""
+    from llm_scraper_spark.operators.dedup import duplicated_gram_counts
+    from llm_scraper_spark.operators.lm import (
+        dsir_resample,
+        dsir_scores,
+        dsir_weights,
+        lm_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    lm = lm_score(docs, buckets_pow=16).select(
+        "doc_id", "n_bigrams", "ll_fp")
+    dup = duplicated_gram_counts(docs, window=5, hash_family="md5")
+    kept = (
+        docs.join(lm, "doc_id").join(dup, "doc_id")
+        .filter(F.col("ll_fp") >= F.lit(-77000) * F.col("n_bigrams"))
+        .filter(F.lit(2) * F.col("n_dup") <= F.col("n_grams"))
+    )
+    w = dsir_weights(docs, docs.filter(F.col("source").isin("src0", "src1")),
+                     buckets_pow=14)
+    scores = dsir_scores(kept, w, buckets_pow=14)
+    sel = dsir_resample(scores, k=100, seed="mix")
+    return (
+        sel.join(kept.select("doc_id", "source", "n_bigrams", "ll_fp",
+                             "n_grams", "n_dup"), "doc_id")
+        .select("doc_id", "source", "n_bigrams", "ll_fp", "n_grams",
+                "n_dup", "score_fp", "gumbel_key_fp")
+        .orderBy(F.desc("gumbel_key_fp"), "doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2903,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "stream_url_dedup": q_stream_url_dedup,
         "kmv_distinct": q_kmv_distinct,
+        "mixture_build": q_mixture_build,
     }
 
 
@@ -4169,6 +4213,103 @@ def oracle_sql() -> dict[str, str]:
                          4) AS kmv_estimate,
                    n_exact
             FROM agg JOIN ex USING (event_type) ORDER BY agg.event_type
+        """,
+        "mixture_build": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), bi0 AS (
+              SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                     i -> {'w0': t[i+1], 'w1': t[i+2]})) AS g
+              FROM toks WHERE len(t) >= 2
+            ), bi AS (
+              SELECT doc_id, g.w0 AS w0, g.w1 AS w1 FROM bi0
+            ), b AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(w0 || ' ' || w1), 1, 15))::BIGINT
+                       % 65536 AS b2,
+                     ('0x' || substring(md5(w0), 1, 15))::BIGINT
+                       % 65536 AS b1
+              FROM bi
+            ), c2 AS (SELECT b2, count(*) AS c2 FROM b GROUP BY b2),
+            c1 AS (SELECT b1, count(*) AS c1 FROM b GROUP BY b1),
+            lterms AS (
+              SELECT doc_id,
+                     CAST(floor(10000 * ln((c2.c2 + 1)::DOUBLE
+                                           / (c1.c1 + 65536))) AS BIGINT)
+                       AS ll
+              FROM b JOIN c2 USING (b2) JOIN c1 USING (b1)
+            ), lmper AS (
+              SELECT doc_id, sum(ll) AS ll_fp, count(*) AS n_bigrams
+              FROM lterms GROUP BY doc_id
+            ), grams0 AS (
+              SELECT doc_id, unnest(list_transform(range(len(t) - 5 + 1),
+                     i -> array_to_string(t[i+1:i+5], ' '))) AS gram
+              FROM toks WHERE len(t) >= 5
+            ), ghashed AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(gram), 1, 15))::BIGINT AS h
+              FROM grams0
+            ), gdup AS (
+              SELECT h FROM ghashed GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2
+            ), dupper AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN h IN (SELECT h FROM gdup)
+                         THEN 1 ELSE 0 END) AS n_dup
+              FROM ghashed GROUP BY doc_id
+            ), kept AS (
+              SELECT d.doc_id, d.source, lmper.n_bigrams, lmper.ll_fp,
+                     dupper.n_grams, dupper.n_dup
+              FROM documents d
+              JOIN lmper USING (doc_id) JOIN dupper USING (doc_id)
+              WHERE ll_fp >= -77000 * n_bigrams AND 2 * n_dup <= n_grams
+            ), ut AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS w
+              FROM documents
+            ), bt AS (
+              SELECT doc_id, source,
+                     ('0x' || substring(md5(w), 1, 15))::BIGINT % 16384
+                       AS bucket
+              FROM ut
+            ), q AS (SELECT bucket, count(*) AS q_cnt FROM bt GROUP BY bucket),
+            p AS (
+              SELECT bucket, count(*) AS p_cnt FROM bt
+              WHERE source IN ('src0', 'src1') GROUP BY bucket
+            ), tots AS (
+              SELECT (SELECT sum(p_cnt) FROM p) AS pt,
+                     (SELECT sum(q_cnt) FROM q) AS qt
+            ), wts AS (
+              SELECT q.bucket,
+                     CAST(floor(10000 * ln(
+                       ((coalesce(p_cnt, 0) + 1) * (qt + 16384))::DOUBLE
+                       / ((q_cnt + 1) * (pt + 16384))::DOUBLE)) AS BIGINT)
+                       AS w_fp
+              FROM q LEFT JOIN p USING (bucket), tots
+            ), per AS (
+              SELECT bt.doc_id, sum(coalesce(w_fp, 0)) AS score_fp,
+                     count(*) AS n_tokens
+              FROM bt JOIN kept USING (doc_id) LEFT JOIN wts USING (bucket)
+              GROUP BY bt.doc_id
+            ), keyed AS (
+              SELECT doc_id, score_fp,
+                     CAST(floor(score_fp::DOUBLE / n_tokens::DOUBLE / 1.0
+                          + 10000 * (-ln(-ln(
+                            ('0x' || substring(md5(doc_id::VARCHAR || '#'
+                                                   || 'mix'), 1, 15))::BIGINT
+                            / 1152921504606846976.0)))) AS BIGINT)
+                       AS gumbel_key_fp
+              FROM per
+            )
+            SELECT k.doc_id, kept.source, kept.n_bigrams, kept.ll_fp,
+                   kept.n_grams, kept.n_dup, k.score_fp, k.gumbel_key_fp
+            FROM (SELECT * FROM keyed
+                  ORDER BY gumbel_key_fp DESC, doc_id LIMIT 100) k
+            JOIN kept USING (doc_id)
+            ORDER BY k.gumbel_key_fp DESC, k.doc_id
         """,
     }
 

@@ -925,3 +925,45 @@ def substring_dup_stats(spans: DataFrame, docs: DataFrame,
         F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
     )
+
+
+def duplicated_gram_counts(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", window: int = 5,
+                           min_docs: int = 2,
+                           hash_family: str = "xxhash64") -> DataFrame:
+    """Per-document duplicated-n-gram counts — the gate form of
+    duplicated_substring_spans (a curation funnel wants "is more than X%
+    of this doc duplicated elsewhere", which needs counts, not merged
+    span coordinates). Returns (id_col, n_grams, n_dup) with n_dup the
+    number of this doc's ``window``-grams whose hash appears in >=
+    ``min_docs`` distinct docs. Same plan skeleton: slim (hash,id) rows,
+    one corpus shuffle, hit join, per-doc combine."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "w0"),
+    )
+    win = W.partitionBy("id").orderBy("pos")
+    out = toks
+    for j in range(1, window):
+        out = out.withColumn(f"w{j}", F.lead("w0", j).over(win))
+    grams = out.filter(F.col(f"w{window-1}").isNotNull()).select(
+        "id",
+        _gram_hash_expr(
+            F.concat_ws(" ", *[f"w{j}" for j in range(window)]), hash_family
+        ).alias("h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("h", F.lit(1).alias("_isdup"))
+    )
+    return (
+        grams.join(dup, "h", "left")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.coalesce("_isdup", F.lit(0))).alias("n_dup"))
+        .select(F.col("id").alias(id_col), "n_grams", "n_dup")
+    )

@@ -1575,3 +1575,17 @@ def test_kmv_exact_below_k_and_merge(spark):
              .filter(F.col("rnk") <= 64).select("h"))
     direct = sk.kmv_sketch(big, "k", k=64).select("h")
     assert {r.h for r in remin.collect()} == {r.h for r in direct.collect()}
+
+
+def test_duplicated_gram_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # grams at 0,1: both shared with doc 2
+            (2, "a b c d e f"),
+            (3, "m n o p q r"),   # unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_grams, r.n_dup)
+           for r in dd.duplicated_gram_counts(docs, window=5).collect()}
+    assert got == {1: (2, 2), 2: (2, 2), 3: (2, 0)}
