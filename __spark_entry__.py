@@ -2861,6 +2861,28 @@ def q_mixture_build(spark, sf_dir):
     )
 
 
+def q_aimd_budgets(spark, sf_dir):
+    """AIMD adaptive politeness budgets (TCP congestion control applied
+    to per-host fetch rates): a >=50%-failure wave halves the next wave's
+    budget, a healthy wave adds one, all integer arithmetic. History is
+    synthesized closed-form from documents (host=source, wave=doc_id%6,
+    failure = n_chars%3==0), and the DuckDB oracle replays the sequential
+    per-host recurrence as a WITH RECURSIVE walk — value-exact against
+    Spark's native aggregate-HOF fold."""
+    from llm_scraper_spark.operators.frontier import aimd_budgets
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy(
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 6).alias("wave"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_attempted"),
+        F.sum(F.when(F.col("n_chars") % 3 == 0, 1).otherwise(0))
+        .alias("n_failed"),
+    )
+    return aimd_budgets(hist, init=8, cap=64).orderBy("host", "wave")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2947,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_url_dedup": q_stream_url_dedup,
         "kmv_distinct": q_kmv_distinct,
         "mixture_build": q_mixture_build,
+        "aimd_budgets": q_aimd_budgets,
     }
 
 
@@ -4310,6 +4333,30 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY gumbel_key_fp DESC, doc_id LIMIT 100) k
             JOIN kept USING (doc_id)
             ORDER BY k.gumbel_key_fp DESC, k.doc_id
+        """,
+        "aimd_budgets": """
+            WITH RECURSIVE hist AS (
+              SELECT source AS host, doc_id % 6 AS wave,
+                     count(*) AS att,
+                     sum(CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END) AS fail
+              FROM documents GROUP BY host, wave
+            ), idx AS (
+              SELECT host, wave, att, fail,
+                     row_number() OVER (PARTITION BY host ORDER BY wave)
+                       AS i
+              FROM hist
+            ), rec AS (
+              SELECT host, wave, att, fail, i, 8::BIGINT AS budget
+              FROM idx WHERE i = 1
+              UNION ALL
+              SELECT idx.host, idx.wave, idx.att, idx.fail, idx.i,
+                     CASE WHEN 2 * rec.fail >= rec.att
+                          THEN greatest(1, rec.budget // 2)
+                          ELSE least(64, rec.budget + 1) END
+              FROM idx JOIN rec
+                ON idx.host = rec.host AND idx.i = rec.i + 1
+            )
+            SELECT host, wave, budget FROM rec ORDER BY host, wave
         """,
     }
 

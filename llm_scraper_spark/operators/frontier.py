@@ -428,3 +428,68 @@ def gate_trap_patterns(frontier: DataFrame, deny: DataFrame,
             "left_anti",
         ).drop("_pattern")
     )
+
+
+def aimd_budgets(history: DataFrame, host_col: str = "host",
+                 wave_col: str = "wave", attempted_col: str = "n_attempted",
+                 failed_col: str = "n_failed", init: int = 8,
+                 cap: int = 64) -> DataFrame:
+    """AIMD (additive-increase / multiplicative-decrease) adaptive
+    politeness budgets — the TCP-congestion-control rule applied to
+    per-host fetch rates, the standard production answer to servers that
+    start throwing 5xx/timeouts under crawl load: a FAILURE wave (at
+    least half the host's fetches failed, integer test
+    2*n_failed >= n_attempted) halves the next wave's budget
+    (floor, min 1); a healthy wave adds 1 (max ``cap``).
+
+    Returns the full trajectory ``(host, wave, budget)`` where ``budget``
+    is the budget IN EFFECT for that wave (wave 0 always runs at
+    ``init``), so the scheduler can join wave N+1's frontier against the
+    budget that wave N's outcome produced.
+
+    Scale shape: the recurrence is sequential per host, but a host's wave
+    history is tiny and bounded (one row per completed wave), so it is
+    collected per host with one map-side-combined groupBy and folded with
+    a native ``aggregate`` HOF — interpreted, but over |waves|-length
+    arrays, never over fetch-level data; no driver involvement, no
+    iteration over the corpus. All arithmetic is integer (DIV/least/
+    greatest), so the trajectory is bit-reproducible on any engine."""
+    per_wave = history.select(
+        F.col(host_col).alias("host"),
+        F.struct(
+            F.col(wave_col).cast("long").alias("wave"),
+            F.col(attempted_col).cast("long").alias("att"),
+            F.col(failed_col).cast("long").alias("fail"),
+        ).alias("w"),
+    )
+    folded = (
+        per_wave.groupBy("host")
+        .agg(F.sort_array(F.collect_list("w")).alias("ws"))
+        .select(
+            "host", "ws",
+            # budgets[i] = budget in effect for ws[i]; fold appends the
+            # NEXT wave's budget from each observed outcome, so slice off
+            # the trailing lookahead entry
+            F.expr(f"""
+                slice(
+                  aggregate(
+                    ws,
+                    array({int(init)}L),
+                    (acc, x) -> array_append(
+                      acc,
+                      CASE WHEN 2 * x.fail >= x.att
+                           THEN greatest(1L, element_at(acc, -1) DIV 2)
+                           ELSE least({int(cap)}L,
+                                      element_at(acc, -1) + 1)
+                      END)),
+                  1, size(ws))
+            """).alias("budgets"),
+        )
+    )
+    return (
+        folded.select(
+            "host",
+            F.posexplode(F.arrays_zip("ws", "budgets")).alias("_i", "z"))
+        .select("host", F.col("z.ws.wave").alias("wave"),
+                F.col("z.budgets").alias("budget"))
+    )

@@ -1589,3 +1589,29 @@ def test_duplicated_gram_counts(spark):
     got = {r.doc_id: (r.n_grams, r.n_dup)
            for r in dd.duplicated_gram_counts(docs, window=5).collect()}
     assert got == {1: (2, 2), 2: (2, 2), 3: (2, 0)}
+
+
+def test_aimd_budgets_trajectory(spark):
+    from llm_scraper_spark.operators.frontier import aimd_budgets
+
+    rows = [
+        ("a", 0, 10, 0), ("a", 1, 10, 6), ("a", 2, 10, 9),
+        ("a", 3, 10, 0), ("a", 4, 10, 0),
+        ("b", 0, 4, 4), ("b", 1, 4, 2), ("b", 2, 4, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, wave int, n_attempted int, n_failed int")
+    got = {(r.host, r.wave): r.budget
+           for r in aimd_budgets(df, init=8, cap=10).collect()}
+    # a: w0 runs at init=8 (healthy -> 9), w1 at 9 (60% fail -> halve),
+    # w2 at 4 (fail -> 2), w3 at 2 (healthy -> 3), w4 at 3
+    assert got == {("a", 0): 8, ("a", 1): 9, ("a", 2): 4, ("a", 3): 2,
+                   ("a", 4): 3, ("b", 0): 8, ("b", 1): 4, ("b", 2): 2}
+    # floor at 1 and cap
+    floor_rows = [("c", w, 2, 2) for w in range(6)]
+    gotc = {r.wave: r.budget for r in aimd_budgets(
+        spark.createDataFrame(
+            floor_rows,
+            "host string, wave int, n_attempted int, n_failed int"),
+        init=8, cap=10).collect()}
+    assert gotc == {0: 8, 1: 4, 2: 2, 3: 1, 4: 1, 5: 1}
