@@ -2883,6 +2883,69 @@ def q_aimd_budgets(spark, sf_dir):
     return aimd_budgets(hist, init=8, cap=64).orderBy("host", "wave")
 
 
+def q_media_content_dedup(spark, sf_dir):
+    """Content-addressed media dedup: assets are deduped by the md5 of
+    their DECODED pixel bytes, not their payload bytes — catching the
+    same image shipped in different containers (PNG/GIF/JPEG of
+    identical pixels share a pixel_md5 while payload hashes differ; the
+    media analogue of canonicalize-before-hash for URLs, unit-tested
+    cross-container in test_ops). Media refs are remapped onto 300
+    canonical images so real duplicate groups exist; each group keeps
+    its min asset_id. For this constant-color corpus the pixel bytes are
+    a pure function of (w, h, r, g, b), so the oracle reproduces the
+    exact dedup grouping closed-form from md5(ref) — no pixel hashing
+    needed on the SQL side."""
+    from llm_scraper_spark.operators.multimodal import (
+        _payload_udf,
+        content_key_udf,
+    )
+    from llm_scraper_spark.sources.synthetic import (
+        build_documents_interleaved,
+    )
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    media = docs.select(
+        "doc_id",
+        F.explode(F.filter("spans",
+                           lambda s: s.kind == F.lit("media"))).alias("sp"),
+    ).select(
+        "doc_id",
+        F.col("sp.media_ref").alias("media_ref"),
+        F.col("sp.offset").alias("offset"),
+    )
+    ref2 = F.concat(
+        F.lit("https://cdn.example.com/img/"),
+        (F.regexp_extract("media_ref", r"(\d+)", 1).cast("long")
+         % 300).cast("string"),
+        F.lit(".jpg"),
+    )
+    sel = F.pmod(
+        F.conv(F.substring(F.md5("ref2"), 5, 2), 16, 10).cast("int"),
+        F.lit(3))
+    assets = media.select(
+        F.concat("doc_id", F.lit("#"),
+                 F.col("offset").cast("string")).alias("asset_id"),
+        ref2.alias("ref2"),
+    ).select(
+        "asset_id", "ref2",
+        F.when(sel == 0, F.lit("image/png"))
+        .when(sel == 1, F.lit("image/jpeg"))
+        .otherwise(F.lit("image/gif")).alias("mime"),
+        content_key_udf()(_payload_udf(F.col("ref2"))).alias("ck"),
+    )
+    win = W.partitionBy(F.col("ck.pixel_md5"))
+    return assets.select(
+        "asset_id", F.col("ref2").alias("media_ref"), "mime",
+        F.col("ck.width").alias("width"),
+        F.col("ck.height").alias("height"),
+        F.col("ck.r").alias("r"), F.col("ck.g").alias("g"),
+        F.col("ck.b").alias("b"),
+        F.col("ck.uniform").alias("uniform"),
+        (F.col("asset_id") == F.min("asset_id").over(win)).alias("keep"),
+    ).orderBy("asset_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2970,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "mixture_build": q_mixture_build,
         "aimd_budgets": q_aimd_budgets,
+        "media_content_dedup": q_media_content_dedup,
     }
 
 
@@ -4357,6 +4421,38 @@ def oracle_sql() -> dict[str, str]:
                 ON idx.host = rec.host AND idx.i = rec.i + 1
             )
             SELECT host, wave, budget FROM rec ORDER BY host, wave
+        """,
+        "media_content_dedup": r"""
+            WITH m AS (
+              SELECT doc_id, media_ref, "offset"
+              FROM read_parquet('/root/repo/goldens/spans_sf0.01.parquet')
+              WHERE kind = 'media'
+            ), a AS (
+              SELECT doc_id || '#' || "offset"::VARCHAR AS asset_id,
+                     'https://cdn.example.com/img/' ||
+                       (regexp_extract(media_ref, '(\d+)', 1)::BIGINT % 300)
+                         ::VARCHAR || '.jpg' AS media_ref
+              FROM m
+            ), d AS (
+              SELECT asset_id, media_ref,
+                     CASE (('0x' || substring(md5(media_ref), 5, 2))::INT % 3)
+                       WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'image/gif' END AS mime,
+                     (16 + ('0x' || substring(md5(media_ref), 1, 2))::INT)
+                       ::INT AS width,
+                     (16 + ('0x' || substring(md5(media_ref), 3, 2))::INT)
+                       ::INT AS height,
+                     ('0x' || substring(md5(media_ref), 7, 2))::INT AS r,
+                     ('0x' || substring(md5(media_ref), 9, 2))::INT AS g,
+                     ('0x' || substring(md5(media_ref), 11, 2))::INT AS b
+              FROM a
+            )
+            SELECT asset_id, media_ref, mime, width, height, r, g, b,
+                   true AS uniform,
+                   asset_id = min(asset_id) OVER
+                     (PARTITION BY width, height, r, g, b) AS keep
+            FROM d ORDER BY asset_id
         """,
     }
 

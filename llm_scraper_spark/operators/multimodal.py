@@ -1360,3 +1360,52 @@ def sniff_mime_expr(col) -> "Column":
               | text.startswith("<"), F.lit("text/html"))
         .otherwise(F.lit("application/octet-stream"))
     )
+
+
+CONTENT_KEY_DDL = (
+    "struct<width:int, height:int, uniform:boolean, r:int, g:int, b:int, "
+    "pixel_md5:string, ok:boolean>"
+)
+
+
+def content_key_udf():
+    """payload -> DECODED-pixel content address: dims, a uniform-color
+    flag with the first pixel's RGB, and md5 over the raw decoded RGB
+    bytes. This is what lets dedup catch the SAME IMAGE shipped in
+    DIFFERENT containers (a PNG and a GIF of identical pixels share a
+    pixel_md5 while their payload bytes — and payload hashes — differ),
+    the media analogue of canonicalize-before-hash for URLs. For the
+    synthetic constant-color corpus the pixel bytes are a pure function
+    of (width, height, r, g, b), so a SQL oracle can reproduce the dedup
+    grouping closed-form from md5(media_ref) without hashing pixels."""
+
+    @F.pandas_udf(CONTENT_KEY_DDL)
+    def _udf(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for pld in payloads:
+            blob = bytes(pld) if pld is not None else None
+            px = None
+            if blob:
+                px = decode_png_pixels(blob)
+                if px is None:
+                    px = decode_gif_pixels(blob)
+                if px is None:
+                    px = decode_jpeg_pixels(blob)
+            if px is None:
+                rows.append({"width": 0, "height": 0, "uniform": False,
+                             "r": 0, "g": 0, "b": 0, "pixel_md5": "",
+                             "ok": False})
+                continue
+            raw = px.astype(np.uint8)
+            first = raw[0, 0]
+            rows.append({
+                "width": int(px.shape[1]),
+                "height": int(px.shape[0]),
+                "uniform": bool((raw == raw[0, 0]).all()),
+                "r": int(first[0]), "g": int(first[1]), "b": int(first[2]),
+                "pixel_md5": hashlib.md5(raw.tobytes()).hexdigest(),
+                "ok": True,
+            })
+        return pd.DataFrame(rows)
+
+    return _udf

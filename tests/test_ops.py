@@ -1615,3 +1615,29 @@ def test_aimd_budgets_trajectory(spark):
             "host string, wave int, n_attempted int, n_failed int"),
         init=8, cap=10).collect()}
     assert gotc == {0: 8, 1: 4, 2: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_media_content_key_cross_container(spark):
+    """The same pixels in three different containers share a pixel_md5
+    (content address) while payload bytes all differ."""
+    import hashlib
+
+    hx = hashlib.md5(b"someref").hexdigest()
+    rows = [
+        (1, bytearray(mm.synth_png(20, 20, hx))),
+        (2, bytearray(mm.synth_gif(20, 20, hx))),
+        (3, bytearray(mm.synth_jpeg(20, 20, hx))),
+        (4, bytearray(mm.synth_png(21, 20, hx))),   # different dims
+        (5, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r.asset_id: r.ck for r in df.select(
+        "asset_id", mm.content_key_udf()(F.col("payload")).alias("ck")
+    ).collect()}
+    assert got[1].pixel_md5 == got[2].pixel_md5 == got[3].pixel_md5 != ""
+    assert got[4].pixel_md5 != got[1].pixel_md5
+    assert not got[5].ok
+    assert got[1].uniform and (got[1].r, got[1].g, got[1].b) == (
+        int(hx[6:8], 16), int(hx[8:10], 16), int(hx[10:12], 16))
+    payloads = {bytes(r[1]) for r in rows[:3]}
+    assert len(payloads) == 3  # containers differ byte-wise
