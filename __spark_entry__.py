@@ -2946,6 +2946,27 @@ def q_media_content_dedup(spark, sf_dir):
     ).orderBy("asset_id")
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index with gap-encoded, skew-capped posting
+    lists (the Lucene-style artifact a crawled corpus feeds): per term,
+    exact doc_freq/total_occurrences plus the first 1000 (doc,pos)
+    postings delta-encoded — the cap plans as WindowGroupLimit so a
+    stopword's corpus-wide postings are pruned map-side, never
+    concentrated on one task. Postings are serialized 'gap:pos,...' so
+    the oracle's replay (same ranking, same gaps) is string-exact."""
+    from llm_scraper_spark.operators.corpus import inverted_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = inverted_index(docs, max_postings=1000)
+    return idx.select(
+        "term", "doc_freq", "total_occurrences", "n_postings",
+        F.array_join(
+            F.transform("postings",
+                        lambda s: F.concat_ws(":", s["doc_gap"], s["pos"])),
+            ",").alias("postings_str"),
+    ).orderBy("term")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3034,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_build": q_mixture_build,
         "aimd_budgets": q_aimd_budgets,
         "media_content_dedup": q_media_content_dedup,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -4453,6 +4475,45 @@ def oracle_sql() -> dict[str, str]:
                    asset_id = min(asset_id) OVER
                      (PARTITION BY width, height, r, g, b) AS keep
             FROM d ORDER BY asset_id
+        """,
+        "inverted_index": r"""
+            WITH toks0 AS (
+              SELECT doc_id AS doc,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), toks AS (
+              SELECT doc, g.pos AS pos, g.term AS term
+              FROM (
+                SELECT doc, unnest(list_transform(range(len(t)),
+                       i -> {'pos': i, 'term': t[i+1]})) AS g
+                FROM toks0
+              )
+              WHERE length(g.term) >= 1
+            ), capped AS (
+              SELECT doc, pos, term,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc, pos) AS rnk
+              FROM toks QUALIFY rnk <= 1000
+            ), per AS (
+              SELECT term,
+                     list(struct_pack(doc := doc, pos := pos)
+                          ORDER BY doc, pos) AS ps
+              FROM capped GROUP BY term
+            ), ex AS (
+              SELECT term, count(DISTINCT doc) AS doc_freq,
+                     count(*) AS total_occurrences
+              FROM toks GROUP BY term
+            )
+            SELECT per.term, ex.doc_freq, ex.total_occurrences,
+                   len(ps) AS n_postings,
+                   array_to_string(
+                     list_transform(ps, (x, i) ->
+                       (CASE WHEN i = 1 THEN x.doc
+                             ELSE x.doc - ps[i - 1].doc END)::VARCHAR
+                       || ':' || x.pos::VARCHAR),
+                     ',') AS postings_str
+            FROM per JOIN ex USING (term)
+            ORDER BY per.term
         """,
     }
 

@@ -143,3 +143,68 @@ def interleave_pack(spans: DataFrame, capacity: int, media_cost: int = 64,
     out = pack_sequences(df, tokens_col="cost", capacity=capacity,
                          order_col="_ord", by_col=stream_col)
     return out.drop("_ord")
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", max_postings: int = 1000,
+                   min_token_len: int = 1) -> DataFrame:
+    """Build a positional inverted index: one row per term with document
+    frequency and a delta-encoded posting list — the search-index
+    artifact a crawled corpus ultimately feeds (Lucene/ES posting-list
+    layout, gap-encoded for compression).
+
+    Output: ``(term, doc_freq, n_postings, postings)`` where postings is
+    the flat (doc_id, pos) stream ordered by (doc_id, pos) and
+    gap-encoded: each element is ``struct(doc_gap, pos)`` with doc_gap
+    the delta from the previous posting's doc_id (first = doc_id itself)
+    — the classic layout where long runs in one doc cost 0-gaps.
+
+    Skew: a stopword's posting list is the whole corpus; materializing it
+    with collect_list would sink one task. Postings are therefore CAPPED
+    at ``max_postings`` via row_number <= k, which Spark plans as
+    WindowGroupLimit — per-partition top-k heaps run BEFORE the shuffle,
+    so the hot term's rows are pruned map-side and never concentrate.
+    doc_freq is computed exactly (it aggregates, never materializes) so
+    the cap is visible: n_postings < doc-frequency-weighted total means
+    the list was truncated (block-sharded continuation lists are the
+    production extension; the cap keeps this single-table layout
+    shuffle-safe).
+
+    Delta encoding is a per-term transform over the capped, sorted
+    array — pure codegen'd HOFs over <= max_postings elements."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("pos", "term"),
+    ).filter(F.length("term") >= int(min_token_len))
+    win = W.partitionBy("term").orderBy("doc", "pos")
+    capped = (
+        toks.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= int(max_postings))
+    )
+    per_term = capped.groupBy("term").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "pos"))).alias("_ps"),
+    )
+    exact_df = toks.groupBy("term").agg(
+        F.count_distinct("doc").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_occurrences"),
+    )
+    gaps = F.transform(
+        "_ps",
+        lambda p, i: F.struct(
+            F.when(i == 0, p["doc"])
+            .otherwise(p["doc"] - F.element_at(F.col("_ps"), i)["doc"])
+            .alias("doc_gap"),
+            p["pos"].alias("pos"),
+        ),
+    )
+    return (
+        per_term.join(exact_df, "term")
+        .select(
+            "term", "doc_freq", "total_occurrences",
+            F.size("_ps").alias("n_postings"),
+            gaps.alias("postings"),
+        )
+    )

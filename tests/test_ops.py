@@ -1641,3 +1641,28 @@ def test_media_content_key_cross_container(spark):
         int(hx[6:8], 16), int(hx[8:10], 16), int(hx[10:12], 16))
     payloads = {bytes(r[1]) for r in rows[:3]}
     assert len(payloads) == 3  # containers differ byte-wise
+
+
+def test_inverted_index_gaps_and_cap(spark):
+    from llm_scraper_spark.operators.corpus import inverted_index
+
+    docs = spark.createDataFrame(
+        [(5, "apple banana apple"), (9, "banana apple"), (2, "cherry")],
+        "doc_id long, text string")
+    got = {r.term: r for r in inverted_index(docs).collect()}
+    # apple: (5,0),(5,2),(9,1) -> gaps 5,0,4
+    a = got["apple"]
+    assert (a.doc_freq, a.total_occurrences, a.n_postings) == (2, 3, 3)
+    assert [(p.doc_gap, p.pos) for p in a.postings] == [(5, 0), (0, 2), (4, 1)]
+    b = got["banana"]
+    assert [(p.doc_gap, p.pos) for p in b.postings] == [(5, 1), (4, 0)]
+    assert got["cherry"].doc_freq == 1
+
+    # cap: exact doc_freq/total survive truncation, postings don't
+    many = spark.createDataFrame(
+        [(i, "hot") for i in range(30)], "doc_id long, text string")
+    r = {x.term: x for x in inverted_index(many, max_postings=10).collect()}
+    assert r["hot"].doc_freq == 30 and r["hot"].total_occurrences == 30
+    assert r["hot"].n_postings == 10
+    # capped postings are the FIRST 10 by (doc,pos): docs 0..9, gaps 0,1,..
+    assert [p.doc_gap for p in r["hot"].postings] == [0] + [1] * 9
