@@ -428,6 +428,18 @@ def _host_pagerank_oracle_sql() -> str:
     )
 
 
+def _host_hits_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import hits_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    return hits_oracle_sql(edges_sql, iterations=3) + "\nORDER BY host"
+
+
 WAVE_TOTAL_BUDGET = 50_000
 
 
@@ -2967,6 +2979,23 @@ def q_inverted_index(spark, sf_dir):
     ).orderBy("term")
 
 
+def q_host_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the synthetic host
+    graph — PageRank's complement for crawl prioritization (hubs are the
+    index pages to re-crawl for discovery; authorities get the fetch
+    budget). Integer BIGINT scores with the per-round normalization
+    dropped (it only rescales the eigenvector), so the DuckDB oracle —
+    all rounds unrolled as CTEs, the pagerank pattern — matches
+    bit-for-bit."""
+    from llm_scraper_spark.operators.graph import host_hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return host_hits(edges, iterations=3).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3056,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aimd_budgets": q_aimd_budgets,
         "media_content_dedup": q_media_content_dedup,
         "inverted_index": q_inverted_index,
+        "host_hits": q_host_hits,
     }
 
 
@@ -3344,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
+        "host_hits": _host_hits_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

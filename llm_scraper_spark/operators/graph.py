@@ -199,3 +199,120 @@ def anchor_topk_terms(edges: DataFrame, k: int = 3,
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def host_hits(edges: DataFrame, iterations: int = 3,
+              checkpoint_interval: int = 4) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over the host link
+    graph — the complement to PageRank for crawl prioritization: an
+    AUTHORITY is a page many good hubs point to (fetch its outlinks
+    early); a HUB is a directory/index page that points at many good
+    authorities (re-crawl it often to discover fresh links).
+
+    Same scale/shape discipline as host_pagerank: the deduped edge table
+    is persisted once; each half-step is one join against the tiny
+    per-host score table plus a map-side-combined groupBy; lineage is cut
+    periodically. Scores are INTEGER: the classic per-round L2
+    normalization only rescales (HITS cares about the principal
+    eigenvector's direction), so it is dropped in favor of exact BIGINT
+    sums — with score_0 = 1 and K rounds, magnitudes are bounded by
+    (max_degree)^(2K), so K <= 3 is safe for any host graph with degrees
+    under ~50k; callers ranking hosts get the identical order the
+    normalized iteration gives, and the oracle (unrolled CTEs, see
+    hits_oracle_sql) matches bit-for-bit.
+
+    Returns (host, hub, authority) for every node in the edge table.
+    """
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select("host", F.lit(1).cast("long").alias("hub"))
+    ck_ids: set[int] = set()
+    prev = None
+    for i in range(iterations):
+        # authority(v) = sum of hub(u) over edges u -> v
+        auth = (
+            e.join(hub.withColumnRenamed("host", "src"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = nodes.join(auth, "host", "left").select(
+            "host", F.coalesce("authority", F.lit(0)).alias("authority"))
+        # hub(u) = sum of authority(v) over edges u -> v
+        hub2 = (
+            e.join(auth.withColumnRenamed("host", "dst"), "dst")
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = nodes.join(hub2, "host", "left").select(
+            "host", F.coalesce("hub", F.lit(0)).alias("hub"))
+        if (i + 1) % checkpoint_interval == 0:
+            hub = local_checkpoint_tracked(hub, ck_ids)
+            if prev is not None:
+                release_checkpoint(prev, ck_ids)
+            prev = hub
+    # final authority from the final hub pass
+    auth = (
+        e.join(hub.withColumnRenamed("host", "src"), "src")
+        .groupBy(F.col("dst").alias("host"))
+        .agg(F.sum("hub").alias("authority"))
+    )
+    out = (
+        nodes.join(hub, "host", "left")
+        .join(auth, "host", "left")
+        .select("host",
+                F.coalesce("hub", F.lit(0)).alias("hub"),
+                F.coalesce("authority", F.lit(0)).alias("authority"))
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def hits_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of host_hits (the pagerank_oracle_sql
+    pattern): hub_0 = 1; auth_k = sum(hub_{k-1}) over in-edges;
+    hub_k = sum(auth_k) over out-edges; final authority from the final
+    hub. Integer sums end-to-end."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        "hub0 AS (SELECT host, 1::BIGINT AS hub FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"auth{k} AS (SELECT n.host, coalesce(s.a, 0) AS authority "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS host, "
+            f"sum(h.hub) AS a FROM e JOIN hub{k-1} h ON h.host = e.src "
+            f"GROUP BY e.dst) s ON s.host = n.host)"
+        )
+        parts.append(
+            f"hub{k} AS (SELECT n.host, coalesce(s.h, 0) AS hub "
+            f"FROM nodes n LEFT JOIN (SELECT e.src AS host, "
+            f"sum(a.authority) AS h FROM e JOIN auth{k} a "
+            f"ON a.host = e.dst GROUP BY e.src) s ON s.host = n.host)"
+        )
+    k = iterations
+    parts.append(
+        f"authf AS (SELECT n.host, coalesce(s.a, 0) AS authority "
+        f"FROM nodes n LEFT JOIN (SELECT e.dst AS host, sum(h.hub) AS a "
+        f"FROM e JOIN hub{k} h ON h.host = e.src GROUP BY e.dst) s "
+        f"ON s.host = n.host)"
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.host, h.hub, a.authority FROM hub{k} h "
+        "JOIN authf a USING (host)"
+    )

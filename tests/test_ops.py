@@ -1666,3 +1666,27 @@ def test_inverted_index_gaps_and_cap(spark):
     assert r["hot"].n_postings == 10
     # capped postings are the FIRST 10 by (doc,pos): docs 0..9, gaps 0,1,..
     assert [p.doc_gap for p in r["hot"].postings] == [0] + [1] * 9
+
+
+def test_host_hits_hand_graph(spark):
+    from llm_scraper_spark.operators.graph import host_hits
+
+    # star: 1,2,3 -> 0 ; plus 0 -> 4. After 1 round (unnormalized):
+    # auth1: a(0)=3 (from hubs 1,2,3), a(4)=1
+    # hub1:  h(1)=h(2)=h(3)=a(0)=3, h(0)=a(4)=1
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 4)], "src long, dst long")
+    got = {r.host: (r.hub, r.authority)
+           for r in host_hits(edges, iterations=1).collect()}
+    # final authority recomputed from hub1: a(0)=h1+h2+h3=9, a(4)=h0=1
+    assert got[0] == (1, 9)
+    assert got[1] == (3, 0) and got[2] == (3, 0) and got[3] == (3, 0)
+    assert got[4] == (0, 1)
+    # self-loops and duplicate edges are dropped
+    noisy = spark.createDataFrame(
+        [(1, 0), (1, 0), (0, 0), (2, 0)], "src long, dst long")
+    got2 = {r.host: (r.hub, r.authority)
+            for r in host_hits(noisy, iterations=1).collect()}
+    # after dedup the graph is 1->0, 2->0: hub1(1)=hub1(2)=2 (auth1(0)=2),
+    # and the final authority recompute gives a(0) = 2 + 2 = 4
+    assert got2[0] == (0, 4) and got2[1] == (2, 0) and got2[2] == (2, 0)
