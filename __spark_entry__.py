@@ -2996,6 +2996,199 @@ def q_host_hits(spark, sf_dir):
     return host_hits(edges, iterations=3).orderBy("host")
 
 
+def q_opic_scores(spark, sf_dir):
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul et
+    al., WWW 2003) over the synthetic host graph: the crawl-time
+    importance estimator production frontiers use instead of waiting for
+    a PageRank fixpoint — cash moves along outlinks as pages are read,
+    history banks what each page distributed, and importance = hist+cash
+    is incrementally correct mid-crawl. Integer BIGINT cash units with
+    DIV floor division make the distributed result bit-reproducible, so
+    the DuckDB oracle (all 4 rounds unrolled as CTEs, the pagerank
+    pattern) matches value-for-value. Dangling-host cash leaks rather
+    than routing through the paper's virtual root (documented in
+    operators/graph.py)."""
+    from llm_scraper_spark.operators.graph import opic_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return (
+        opic_scores(edges, iterations=4)
+        .orderBy(F.desc("importance"), "host")
+        .limit(100)
+    )
+
+
+def _opic_scores_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import opic_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    return (
+        opic_oracle_sql(edges_sql, iterations=4)
+        + "\nORDER BY importance DESC, host LIMIT 100"
+    )
+
+
+DUST_HOSTS = 20
+
+
+def _dust_pages(spark, sf_dir):
+    """Deterministic (url, content_fp) crawl evidence from documents: every
+    doc exists as its base URL and a ?sid= alias with IDENTICAL
+    fingerprint (sid never changes content); a md5-selected third of docs
+    also exist as ?page=2 with a DIFFERENT fingerprint (page is real
+    pagination). Same derivation in the DuckDB oracle, bit-for-bit."""
+    doc = F.col("doc_id").cast("string")
+    h = (
+        F.conv(F.substring(F.md5(F.concat(doc, F.lit(":h"))), 1, 15), 16, 10)
+        .cast("long") % DUST_HOSTS
+    )
+    base = F.concat(
+        F.lit("https://h"), h.cast("string"), F.lit(".example.com/d/"),
+        F.substring(F.md5(doc), 1, 10),
+    )
+    fp = F.substring(F.md5(F.concat(doc, F.lit(":c"))), 1, 16)
+    pagey = (
+        F.conv(F.substring(F.md5(F.concat(doc, F.lit(":q"))), 1, 15), 16, 10)
+        .cast("long") % 3 == 0
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        base.alias("_base"), fp.alias("_fp"),
+        F.substring(F.md5(F.concat(doc, F.lit(":x"))), 1, 6).alias("_sid"),
+        F.substring(F.md5(F.concat(doc, F.lit(":p"))), 1, 16).alias("_fp2"),
+        pagey.alias("_pagey"),
+    )
+    plain = docs.select(F.col("_base").alias("url"),
+                        F.col("_fp").alias("content_fp"))
+    sid = docs.select(
+        F.concat(F.col("_base"), F.lit("?sid="), F.col("_sid")).alias("url"),
+        F.col("_fp").alias("content_fp"))
+    page = docs.filter("_pagey").select(
+        F.concat(F.col("_base"), F.lit("?page=2")).alias("url"),
+        F.col("_fp2").alias("content_fp"))
+    return plain.unionByName(sid).unionByName(page)
+
+
+_DUST_PAGES_SQL = f"""
+  WITH d AS (
+    SELECT 'https://h' ||
+           (('0x' || substring(md5(doc_id::VARCHAR || ':h'), 1, 15))::BIGINT
+             % {DUST_HOSTS})::VARCHAR ||
+           '.example.com/d/' || substring(md5(doc_id::VARCHAR), 1, 10)
+             AS _base,
+           substring(md5(doc_id::VARCHAR || ':c'), 1, 16) AS _fp,
+           substring(md5(doc_id::VARCHAR || ':x'), 1, 6) AS _sid,
+           substring(md5(doc_id::VARCHAR || ':p'), 1, 16) AS _fp2,
+           (('0x' || substring(md5(doc_id::VARCHAR || ':q'), 1, 15))::BIGINT
+             % 3 = 0) AS _pagey
+    FROM documents)
+  SELECT _base AS url, _fp AS content_fp FROM d
+  UNION ALL
+  SELECT _base || '?sid=' || _sid, _fp FROM d
+  UNION ALL
+  SELECT _base || '?page=2', _fp2 FROM d WHERE _pagey"""
+
+
+def q_dust_rules(spark, sf_dir):
+    """DUST-style URL alias-rule mining (Bar-Yossef et al., WWW 2007):
+    learn per-site content-irrelevant query parameters from the crawl's
+    own (url, content-fingerprint) evidence — every (url, url-minus-param)
+    pair that was crawled votes, equal fingerprints support the rule,
+    differing ones veto it. The one string equi-join shuffles on the URL
+    (the key frontier state already uses); rule aggregation is
+    hosts x params, map-side combined. sid should validate on every host,
+    page must be vetoed everywhere it appears (operators/dust.py)."""
+    from llm_scraper_spark.operators.dust import mine_param_rules
+
+    pages = _dust_pages(spark, sf_dir)
+    return (
+        mine_param_rules(pages, min_support=2, by_host=True)
+        .orderBy("host", "param")
+    )
+
+
+def _dust_rules_oracle_sql() -> str:
+    from llm_scraper_spark.operators.dust import mine_param_rules_oracle_sql
+
+    return (
+        mine_param_rules_oracle_sql(_DUST_PAGES_SQL, min_support=2,
+                                    by_host=True)
+        + "\nORDER BY host, param"
+    )
+
+
+def q_ewma_delay(spark, sf_dir):
+    """EWMA-adaptive per-host crawl delay (Jacobson's smoothed-RTT rule
+    applied to politeness): the latency-drift complement to AIMD budgets —
+    a host slowing down gets backed off before it starts failing. Fetch
+    latencies are synthesized closed-form from documents (host=source,
+    wave=doc_id%6, latency from n_chars), per-(host,wave) floor-averaged,
+    then folded per host with a native aggregate HOF in integer
+    fixed-point; the DuckDB oracle replays the recurrence as a
+    WITH RECURSIVE walk, value-exact (operators/frontier.py)."""
+    from llm_scraper_spark.operators.frontier import ewma_crawl_delay
+
+    docs = _t(spark, sf_dir, "documents")
+    log = docs.select(
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 6).alias("wave"),
+        ((F.col("n_chars") % 900) + 20).cast("long").alias("latency_ms"),
+    )
+    return ewma_crawl_delay(log).orderBy("host", "wave")
+
+
+_EWMA_LOG_SQL = """
+  SELECT source AS host, doc_id % 6 AS wave,
+         CAST((n_chars % 900) + 20 AS BIGINT) AS latency_ms
+  FROM documents"""
+
+
+def _ewma_delay_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import (
+        ewma_crawl_delay_oracle_sql)
+
+    return (ewma_crawl_delay_oracle_sql(_EWMA_LOG_SQL)
+            + "\nORDER BY host, wave")
+
+
+def q_host_communities(spark, sf_dir):
+    """Label-propagation community detection (Raghavan et al. 2007) over
+    the undirected synthetic host graph — crawl sharding: hosts that
+    densely interlink land in one community, so routing each community to
+    one executor group keeps frontier state, robots caches, and
+    politeness windows local. Synchronous deterministic rounds with a
+    (max count, min label) tie-break make the result partition-invariant;
+    the DuckDB oracle unrolls all 3 rounds as CTEs with the identical
+    argmax (operators/graph.py label_propagation)."""
+    from llm_scraper_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return label_propagation(edges, iterations=3).orderBy("host")
+
+
+def _host_communities_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import label_propagation_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    return (label_propagation_oracle_sql(edges_sql, iterations=3)
+            + "\nORDER BY host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3086,6 +3279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_content_dedup": q_media_content_dedup,
         "inverted_index": q_inverted_index,
         "host_hits": q_host_hits,
+        "opic_scores": q_opic_scores,
+        "dust_rules": q_dust_rules,
+        "ewma_delay": q_ewma_delay,
+        "host_communities": q_host_communities,
     }
 
 
@@ -3375,6 +3572,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
+        "opic_scores": _opic_scores_oracle_sql(),
+        "dust_rules": _dust_rules_oracle_sql(),
+        "ewma_delay": _ewma_delay_oracle_sql(),
+        "host_communities": _host_communities_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

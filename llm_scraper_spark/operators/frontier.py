@@ -493,3 +493,117 @@ def aimd_budgets(history: DataFrame, host_col: str = "host",
         .select("host", F.col("z.ws.wave").alias("wave"),
                 F.col("z.budgets").alias("budget"))
     )
+
+
+def ewma_crawl_delay(fetch_log: DataFrame, host_col: str = "host",
+                     wave_col: str = "wave", latency_col: str = "latency_ms",
+                     alpha_num: int = 1, alpha_den: int = 4,
+                     scale: int = 1000, k_num: int = 3, k_den: int = 2,
+                     min_delay_ms: int = 100,
+                     max_delay_ms: int = 30_000) -> DataFrame:
+    """EWMA-adaptive per-host crawl delay — the latency-tracking
+    complement to :func:`aimd_budgets`: AIMD reacts to FAILURES, this
+    reacts to response-time drift (a server slowing from 80ms to 2s is
+    signalling load long before it starts 500ing), the same smoothed-RTT
+    rule TCP uses for RTO (Jacobson 1988) and polite crawlers use for
+    adaptive inter-request delays.
+
+    Per host, waves in order (multiple fetches per (host, wave) are
+    floor-averaged first — integer ``sum DIV count``):
+
+        ewma_0 = lat_0 * scale
+        ewma_t = (alpha_num*lat_t*scale + (alpha_den-alpha_num)*ewma_{t-1})
+                 DIV alpha_den
+        delay_t = clamp((k_num * ewma_t) DIV (k_den * scale),
+                        min_delay_ms, max_delay_ms)
+
+    Returns the full trajectory ``(host, wave, ewma_fp, delay_ms)`` —
+    ``delay_ms`` is the inter-request delay IN EFFECT after observing
+    that wave, ready to join against the next wave's schedule.
+
+    Scale shape (the aimd_budgets pattern): the recurrence is sequential
+    per host, but a host's wave history is one row per wave — collected
+    per host with one map-side-combined groupBy and folded with a native
+    ``aggregate`` HOF over the |waves|-length array; no driver loop, no
+    Python stage, never fetch-level data. All arithmetic is integer
+    fixed-point (``scale`` sub-ms units), so the trajectory is
+    bit-reproducible and the DuckDB oracle replays it as a
+    WITH RECURSIVE walk, value-exact."""
+    per_wave = (
+        fetch_log.groupBy(
+            F.col(host_col).alias("host"), F.col(wave_col).alias("wave"))
+        .agg(F.expr(f"sum({latency_col}) DIV count(1)").alias("lat"))
+        .select("host", F.struct(
+            F.col("wave").cast("long").alias("wave"),
+            F.col("lat").cast("long").alias("lat")).alias("w"))
+    )
+    a, d, s = int(alpha_num), int(alpha_den), int(scale)
+    folded = (
+        per_wave.groupBy("host")
+        .agg(F.sort_array(F.collect_list("w")).alias("ws"))
+        .select(
+            "host", "ws",
+            F.expr(f"""
+                aggregate(
+                  ws,
+                  cast(array() as array<bigint>),
+                  (acc, x) -> array_append(
+                    acc,
+                    CASE WHEN size(acc) = 0 THEN x.lat * {s}
+                         ELSE ({a} * x.lat * {s}
+                               + {d - a} * element_at(acc, -1)) DIV {d}
+                    END))
+            """).alias("ewmas"),
+        )
+    )
+    return (
+        folded.select(
+            "host",
+            F.posexplode(F.arrays_zip("ws", "ewmas")).alias("_i", "z"))
+        .select(
+            "host", F.col("z.ws.wave").alias("wave"),
+            F.col("z.ewmas").alias("ewma_fp"),
+            F.greatest(
+                F.lit(int(min_delay_ms)).cast("long"),
+                F.least(
+                    F.lit(int(max_delay_ms)).cast("long"),
+                    F.expr(f"({int(k_num)} * z.ewmas) "
+                           f"DIV ({int(k_den)} * {s})"),
+                )).alias("delay_ms"),
+        )
+    )
+
+
+def ewma_crawl_delay_oracle_sql(fetch_log_sql: str, alpha_num: int = 1,
+                                alpha_den: int = 4, scale: int = 1000,
+                                k_num: int = 3, k_den: int = 2,
+                                min_delay_ms: int = 100,
+                                max_delay_ms: int = 30_000) -> str:
+    """WITH RECURSIVE DuckDB twin of :func:`ewma_crawl_delay` (the
+    aimd_budgets oracle pattern): per-host row_number walk applying the
+    identical integer fixed-point recurrence and clamp."""
+    a, d, s = int(alpha_num), int(alpha_den), int(scale)
+    return f"""
+WITH RECURSIVE raw AS ({fetch_log_sql}),
+hist AS (
+  SELECT host, wave, CAST(SUM(latency_ms) // COUNT(*) AS BIGINT) AS lat
+  FROM raw GROUP BY host, wave
+), idx AS (
+  SELECT host, wave, lat,
+         row_number() OVER (PARTITION BY host ORDER BY wave) AS i
+  FROM hist
+), rec AS (
+  SELECT host, wave, lat, i, CAST(lat * {s} AS BIGINT) AS ewma_fp
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.host, idx.wave, idx.lat, idx.i,
+         CAST(({a} * idx.lat * {s} + {d - a} * rec.ewma_fp) // {d}
+              AS BIGINT)
+  FROM idx JOIN rec ON idx.host = rec.host AND idx.i = rec.i + 1
+)
+SELECT host, wave, ewma_fp,
+       greatest({int(min_delay_ms)},
+                least({int(max_delay_ms)},
+                      ({int(k_num)} * ewma_fp) // ({int(k_den)} * {s})))
+         ::BIGINT AS delay_ms
+FROM rec"""

@@ -280,6 +280,133 @@ def host_hits(edges: DataFrame, iterations: int = 3,
     return out
 
 
+def opic_scores(
+    edges: DataFrame,
+    iterations: int = 4,
+    cash_one: int = RANK_ONE,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003) over the host graph: the crawl prioritizer
+    designed to be computed WHILE crawling, without storing the full link
+    matrix or waiting for a PageRank fixpoint. Each node holds ``cash``;
+    every round it distributes its cash equally across its outlinks and
+    banks what it distributed into ``hist``; its next cash is the sum of
+    incoming distributions. ``importance = hist + cash`` converges to the
+    same order as PageRank-without-damping but is incrementally updatable
+    per wave — fetch a page, move its cash, done — which is why
+    production crawlers (and the paper's Xyleme crawler) use it for
+    frontier ordering.
+
+    Same scale/exactness discipline as :func:`host_pagerank`: the deduped
+    ``(src, dst, outd)`` adjacency is persisted once and reused every
+    round; per round the work is one join against the hosts-sized
+    cash table plus a map-side-combined ``groupBy(dst)``; lineage is cut
+    every ``checkpoint_interval`` rounds. Cash is BIGINT micro-units with
+    ``cash DIV outd`` floor division, so integer sums make the result
+    bit-reproducible under any partitioning — the DuckDB oracle
+    (:func:`opic_oracle_sql`, all rounds unrolled as CTEs) matches
+    value-for-value. Dangling hosts leak their cash rather than routing
+    it through the paper's virtual root node — the same simplification as
+    host_pagerank's dangling mass, documented because it changes absolute
+    values, not the ranking use.
+
+    Returns ``(host, cash, hist, importance)`` BIGINT for every node.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    adj = e.join(deg, "src").persist()
+
+    state = nodes.select(
+        "host",
+        F.lit(cash_one).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    prev_ck_ids: set[int] = set()
+    for i in range(iterations):
+        contribs = (
+            adj.join(state.select(F.col("host").alias("src"), "cash"), "src")
+            .select(F.col("dst"), F.expr("cash DIV outd").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        state = (
+            state.join(contribs, state["host"] == contribs["dst"], "left")
+            .select(
+                "host",
+                F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+        )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            state, ck_ids = local_checkpoint_tracked(state)
+            release_checkpoint(spark, prev_ck_ids)
+            prev_ck_ids = ck_ids
+    out = state.select(
+        "host", "cash", "hist",
+        (F.col("cash") + F.col("hist")).cast("long").alias("importance"),
+    )
+    out, _final = local_checkpoint_tracked(out)
+    release_checkpoint(spark, prev_ck_ids)
+    nodes.unpersist()
+    adj.unpersist()
+    return out
+
+
+def opic_oracle_sql(edges_sql: str, iterations: int = 4,
+                    cash_one: int = RANK_ONE) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`opic_scores` (the
+    pagerank_oracle_sql pattern): st0 = (cash_one, 0); each round moves
+    ``cash DIV outd`` along every out-edge and banks the distributed cash
+    into hist. Integer arithmetic end-to-end (DuckDB SUM over BIGINT is
+    HUGEINT — cast back before reuse)."""
+    parts = [
+        f"""WITH raw_edges AS ({edges_sql}),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+st0 AS (SELECT host, CAST({cash_one} AS BIGINT) AS cash,
+               CAST(0 AS BIGINT) AS hist FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+st{i} AS (
+  SELECT s.host,
+         CAST(COALESCE(c.s, 0) AS BIGINT) AS cash,
+         CAST(s.hist + s.cash AS BIGINT) AS hist
+  FROM st{i - 1} s
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(p.cash // d.outd) AS BIGINT) AS s
+    FROM st{i - 1} p
+    JOIN deg d ON d.src = p.host
+    JOIN edges e ON e.src = p.host
+    GROUP BY e.dst
+  ) c ON c.dst = s.host
+)"""
+        )
+    parts.append(
+        f"\nSELECT host, cash, hist, CAST(cash + hist AS BIGINT) AS importance"
+        f" FROM st{iterations}"
+    )
+    return "".join(parts)
+
+
 def hits_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
     """Unrolled-CTE DuckDB twin of host_hits (the pagerank_oracle_sql
     pattern): hub_0 = 1; auth_k = sum(hub_{k-1}) over in-edges;
@@ -316,3 +443,109 @@ def hits_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
         + f"\nSELECT h.host, h.hub, a.authority FROM hub{k} h "
         "JOIN authf a USING (host)"
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3,
+                      checkpoint_interval: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
+    Rev. E 2007) over the UNDIRECTED host graph — near-linear-time
+    community detection for crawl sharding: hosts that densely link to
+    each other land in one community, and routing each community to one
+    executor group keeps frontier state, robots caches, and politeness
+    windows local (the reason GraphX/GraphFrames ship LPA as a core
+    primitive).
+
+    Deterministic spec (any fixed spec oracles exactly; variants differ
+    in the literature): ``label_0(v) = v``; each round every node takes
+    the most frequent label among its NEIGHBORS' previous-round labels,
+    ties broken to the smallest label; a node with no neighbors keeps its
+    label. Synchronous rounds (not the paper's asynchronous sweep) so the
+    result is partitioning-independent — the DuckDB oracle unrolls each
+    round as a CTE with the identical argmax/tie-break.
+
+    Scale shape (the host_pagerank discipline): the symmetrized edge
+    table is persisted once; each round is one join against the
+    hosts-sized label table, one map-side-combined count on
+    (node, label), and one ``min_by`` argmax per node — no windows, no
+    driver participation; lineage is cut every ``checkpoint_interval``
+    rounds.
+
+    Returns ``(host, label)``; label is the community id (a host id).
+    """
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = edges.sparkSession
+    directed = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    und = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("src").alias("host")).distinct().persist()
+    labels = nodes.select("host", F.col("host").alias("label"))
+    prev_ck_ids: set[int] = set()
+    for i in range(iterations):
+        counts = (
+            und.join(labels.select(F.col("host").alias("src"), "label"),
+                     "src")
+            .groupBy(F.col("dst").alias("host"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = counts.groupBy("host").agg(
+            F.expr("min_by(label, struct(-cnt AS a, label AS b))")
+            .alias("_new")
+        )
+        labels = (
+            labels.join(winner, "host", "left")
+            .select("host",
+                    F.coalesce("_new", "label").cast("long").alias("label"))
+        )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            labels, ck_ids = local_checkpoint_tracked(labels)
+            release_checkpoint(spark, prev_ck_ids)
+            prev_ck_ids = ck_ids
+    labels, _final = local_checkpoint_tracked(labels)
+    release_checkpoint(spark, prev_ck_ids)
+    und.unpersist()
+    nodes.unpersist()
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`label_propagation`: per round,
+    count neighbor labels over the symmetrized edges and take the
+    (max count, min label) argmax via row_number — identical tie-break,
+    identical fixpoint prefix."""
+    parts = [
+        f"""WITH directed AS (
+  SELECT src::BIGINT AS src, dst::BIGINT AS dst FROM ({edges_sql})
+  WHERE src <> dst),
+und AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM directed
+         UNION ALL SELECT dst, src FROM directed)),
+nodes AS (SELECT DISTINCT src AS host FROM und),
+lp0 AS (SELECT host, host AS label FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+lp{i} AS (
+  SELECT p.host, COALESCE(w.label, p.label)::BIGINT AS label
+  FROM lp{i - 1} p
+  LEFT JOIN (
+    SELECT host, label FROM (
+      SELECT e.dst AS host, p.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY count(*) DESC, p.label) AS rn
+      FROM und e JOIN lp{i - 1} p ON p.host = e.src
+      GROUP BY e.dst, p.label)
+    WHERE rn = 1) w ON w.host = p.host
+)"""
+        )
+    parts.append(f"\nSELECT host, label FROM lp{iterations}")
+    return "".join(parts)

@@ -1690,3 +1690,193 @@ def test_host_hits_hand_graph(spark):
     # after dedup the graph is 1->0, 2->0: hub1(1)=hub1(2)=2 (auth1(0)=2),
     # and the final authority recompute gives a(0) = 2 + 2 = 4
     assert got2[0] == (0, 4) and got2[1] == (2, 0) and got2[2] == (2, 0)
+
+
+def test_opic_hand_graph(spark):
+    from llm_scraper_spark.operators.graph import opic_scores
+
+    # chain with a cycle: 0 -> 1 -> 2 -> 0, plus 0 -> 3 (dangling leak).
+    # cash_one=100. Round 1: node 0 splits 100 across {1,3} (50 each,
+    # DIV exact), 1 sends 100 to 2, 2 sends 100 to 0.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3)], "src long, dst long")
+    got = {r.host: (r.cash, r.hist, r.importance)
+           for r in opic_scores(edges, iterations=1, cash_one=100).collect()}
+    assert got[0] == (100, 100, 200)   # received from 2; banked its 100
+    assert got[1] == (50, 100, 150)    # received half of 0's cash
+    assert got[2] == (100, 100, 200)
+    assert got[3] == (50, 100, 150)    # dangling: banks cash, sends none
+    # dangling leak: node 3's INITIAL 100 leaked in round 1 (total 300),
+    # its received 50 leaks in round 2 -> 250
+    got2 = {r.host: (r.cash, r.hist)
+            for r in opic_scores(edges, iterations=2, cash_one=100).collect()}
+    assert sum(c for c, _ in got2.values()) == 250
+    # node 0 gets 2's 100; banks its own 100 -> hist 200
+    assert got2[0] == (100, 200)
+    # node 2 gets 1's 50; hist 100+100
+    assert got2[2] == (50, 200)
+
+
+def test_opic_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import opic_oracle_sql, opic_scores
+
+    rows = [(i % 7, (i * 3 + 1) % 7) for i in range(25)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(
+        (r.host, r.cash, r.hist, r.importance)
+        for r in opic_scores(edges, iterations=4).collect()
+    )
+    con = duckdb.connect()
+    values = ", ".join(f"({s}, {d})" for s, d in rows)
+    sql = opic_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", iterations=4)
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_dust_mine_and_apply(spark):
+    from llm_scraper_spark.operators.dust import (
+        apply_param_rules, mine_param_rules)
+
+    rows = [
+        ("https://a.com/x", "f1"),
+        ("https://a.com/x?sid=1", "f1"),
+        ("https://a.com/x?sid=2", "f1"),
+        ("https://a.com/x?page=2", "f2"),
+        ("https://a.com/x?page=2&sid=9", "f2"),
+        ("https://b.com/y", "g1"),
+        ("https://b.com/y?sid=7", "g1"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, content_fp string")
+    rules = mine_param_rules(pages, min_support=2)
+    got = {(r.host, r.param): (r.support, r.violations, r.valid)
+           for r in rules.collect()}
+    # a.com sid: 3 supporting pairs (sid=1->base, sid=2->base,
+    # page=2&sid=9 -> page=2), no vetoes
+    assert got[("a.com", "sid")] == (3, 0, True)
+    # a.com page: removing it changes the fingerprint -> vetoed
+    assert got[("a.com", "page")] == (0, 1, False)
+    # b.com sid: 1 pair < min_support -> mined but not shippable
+    assert got[("b.com", "sid")] == (1, 0, False)
+
+    out = {r.url: r.rewritten_url
+           for r in apply_param_rules(pages, rules).collect()}
+    assert out["https://a.com/x?sid=1"] == "https://a.com/x"
+    assert out["https://a.com/x?page=2&sid=9"] == "https://a.com/x?page=2"
+    assert out["https://a.com/x?page=2"] == "https://a.com/x?page=2"
+    # b.com's rule did not validate -> URL untouched
+    assert out["https://b.com/y?sid=7"] == "https://b.com/y?sid=7"
+    assert out["https://b.com/y"] == "https://b.com/y"
+
+
+def test_dust_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.dust import (
+        mine_param_rules, mine_param_rules_oracle_sql)
+
+    # synthetic evidence with multi-param URLs and a param whose value
+    # varies (ord) but never changes content
+    rows = []
+    for i in range(12):
+        fp = f"fp{i % 5}"
+        base = f"https://h{i % 3}.test/p{i % 5}"
+        rows += [(base, fp), (f"{base}?tok={i}", fp),
+                 (f"{base}?tok={i}&v=1", fp)]
+        if i % 4 == 0:
+            rows.append((f"{base}?v=2", fp + "x"))
+    pages = spark.createDataFrame(rows, "url string, content_fp string")
+    got = sorted(
+        (r.host, r.param, r.support, r.violations, r.valid)
+        for r in mine_param_rules(pages, min_support=2).collect()
+    )
+    values = ", ".join(f"('{u}', '{f}')" for u, f in rows)
+    sql = mine_param_rules_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(url, content_fp)",
+        min_support=2)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_ewma_crawl_delay_hand_values(spark):
+    from llm_scraper_spark.operators.frontier import ewma_crawl_delay
+
+    # one host, three waves: 100ms, 500ms, 200ms; alpha=1/4, scale=1000
+    log = spark.createDataFrame(
+        [("a", 0, 100), ("a", 1, 500), ("a", 2, 200),
+         # wave 1 has two fetches on host b: floor-mean (300+301)//2 = 300
+         ("b", 1, 300), ("b", 1, 301)],
+        "host string, wave int, latency_ms long")
+    got = {(r.host, r.wave): (r.ewma_fp, r.delay_ms)
+           for r in ewma_crawl_delay(log).collect()}
+    # a: e0=100000; e1=(500000+3*100000)//4=200000;
+    #    e2=(200000+3*200000)//4=200000
+    assert got[("a", 0)] == (100_000, 150)
+    assert got[("a", 1)] == (200_000, 300)
+    assert got[("a", 2)] == (200_000, 300)
+    # b: single wave, floor-mean 300 -> e0=300000, delay=450
+    assert got[("b", 1)] == (300_000, 450)
+    # clamps: tiny latency floors at min_delay, huge latency caps at max
+    log2 = spark.createDataFrame(
+        [("c", 0, 1), ("d", 0, 100_000)],
+        "host string, wave int, latency_ms long")
+    got2 = {r.host: r.delay_ms for r in ewma_crawl_delay(log2).collect()}
+    assert got2["c"] == 100 and got2["d"] == 30_000
+
+
+def test_ewma_crawl_delay_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        ewma_crawl_delay, ewma_crawl_delay_oracle_sql)
+
+    rows = [(f"h{i % 5}", w, (i * 37 + w * 113) % 900 + 20)
+            for i in range(15) for w in range(6)]
+    log = spark.createDataFrame(rows, "host string, wave int, latency_ms long")
+    got = sorted((r.host, r.wave, r.ewma_fp, r.delay_ms)
+                 for r in ewma_crawl_delay(log).collect())
+    values = ", ".join(f"('{h}', {w}, {l})" for h, w, l in rows)
+    sql = ewma_crawl_delay_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(host, wave, latency_ms)")
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    from llm_scraper_spark.operators.graph import label_propagation
+
+    # two DISJOINT triangles: each converges to its min member's label
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(tri1 + tri2, "src long, dst long")
+    got = {r.host: r.label
+           for r in label_propagation(edges, iterations=3).collect()}
+    assert got[0] == 0 and got[1] == 0 and got[2] == 0
+    assert got[10] == 10 and got[11] == 10 and got[12] == 10
+    # bridged variant: deterministic hand-walked fixpoint — the bridge
+    # injects label 2 into the second triangle under synchronous rounds
+    # (round 1: 10 adopts min-neighbor 2; rounds 2-3 spread it)
+    bridged = spark.createDataFrame(
+        tri1 + tri2 + [(2, 10)], "src long, dst long")
+    got_b = {r.host: r.label
+             for r in label_propagation(bridged, iterations=3).collect()}
+    assert got_b == {0: 0, 1: 0, 2: 0, 10: 2, 11: 2, 12: 2}
+
+
+def test_label_propagation_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        label_propagation, label_propagation_oracle_sql)
+
+    rows = [(i % 9, (i * 5 + 2) % 9) for i in range(30)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted((r.host, r.label)
+                 for r in label_propagation(edges, iterations=3).collect())
+    values = ", ".join(f"({s}, {d})" for s, d in rows)
+    sql = label_propagation_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", iterations=3)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
