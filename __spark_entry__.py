@@ -682,6 +682,29 @@ def q_ivf_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _pq_query_vec(dim: int = 64) -> list[float]:
+    """Deterministic PQ probe vector — a fixed closed form both engines
+    quantize identically (floor((v + 2) * 1024))."""
+    import math
+
+    return [math.sin(i * 0.7) * 0.3 for i in range(dim)]
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. TPAMI'11): integer Lloyd
+    k-means codebooks per subspace, full-corpus 1-byte-per-subspace
+    encoding, ADC lookup-table top-k. The whole LEARNED pipeline is
+    goldenless — init is md5-ranked, every Lloyd round is integer
+    fixed-point, so the oracle replays fit + encode + ADC bit-for-bit
+    from the embeddings parquet alone (operators/pq.py docstring)."""
+    from llm_scraper_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_fit(emb, m=8, k=8, iters=2, fit_rows=256, dim=64)
+    codes = pq_encode(emb, cb, m=8, dim=64)
+    return pq_adc_topk(codes, cb, _pq_query_vec(), k_top=10, m=8, dim=64)
+
+
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (md5 3-gram min)."""
     from llm_scraper_spark.operators.text_analysis import fingerprint
@@ -3203,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_dedup": q_cuckoo_dedup,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
         "host_pagerank": q_host_pagerank,
@@ -3287,6 +3311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from llm_scraper_spark.operators.pq import pq_oracle_sql
+
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -3388,6 +3414,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 5
         """,
+        # Goldenless learned-codebook replay: md5-ranked init + every
+        # integer Lloyd round + full-corpus encode + ADC, rebuilt in
+        # DuckDB from the embeddings view alone (operators/pq.py).
+        "pq_topk": pq_oracle_sql(
+            "SELECT * FROM embeddings", _pq_query_vec(),
+            m=8, k=8, iters=2, k_top=10, fit_rows=256, dim=64),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,

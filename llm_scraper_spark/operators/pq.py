@@ -1,0 +1,305 @@
+"""Product quantization (PQ) ANN — learned-codebook vector compression
+with a bit-exact, fully recomputable distributed k-means fit.
+
+PQ (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) is the standard memory-scale ANN layout: split each
+D-dim vector into ``m`` subvectors, learn a small codebook (k centroids)
+per subspace with k-means, store each vector as m one-byte codes, and
+answer queries with ADC (asymmetric distance computation) — a lookup-table
+sum instead of a D-dim float scan. At 100 TB it is the difference between
+embeddings that fit executor memory (m bytes/vector) and ones that don't
+(4D bytes/vector); IVF (similarity.py) prunes WHICH vectors to scan, PQ
+compresses HOW each is scanned — production indexes (FAISS IVFPQ) compose
+both.
+
+The twist here, matching this repo's oracle discipline: the k-means fit
+itself is INTEGER, DETERMINISTIC, and ENGINE-PORTABLE —
+
+- components are quantized ``floor((v + OFFSET) * QUANT)`` into
+  non-negative BIGINTs (OFFSET bounds |v|; non-negativity makes Spark's
+  truncating ``DIV`` and DuckDB's ``//`` agree), a shift that cancels in
+  every distance (squared differences are shift-invariant);
+- initial centroids are the k corpus rows ranked first by
+  ``md5(id):id`` — data-dependent like k-means++ sampling, but exactly
+  replayable by any engine with md5;
+- each Lloyd round assigns by integer L2 with a (dist, code) tie-break
+  and recomputes centroids as per-dimension ``floor(sum DIV count)``;
+  empty codes keep their previous centroid.
+
+Integer sums are order-independent, so the distributed fit is
+bit-reproducible under any partitioning and the DuckDB oracle
+(:func:`pq_oracle_sql`) replays init + every Lloyd round + assignment +
+ADC value-for-value — a LEARNED-codebook pipeline with no goldens
+anywhere in its chain (the same move hyperplane_bucket_md5 made for LSH).
+
+Scale shape:
+
+- The fit runs on a bounded slice (``fit_rows``) ranked by the same md5
+  key — standard practice (FAISS trains PQ on ~100k samples regardless
+  of corpus size) and it keeps the ranking window trivial; encoding the
+  FULL corpus is the narrow scan + broadcast-join below.
+- Codebooks are tiny (m*k*(D/m) ints) and BROADCAST into assignment:
+  encode is one broadcast hash join + a map-side min_by aggregate per
+  (row, subspace) — per-row work, no corpus shuffle beyond the explode's
+  in-partition fanout.
+- ADC is a broadcast join of codes against the per-query lookup table
+  plus one map-side-combined ``groupBy(id)`` sum and a TakeOrdered —
+  no window, no full sort.
+
+Reference anchor: the reference vector engine's cosine top-k
+(/root/reference/src/llm_scraper/vectors/engine.py:80-91) is the exact
+baseline PQ approximates; brute_force_topk (similarity.py) is the
+correctness oracle for recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PQ_QUANT = 1 << 10      # fixed-point scale: ~1e-3 resolution per component
+PQ_OFFSET = 2.0         # makes quantized components non-negative (|v| < 2)
+
+
+def _quantized_subvecs(df: DataFrame, vec_col: str, id_col: str,
+                       m: int, dsub: int) -> DataFrame:
+    """(id, sub_id, qv: array<bigint>) — one row per (vector, subspace),
+    components quantized floor((v + OFFSET) * QUANT). slice() is 1-based."""
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor((x + F.lit(PQ_OFFSET)) * F.lit(float(PQ_QUANT))),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), qv.alias("_q"),
+                  F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                  .alias("sub_id"))
+        .select("id", "sub_id",
+                F.slice(F.col("_q"), F.col("sub_id") * dsub + 1, F.lit(dsub))
+                .alias("qv"))
+    )
+
+
+def _dist_expr(a: str, b: str):
+    """Integer squared L2 between two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def pq_fit(df: DataFrame, m: int = 8, k: int = 8, iters: int = 2,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           fit_rows: int = 512, dim: int = 64) -> DataFrame:
+    """Learn PQ codebooks: integer Lloyd k-means per subspace, all m
+    subspaces trained in one DataFrame loop (sub_id is just another key).
+
+    Returns ``(sub_id, code, centroid: array<bigint>)`` — m*k rows, small
+    enough to broadcast everywhere downstream. Deterministic and
+    bit-reproducible (module docstring); EAGER (localCheckpoint) so the
+    loop's lineage does not trail into callers."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = df.sparkSession
+    # bounded, md5-ranked fit slice (ties impossible: id in the key)
+    ranked = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .withColumn("_r", F.md5(F.col("id").cast("string")))
+        .orderBy("_r", "id")
+        .limit(int(fit_rows))
+    )
+    pts = _quantized_subvecs(ranked, "_v", "id", m, dsub).persist()
+
+    # init: per subspace, centroids = the first k ranked rows' subvectors
+    # (the ranking window runs over the <=fit_rows slice only — trivial)
+    from pyspark.sql import Window as W
+
+    first_k = (
+        ranked.select("id", "_r")
+        .withColumn("code", F.row_number().over(W.orderBy("_r", "id")) - 1)
+        .filter(F.col("code") < int(k))
+        .select("id", "code")
+    )
+    cents = (
+        pts.join(first_k, "id")
+        .select("sub_id", "code", F.col("qv").alias("centroid"))
+    )
+    prev_ck: set[int] = set()
+    for _ in range(int(iters)):
+        assigned = (
+            pts.join(F.broadcast(cents), "sub_id")
+            .withColumn("_d", _dist_expr("qv", "centroid"))
+            .groupBy("id", "sub_id")
+            .agg(F.expr("min_by(code, struct(_d AS a, code AS b))")
+                 .alias("code"))
+            .join(pts, ["id", "sub_id"])
+        )
+        sums = (
+            assigned.select("sub_id", "code",
+                            F.posexplode(F.col("qv")).alias("pos", "val"))
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.expr("sum(val) DIV count(1)").alias("cv"))
+            .groupBy("sub_id", "code")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"]).alias("new_centroid"))
+        )
+        # empty codes keep their previous centroid
+        cents = (
+            cents.join(sums, ["sub_id", "code"], "left")
+            .select("sub_id", "code",
+                    F.coalesce("new_centroid", "centroid").alias("centroid"))
+        )
+        cents, ck = local_checkpoint_tracked(cents)
+        release_checkpoint(spark, prev_ck)
+        prev_ck = ck
+    pts.unpersist()
+    return cents
+
+
+def pq_encode(df: DataFrame, codebooks: DataFrame, m: int = 8,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              dim: int = 64) -> DataFrame:
+    """Encode the corpus: ``(id, sub_id, code)`` — nearest centroid per
+    subspace, integer L2, (dist, code) tie-break. Broadcast join +
+    map-side min_by; at rest this is m bytes per vector."""
+    dsub = dim // m
+    pts = _quantized_subvecs(df, vec_col, id_col, m, dsub)
+    return (
+        pts.join(F.broadcast(codebooks), "sub_id")
+        .withColumn("_d", _dist_expr("qv", "centroid"))
+        .groupBy("id", "sub_id")
+        .agg(F.expr("min_by(code, struct(_d AS a, code AS b))").alias("code"))
+    )
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
+                query_vec: list[float], k_top: int = 10, m: int = 8,
+                dim: int = 64) -> DataFrame:
+    """ADC top-k: approximate distance of every encoded vector to the
+    query = sum over subspaces of ||q_sub - centroid(sub, code)||^2,
+    looked up from the per-query table (codebooks joined against the
+    literal quantized query — the classic PQ lookup-table trick). One
+    broadcast join + one groupBy(id) + TakeOrdered. Exact integers, so
+    the oracle replays it bit-for-bit."""
+    import math
+
+    dsub = dim // m
+    q = [int(math.floor((float(v) + PQ_OFFSET) * PQ_QUANT))
+         for v in query_vec]
+    subq = {s: q[s * dsub:(s + 1) * dsub] for s in range(m)}
+    lut = codebooks.withColumn(
+        "_qsub",
+        F.element_at(
+            F.array(*[
+                F.array(*[F.lit(x).cast("long") for x in subq[s]])
+                for s in range(m)
+            ]),
+            F.col("sub_id") + 1),
+    ).select(
+        "sub_id", "code", _dist_expr("_qsub", "centroid").alias("_dpart"))
+    return (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy("id")
+        .agg(F.sum("_dpart").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("id"))
+        .limit(int(k_top))
+    )
+
+
+def pq_oracle_sql(emb_sql: str, query_vec: list[float], m: int = 8,
+                  k: int = 8, iters: int = 2, k_top: int = 10,
+                  fit_rows: int = 512, dim: int = 64) -> str:
+    """DuckDB replay of the WHOLE PQ chain — md5-ranked init, every
+    integer Lloyd round, full-corpus encoding, and ADC top-k — from the
+    embeddings table alone (no goldens). Emits
+    ``(id, adc_dist)`` ordered like :func:`pq_adc_topk`."""
+    import math
+
+    dsub = dim // m
+    q = [int(math.floor((float(v) + PQ_OFFSET) * PQ_QUANT))
+         for v in query_vec]
+    qsub_rows = ", ".join(
+        f"({s}, [{', '.join(str(x) for x in q[s * dsub:(s + 1) * dsub])}]"
+        f"::BIGINT[])"
+        for s in range(m))
+    dist = ("list_sum(list_transform(generate_series(1, {d}), "
+            "p -> ({a}[p] - {b}[p]) * ({a}[p] - {b}[p])))")
+    parts = [f"""WITH emb AS ({emb_sql}),
+ranked AS (
+  SELECT id, _v, row_number() OVER (ORDER BY md5(id::VARCHAR), id) AS rn
+  FROM (SELECT vec_id AS id, embedding AS _v FROM emb)
+),
+fitpts AS (
+  SELECT id, s.sub_id,
+         list_transform(
+           _v[(s.sub_id * {dsub} + 1):((s.sub_id + 1) * {dsub})],
+           x -> CAST(floor((x + {PQ_OFFSET}) * {PQ_QUANT}) AS BIGINT))
+           AS qv
+  FROM ranked, (SELECT unnest(generate_series(0, {m - 1})) AS sub_id) s
+  WHERE rn <= {int(fit_rows)}
+),
+cent0 AS (
+  SELECT f.sub_id, r.rn - 1 AS code, f.qv AS centroid
+  FROM ranked r JOIN fitpts f ON f.id = r.id
+  WHERE r.rn <= {int(k)}
+)"""]
+    prev = "cent0"
+    for it in range(1, int(iters) + 1):
+        d_pc = dist.format(d=dsub, a="p.qv", b="c.centroid")
+        parts.append(f""",
+assign{it} AS (
+  SELECT id, sub_id, code FROM (
+    SELECT p.id, p.sub_id, c.code,
+           row_number() OVER (PARTITION BY p.id, p.sub_id
+                              ORDER BY {d_pc}, c.code) AS arn
+    FROM fitpts p JOIN {prev} c ON c.sub_id = p.sub_id)
+  WHERE arn = 1
+),
+cent{it} AS (
+  SELECT c.sub_id, c.code,
+         COALESCE(u.new_centroid, c.centroid) AS centroid
+  FROM {prev} c
+  LEFT JOIN (
+    SELECT sub_id, code, list(cv ORDER BY pos) AS new_centroid
+    FROM (
+      SELECT a.sub_id, a.code, g.pos,
+             CAST(SUM(p.qv[g.pos]) // COUNT(*) AS BIGINT) AS cv
+      FROM assign{it} a
+      JOIN fitpts p ON p.id = a.id AND p.sub_id = a.sub_id,
+           (SELECT unnest(generate_series(1, {dsub})) AS pos) g
+      GROUP BY a.sub_id, a.code, g.pos)
+    GROUP BY sub_id, code) u
+    ON u.sub_id = c.sub_id AND u.code = c.code
+)""")
+        prev = f"cent{it}"
+    d_enc = dist.format(d=dsub, a="p.qv", b="c.centroid")
+    d_lut = dist.format(d=dsub, a="q.qsub", b="c.centroid")
+    parts.append(f""",
+allpts AS (
+  SELECT id, s.sub_id,
+         list_transform(
+           _v[(s.sub_id * {dsub} + 1):((s.sub_id + 1) * {dsub})],
+           x -> CAST(floor((x + {PQ_OFFSET}) * {PQ_QUANT}) AS BIGINT))
+           AS qv
+  FROM (SELECT vec_id AS id, embedding AS _v FROM emb),
+       (SELECT unnest(generate_series(0, {m - 1})) AS sub_id) s
+),
+codes AS (
+  SELECT id, sub_id, code FROM (
+    SELECT p.id, p.sub_id, c.code,
+           row_number() OVER (PARTITION BY p.id, p.sub_id
+                              ORDER BY {d_enc}, c.code) AS arn
+    FROM allpts p JOIN {prev} c ON c.sub_id = p.sub_id)
+  WHERE arn = 1
+),
+qsub AS (SELECT * FROM (VALUES {qsub_rows}) AS t(sub_id, qsub)),
+lut AS (
+  SELECT c.sub_id, c.code, {d_lut} AS dpart
+  FROM {prev} c JOIN qsub q ON q.sub_id = c.sub_id
+)
+SELECT k.id, CAST(SUM(l.dpart) AS BIGINT) AS adc_dist
+FROM codes k JOIN lut l ON l.sub_id = k.sub_id AND l.code = k.code
+GROUP BY k.id
+ORDER BY adc_dist ASC, id LIMIT {int(k_top)}""")
+    return "".join(parts)
