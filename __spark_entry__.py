@@ -428,6 +428,47 @@ def _host_pagerank_oracle_sql() -> str:
     )
 
 
+def q_trust_rank(spark, sf_dir):
+    """TrustRank spam-demotion scores (Gyöngyi et al. VLDB'04): PageRank
+    with teleport mass concentrated on a vetted seed set so trust decays
+    with link distance from seeds. Seeds here are the 4 numerically
+    smallest source hosts (deterministic stand-in for a curated list);
+    integer fixed-point end-to-end, oracle replays all 4 rounds."""
+    from llm_scraper_spark.operators.graph import trust_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    seeds = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("host")).distinct()
+        .orderBy("host").limit(4)
+    )
+    t = trust_rank(edges, seeds, n_seeds=4, iterations=4)
+    return t.where(F.col("trust") > 0).orderBy(F.desc("trust"), "host")
+
+
+def _trust_rank_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import trust_rank_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    seeds_sql = f"""
+        SELECT DISTINCT src AS host FROM (
+          SELECT * FROM ({edges_sql}) WHERE src <> dst)
+        ORDER BY host LIMIT 4"""
+    return (
+        trust_rank_oracle_sql(edges_sql, seeds_sql, n_seeds=4, iterations=4)
+        + "\nORDER BY trust DESC, host"
+    ).replace("SELECT host, trust FROM tr4",
+              "SELECT host, trust FROM tr4 WHERE trust > 0")
+
+
 def _host_hits_oracle_sql() -> str:
     from llm_scraper_spark.operators.graph import hits_oracle_sql
 
@@ -3230,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
         "host_pagerank": q_host_pagerank,
+        "trust_rank": q_trust_rank,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -3603,6 +3645,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
+        "trust_rank": _trust_rank_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

@@ -549,3 +549,150 @@ lp{i} AS (
         )
     parts.append(f"\nSELECT host, label FROM lp{iterations}")
     return "".join(parts)
+
+
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_seeds: int,
+    iterations: int = 4,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    trust_one: int = RANK_ONE,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04): PageRank
+    with the teleport vector concentrated on a vetted seed set, so trust
+    decays with link distance from the seeds — the standard spam-demotion
+    signal for crawl prioritization (spam farms that inflate raw PageRank
+    get little trust because no seed links toward them).
+
+    ``seeds`` is a tiny curated DataFrame with a ``host`` column;
+    ``n_seeds`` is its size (caller-supplied so no driver action runs
+    here — seed lists are human-curated and bounded by construction).
+    Seed teleport share ``d = trust_one DIV n_seeds``; iteration
+    ``t' = ((den-num)*d) DIV den + (num * sum(t DIV outd)) DIV den`` with
+    ``t0 = d`` — all BIGINT fixed-point, so the distributed result is
+    bit-reproducible under any partitioning and the DuckDB oracle
+    (:func:`trust_rank_oracle_sql`) replays every round exactly.
+
+    Scale shape is host_pagerank's: loop-invariant ``(src,dst,outd)``
+    persisted once, per-round one hash join + one map-side-combined
+    groupBy over the hosts-sized rank table, lineage cut every
+    ``checkpoint_interval`` rounds, everything released before return.
+    Reference anchor: the reference schedules FIFO per host
+    (/root/reference/cache.py:78-148) with no authority signal at all —
+    this operator (like host_pagerank/opic) is the 100 TB prioritizer
+    layered on top.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if n_seeds <= 0:
+        raise ValueError("n_seeds must be positive")
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    adj = e.join(deg, "src").persist()
+
+    seed_share = trust_one // int(n_seeds)
+    # d: the static teleport vector — seed_share on seeds, 0 elsewhere.
+    d = nodes.join(
+        F.broadcast(seeds.select(F.col("host"), F.lit(1).alias("_s"))),
+        "host", "left",
+    ).select(
+        "host",
+        F.when(F.col("_s").isNotNull(), F.lit(seed_share))
+        .otherwise(F.lit(0)).cast("long").alias("d"),
+    ).persist()
+
+    base_expr = f"(({damping_den - damping_num}) * d) DIV {damping_den}"
+    ranks = d.select("host", F.col("d").alias("trust"))
+    prev_ck_ids: set[int] = set()
+    for i in range(iterations):
+        contribs = (
+            adj.join(ranks, adj["src"] == ranks["host"])
+            .select(F.col("dst"), F.expr("trust DIV outd").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = d.join(
+            contribs, d["host"] == contribs["dst"], "left"
+        ).select(
+            "host",
+            (
+                F.expr(base_expr)
+                + F.expr(
+                    f"({damping_num} * coalesce(s, 0L)) DIV {damping_den}"
+                )
+            ).cast("long").alias("trust"),
+        )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            ranks, ck_ids = local_checkpoint_tracked(ranks)
+            release_checkpoint(spark, prev_ck_ids)
+            prev_ck_ids = ck_ids
+    ranks, _final = local_checkpoint_tracked(ranks)
+    release_checkpoint(spark, prev_ck_ids)
+    nodes.unpersist()
+    adj.unpersist()
+    d.unpersist()
+    return ranks
+
+
+def trust_rank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    n_seeds: int,
+    iterations: int = 4,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    trust_one: int = RANK_ONE,
+) -> str:
+    """DuckDB unrolled-CTE replay of :func:`trust_rank` — same integer
+    ``//`` divisions, same seed teleport vector, value-for-value. Ends in
+    ``SELECT host, trust FROM trN`` (callers append ORDER BY)."""
+    seed_share = trust_one // int(n_seeds)
+    parts = [
+        f"""WITH raw_edges AS ({edges_sql}),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+seedset AS (SELECT DISTINCT host FROM ({seeds_sql})),
+dvec AS (
+  SELECT n.host,
+         CASE WHEN s.host IS NULL THEN 0
+              ELSE {seed_share} END::BIGINT AS d
+  FROM nodes n LEFT JOIN seedset s ON s.host = n.host),
+tr0 AS (SELECT host, d AS trust FROM dvec)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+tr{i} AS (
+  SELECT n.host,
+         CAST(({damping_den - damping_num} * n.d) // {damping_den}
+              + ({damping_num} * COALESCE(c.s, 0)) // {damping_den}
+              AS BIGINT) AS trust
+  FROM dvec n
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(p.trust // d.outd) AS BIGINT) AS s
+    FROM tr{i - 1} p
+    JOIN deg d ON d.src = p.host
+    JOIN edges e ON e.src = p.host
+    GROUP BY e.dst
+  ) c ON c.dst = n.host
+)"""
+        )
+    parts.append(f"\nSELECT host, trust FROM tr{iterations}")
+    return "".join(parts)

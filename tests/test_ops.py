@@ -1880,3 +1880,56 @@ def test_label_propagation_matches_duckdb(spark):
         f"SELECT * FROM (VALUES {values}) AS t(src, dst)", iterations=3)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_trust_rank_hand_graph(spark):
+    """Hand-computed TrustRank on a 4-node graph where only 'a' is a
+    seed: a->b->c, and an off-path spam node s->s2 that no seed reaches —
+    the spam side must end with zero trust while trust decays a > b > c."""
+    from llm_scraper_spark.operators.graph import trust_rank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("s", "s2")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "host string")
+    S = 1_000_000_000
+    d = {"a": S, "b": 0, "c": 0, "s": 0, "s2": 0}
+
+    def step(t):
+        contrib = {"b": t["a"] // 1, "c": t["b"] // 1, "s2": t["s"] // 1}
+        return {n: (3 * d[n]) // 20 + (17 * contrib.get(n, 0)) // 20
+                for n in d}
+
+    expect = dict(d)
+    for _ in range(3):
+        expect = step(expect)
+
+    got = {r["host"]: r["trust"]
+           for r in trust_rank(edges, seeds, n_seeds=1,
+                               iterations=3).collect()}
+    assert got == expect
+    assert got["s"] == 0 and got["s2"] == 0        # unreachable from seeds
+    assert got["a"] > got["b"] > got["c"] > 0      # trust decays with distance
+
+
+def test_trust_rank_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        trust_rank, trust_rank_oracle_sql)
+
+    rows = [(i * 37 % 23, (i * i + 5) % 23) for i in range(200)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "host long")
+    got = sorted(
+        (r["host"], r["trust"])
+        for r in trust_rank(edges, seeds, n_seeds=3, iterations=4).collect())
+
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    sql = trust_rank_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+        "SELECT * FROM (VALUES (1), (2), (3)) AS s(host)",
+        n_seeds=3, iterations=4)
+    want = sorted(duckdb.connect().execute(sql).fetchall())
+    assert got == want
