@@ -469,6 +469,48 @@ def _trust_rank_oracle_sql() -> str:
               "SELECT host, trust FROM tr4 WHERE trust > 0")
 
 
+def q_spam_mass(spark, sf_dir):
+    """Spam mass (Gyöngyi et al. VLDB'06): how much of each host's
+    PageRank the vetted good core does NOT endorse — ordinary PageRank
+    and core-biased PageRank run over the same graph in BIGINT fixed
+    point, mass = rank - core_rank, relative mass clamped-at-zero
+    integer division. Seeds: the 4 numerically smallest source hosts
+    (same deterministic stand-in as trust_rank). The oracle unrolls BOTH
+    rank chains side by side and replays the projection exactly."""
+    from llm_scraper_spark.operators.graph import spam_mass
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    seeds = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("host")).distinct()
+        .orderBy("host").limit(4)
+    )
+    m = spam_mass(edges, seeds, iterations=4)
+    return m.orderBy(F.desc("rel_mass_fp"), F.desc("rank"), "host").limit(200)
+
+
+def _spam_mass_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import spam_mass_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    seeds_sql = f"""
+        SELECT DISTINCT src AS host FROM (
+          SELECT * FROM ({edges_sql}) WHERE src <> dst)
+        ORDER BY host LIMIT 4"""
+    return (
+        spam_mass_oracle_sql(edges_sql, seeds_sql, iterations=4)
+        + "\nORDER BY rel_mass_fp DESC, rank DESC, host LIMIT 200"
+    )
+
+
 def _host_hits_oracle_sql() -> str:
     from llm_scraper_spark.operators.graph import hits_oracle_sql
 
@@ -3272,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "host_pagerank": q_host_pagerank,
         "trust_rank": q_trust_rank,
+        "spam_mass": q_spam_mass,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -3646,6 +3689,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "host_pagerank": _host_pagerank_oracle_sql(),
         "trust_rank": _trust_rank_oracle_sql(),
+        "spam_mass": _spam_mass_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

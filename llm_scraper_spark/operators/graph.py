@@ -696,3 +696,139 @@ tr{i} AS (
         )
     parts.append(f"\nSELECT host, trust FROM tr{iterations}")
     return "".join(parts)
+
+
+MASS_SCALE = 1_000_000
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    rank_one: int = RANK_ONE,
+    mass_scale: int = MASS_SCALE,
+) -> DataFrame:
+    """Spam mass estimation (Gyöngyi, Berkhin, Garcia-Molina & Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006): for each
+    host, how much of its PageRank is due to spam? Two rank vectors are
+    computed over the SAME graph with the SAME damping — the ordinary
+    PageRank ``p`` (uniform teleport: ``rank_one`` per node) and the
+    core-biased PageRank ``p'`` (teleport ``rank_one`` on the vetted good
+    core, 0 elsewhere — i.e. :func:`trust_rank` with per-seed share equal
+    to PageRank's per-node share, NOT split across seeds). Absolute spam
+    mass is ``p - p'``; the detection signal is the RELATIVE mass
+    ``(p - p') / p`` — close to 1 for hosts whose rank comes entirely
+    from links the good core never endorses (spam farms), near 0 (or
+    negative, clamped here) for hosts the core reaches easily.
+
+    Exactness: both vectors are BIGINT fixed-point, so the subtraction is
+    exact; relative mass is ``(greatest(mass, 0) * mass_scale) DIV p`` —
+    clamped at zero BEFORE the division because Spark's ``DIV`` truncates
+    toward zero while DuckDB's ``//`` floors, and the two only agree on
+    non-negative operands (a negative mass just means "better endorsed
+    than average", which the detector treats as 0 anyway). ``p`` is
+    always positive (the uniform teleport base term is > 0), so the
+    division is safe.
+
+    Scale shape: two host_pagerank-style loops (each one hash join + one
+    map-side-combined groupBy per round over the hosts-sized rank table,
+    loop-invariant adjacency persisted once, lineage cuts) plus a single
+    hosts-sized join at the end — nothing here touches the page table.
+
+    Returns ``(host, rank, core_rank, mass, rel_mass_fp)``; rank high +
+    rel_mass_fp near ``mass_scale`` = link-spam candidate to demote in
+    the frontier prioritizer.
+    """
+    pr = host_pagerank(
+        edges, iterations=iterations, damping_num=damping_num,
+        damping_den=damping_den, rank_one=rank_one)
+    core = trust_rank(
+        edges, seeds, n_seeds=1, iterations=iterations,
+        damping_num=damping_num, damping_den=damping_den,
+        trust_one=rank_one)
+    core = core.withColumnRenamed("trust", "core_rank")
+    out = pr.join(core, "host").select(
+        "host",
+        "rank",
+        "core_rank",
+        (F.col("rank") - F.col("core_rank")).cast("long").alias("mass"),
+        F.expr(
+            f"(greatest(rank - core_rank, 0L) * {mass_scale}) DIV rank"
+        ).cast("long").alias("rel_mass_fp"),
+    )
+    return out
+
+
+def spam_mass_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 4,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    rank_one: int = RANK_ONE,
+    mass_scale: int = MASS_SCALE,
+) -> str:
+    """DuckDB twin of :func:`spam_mass`: the pagerank AND core-biased
+    chains unrolled side by side over shared edges/nodes/deg CTEs, then
+    the same clamped integer relative-mass projection. Ends in a SELECT
+    with no ORDER BY (callers append their own)."""
+    base = rank_one * (damping_den - damping_num) // damping_den
+    parts = [
+        f"""WITH raw_edges AS ({edges_sql}),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+seedset AS (SELECT DISTINCT host FROM ({seeds_sql})),
+dvec AS (
+  SELECT n.host,
+         CASE WHEN s.host IS NULL THEN 0
+              ELSE {rank_one} END::BIGINT AS d
+  FROM nodes n LEFT JOIN seedset s ON s.host = n.host),
+pr0 AS (SELECT host, CAST({rank_one} AS BIGINT) AS rank FROM nodes),
+tr0 AS (SELECT host, d AS trust FROM dvec)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+pr{i} AS (
+  SELECT n.host,
+         CAST({base} + ({damping_num} * COALESCE(c.s, 0)) // {damping_den}
+              AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(p.rank // d.outd) AS BIGINT) AS s
+    FROM pr{i - 1} p
+    JOIN deg d ON d.src = p.host
+    JOIN edges e ON e.src = p.host
+    GROUP BY e.dst
+  ) c ON c.dst = n.host
+),
+tr{i} AS (
+  SELECT n.host,
+         CAST(({damping_den - damping_num} * n.d) // {damping_den}
+              + ({damping_num} * COALESCE(c.s, 0)) // {damping_den}
+              AS BIGINT) AS trust
+  FROM dvec n
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(p.trust // d.outd) AS BIGINT) AS s
+    FROM tr{i - 1} p
+    JOIN deg d ON d.src = p.host
+    JOIN edges e ON e.src = p.host
+    GROUP BY e.dst
+  ) c ON c.dst = n.host
+)"""
+        )
+    parts.append(
+        f"""
+SELECT host, rank, core_rank, mass, rel_mass_fp FROM (
+  SELECT p.host AS host,
+         p.rank AS rank,
+         t.trust AS core_rank,
+         CAST(p.rank - t.trust AS BIGINT) AS mass,
+         CAST((GREATEST(p.rank - t.trust, 0) * {mass_scale}) // p.rank
+              AS BIGINT) AS rel_mass_fp
+  FROM pr{iterations} p JOIN tr{iterations} t ON t.host = p.host)"""
+    )
+    return "".join(parts)

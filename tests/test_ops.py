@@ -1933,3 +1933,51 @@ def test_trust_rank_matches_duckdb(spark):
         n_seeds=3, iterations=4)
     want = sorted(duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_spam_mass_hand_graph(spark):
+    """Spam-farm demotion: a is the good core seeding b, c; a disjoint
+    2-node farm (s <-> s2) accumulates rank from mutual links but zero
+    core endorsement -> relative mass must be the full scale for the
+    farm, and strictly smaller for every core-reachable host."""
+    from llm_scraper_spark.operators.graph import spam_mass
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("s", "s2"), ("s2", "s")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "host string")
+    rows = {r["host"]: r for r in spam_mass(edges, seeds,
+                                            iterations=4).collect()}
+    assert rows["s"]["core_rank"] == 0 and rows["s2"]["core_rank"] == 0
+    assert rows["s"]["rel_mass_fp"] == 1_000_000
+    assert rows["s2"]["rel_mass_fp"] == 1_000_000
+    for h in ("a", "b", "c"):
+        assert rows[h]["rel_mass_fp"] < 1_000_000
+    # the seed has no in-links: its rank is pure teleport in BOTH vectors
+    # (rank_one each), so its spam mass is exactly zero
+    assert rows["a"]["mass"] == 0 and rows["a"]["rel_mass_fp"] == 0
+    # mass is the exact fixed-point difference of the two vectors
+    for h, r in rows.items():
+        assert r["mass"] == r["rank"] - r["core_rank"]
+
+
+def test_spam_mass_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        spam_mass, spam_mass_oracle_sql)
+
+    rows = [(i * 37 % 23, (i * i + 5) % 23) for i in range(200)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "host long")
+    got = sorted(
+        tuple(r) for r in spam_mass(edges, seeds, iterations=4).collect())
+
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    sql = spam_mass_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+        "SELECT * FROM (VALUES (1), (2), (3)) AS s(host)",
+        iterations=4)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
