@@ -511,6 +511,94 @@ def _spam_mass_oracle_sql() -> str:
     )
 
 
+def q_hyperball_nf(spark, sf_dir):
+    """HyperBall neighborhood function (Boldi & Vigna ICDMW'13 /
+    HyperANF WWW'11): per host, an HLL counter of the in-ball — who can
+    reach this host within t hops — grown one hop per round by merging
+    neighbor counters (register-table join + groupBy-max, the relational
+    transpose-multiply). Output per (host, t): the register count, the
+    BIGINT-exact scaled harmonic sum (the estimate's sufficient
+    statistic, bit-replayed by the oracle through every round), and the
+    IEEE-double ball-size estimate. The distance-distribution /
+    effective-diameter / centrality primitive that replaces all-pairs
+    BFS at web scale."""
+    from llm_scraper_spark.operators.graph import hyperball
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    balls = hyperball(edges, iterations=3, p=4, hash_family="md5")
+    return balls.orderBy("host", "t")
+
+
+def _hyperball_edges_sql() -> str:
+    return f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+
+
+def _hyperball_nf_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import hyperball_oracle_sql
+
+    return (hyperball_oracle_sql(_hyperball_edges_sql(), iterations=3, p=4)
+            + "\nORDER BY host, t")
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality from HyperBall in-balls: H(v) = sum over t of
+    (ball growth at t)/t — the spam-resistant authority score Boldi &
+    Vigna's centrality axioms single out (no damping constant to tune,
+    unreachable farms contribute nothing). Growth terms are clamped at 0
+    and combined in one fixed left-to-right expression over the rounded
+    per-round estimates, so the float arithmetic is engine-portable."""
+    from llm_scraper_spark.operators.graph import (
+        hyperball, hyperball_harmonic)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    balls = hyperball(edges, iterations=3, p=4, hash_family="md5")
+    return (hyperball_harmonic(balls, 3)
+            .orderBy(F.desc("harmonic"), "host").limit(100))
+
+
+def _harmonic_centrality_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import harmonic_oracle_sql
+
+    return (harmonic_oracle_sql(_hyperball_edges_sql(), iterations=3, p=4)
+            + "\nORDER BY harmonic DESC, host LIMIT 100")
+
+
+def q_host_coreness(spark, sf_dir):
+    """Coreness (k-core number) per host via the iterated-h-index fixed
+    point (Lü et al., Nat. Commun. 2016) — the dense-core signal for
+    crawl seed selection that degree alone can't give (one spam hub
+    inflates degree; coreness needs a densely interlinked cluster).
+    Skew-resistant h-index: neighbor values collapse to (host, value,
+    count) before the window, so a hot host's window sees at most
+    max-coreness rows, not its degree. Integer end-to-end; the oracle
+    unrolls all 4 rounds."""
+    from llm_scraper_spark.operators.graph import coreness
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return coreness(edges, rounds=4).orderBy("host")
+
+
+def _host_coreness_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import coreness_oracle_sql
+
+    return (coreness_oracle_sql(_hyperball_edges_sql(), rounds=4)
+            + "\nORDER BY host")
+
+
 def _host_hits_oracle_sql() -> str:
     from llm_scraper_spark.operators.graph import hits_oracle_sql
 
@@ -3315,6 +3403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "trust_rank": q_trust_rank,
         "spam_mass": q_spam_mass,
+        "hyperball_nf": q_hyperball_nf,
+        "harmonic_centrality": q_harmonic_centrality,
+        "host_coreness": q_host_coreness,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -3690,6 +3781,9 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle_sql(),
         "trust_rank": _trust_rank_oracle_sql(),
         "spam_mass": _spam_mass_oracle_sql(),
+        "hyperball_nf": _hyperball_nf_oracle_sql(),
+        "harmonic_centrality": _harmonic_centrality_oracle_sql(),
+        "host_coreness": _host_coreness_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

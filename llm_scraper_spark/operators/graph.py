@@ -237,9 +237,9 @@ def host_hits(edges: DataFrame, iterations: int = 3,
         .distinct()
         .persist()
     )
+    spark = edges.sparkSession
     hub = nodes.select("host", F.lit(1).cast("long").alias("hub"))
-    ck_ids: set[int] = set()
-    prev = None
+    prev_ck_ids: set[int] = set()
     for i in range(iterations):
         # authority(v) = sum of hub(u) over edges u -> v
         auth = (
@@ -258,10 +258,9 @@ def host_hits(edges: DataFrame, iterations: int = 3,
         hub = nodes.join(hub2, "host", "left").select(
             "host", F.coalesce("hub", F.lit(0)).alias("hub"))
         if (i + 1) % checkpoint_interval == 0:
-            hub = local_checkpoint_tracked(hub, ck_ids)
-            if prev is not None:
-                release_checkpoint(prev, ck_ids)
-            prev = hub
+            hub, ck_ids = local_checkpoint_tracked(hub)
+            release_checkpoint(spark, prev_ck_ids)
+            prev_ck_ids = ck_ids
     # final authority from the final hub pass
     auth = (
         e.join(hub.withColumnRenamed("host", "src"), "src")
@@ -831,4 +830,376 @@ SELECT host, rank, core_rank, mass, rel_mass_fp FROM (
               AS BIGINT) AS rel_mass_fp
   FROM pr{iterations} p JOIN tr{iterations} t ON t.host = p.host)"""
     )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: neighborhood function + harmonic centrality via HLL balls
+# ---------------------------------------------------------------------------
+
+def _ball_summary(regs: DataFrame, t: int, p: int) -> DataFrame:
+    """Per-host summary of one HyperBall round's register table:
+    ``(host, t, n_registers, ssum, ball_est)``. ``ssum`` is the
+    integer-scaled harmonic sum of sketches.hll_estimate — every term a
+    power of two, so it is BIGINT-exact on both engines and is the
+    sufficient statistic for the estimate; ``ball_est`` is the standard
+    HLL estimate (with linear-counting small-range branch) computed as a
+    fixed sequence of IEEE double ops so DuckDB reproduces it to the
+    rounded 4 decimals."""
+    from .sketches import _alpha
+
+    m = 1 << p
+    scale_pow = 60 - p + 1
+    alpha = _alpha(m)
+    base = regs.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(1L, {scale_pow} - max_rho)")).alias("_s"),
+    ).select(
+        "host",
+        F.lit(int(t)).cast("int").alias("t"),
+        F.col("n_registers"),
+        (F.col("_s") + (F.lit(m) - F.col("n_registers"))
+         * F.lit(1 << scale_pow)).cast("long").alias("ssum"),
+    )
+    v = F.lit(m) - F.col("n_registers")
+    e_raw = (F.lit(alpha) * F.lit(m) * F.lit(m)
+             * F.lit(float(1 << scale_pow)) / F.col("ssum").cast("double"))
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return base.withColumn("ball_est", F.round(est, 4))
+
+
+def hyperball(
+    edges: DataFrame,
+    iterations: int = 3,
+    p: int = 4,
+    hash_family: str = "md5",
+    direction: str = "in",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", ICDMW 2013; HyperANF: Boldi, Rosa &
+    Vigna, WWW 2011): per node, an HLL counter of the ball
+    ``B(v, t)`` = nodes within distance t, grown one hop per round by
+    merging neighbor counters — the standard way to get distance
+    distributions, effective diameter, and harmonic/closeness centrality
+    on graphs far too big for all-pairs BFS. For a crawl engine this is
+    the authority/centrality signal that needs NO damping heuristics:
+    harmonic centrality over the host graph was the best-performing
+    spam-resistant ranking in Boldi & Vigna's axioms-for-centrality work.
+
+    ``direction="in"`` grows balls along REVERSED edges (who can reach
+    v), the direction harmonic centrality needs; ``"out"`` grows forward
+    balls (who v can reach).
+
+    Relational re-expression (the sketches.hll_registers layout): the
+    counter state is rows ``(host, register, max_rho)`` — b_0 hashes the
+    host itself; each round is one join of the register table against the
+    edge list plus a map-side-combined ``groupBy(host, register).max``,
+    i.e. the exact transpose-multiply HyperBall does, with union-by-max
+    as the HLL merge. State is bounded at ``|hosts| * 2^p`` rows no
+    matter the edge count; lineage is cut per round (tracked
+    localCheckpoint, superseded rounds released after the final union is
+    materialized). No Python stage anywhere.
+
+    Returns ``(host, t, n_registers, ssum, ball_est)`` for t in
+    0..iterations — ssum is BIGINT-exact (see _ball_summary), so the
+    DuckDB oracle (:func:`hyperball_oracle_sql`) replays every round
+    bit-for-bit and the float estimate matches at 4 decimals.
+    """
+    if direction not in ("in", "out"):
+        raise ValueError("direction must be 'in' or 'out'")
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+    from .sketches import _hash60
+
+    spark = edges.sparkSession
+    word_bits = 60 - p
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if direction == "out":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    prop = e.persist()
+    nodes = (
+        prop.select(F.col("src").alias("host"))
+        .unionByName(prop.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    h = _hash60("host", hash_family)
+    w = h.bitwiseAND(F.lit((1 << word_bits) - 1))
+    rho = (
+        F.when(w == F.lit(0), F.lit(word_bits + 1))
+        .otherwise(F.lit(word_bits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    regs = nodes.select(
+        "host",
+        F.shiftright(h, word_bits).alias("register"),
+        rho.alias("max_rho"),
+    )
+    all_cks: list[set[int]] = []
+    regs, ck = local_checkpoint_tracked(regs)
+    all_cks.append(ck)
+    summaries = [_ball_summary(regs, 0, p)]
+    for t in range(1, iterations + 1):
+        moved = (
+            prop.join(regs.withColumnRenamed("host", "src"), "src")
+            .select(F.col("dst").alias("host"), "register", "max_rho")
+        )
+        regs = (
+            regs.unionByName(moved)
+            .groupBy("host", "register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        regs, ck = local_checkpoint_tracked(regs)
+        all_cks.append(ck)
+        summaries.append(_ball_summary(regs, t, p))
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    out, _final = local_checkpoint_tracked(out)
+    for ck in all_cks:
+        release_checkpoint(spark, ck)
+    prop.unpersist()
+    return out
+
+
+def hyperball_harmonic(balls: DataFrame, iterations: int) -> DataFrame:
+    """Harmonic centrality from the :func:`hyperball` ball table:
+    ``H(v) = sum_{t=1..T} max(N_t(v) - N_{t-1}(v), 0) / t`` — each round's
+    ball growth is (approximately) the count of nodes at exactly distance
+    t, weighted 1/t (Boldi & Vigna 2014, "Axioms for Centrality").
+    Growth is clamped at 0 because the HLL estimates of successive balls
+    are individually noisy (the true ball is monotone; a negative diff is
+    pure estimator noise).
+
+    Exactness discipline: the terms are combined in one FIXED
+    left-to-right expression (g1/1 + g2/2 + ... ) over the already-rounded
+    per-round estimates, so the float summation order can never differ
+    between engines — the groupBy pivot is exact (one non-null value per
+    (host, t)). Returns ``(host, harmonic)`` rounded to 4 decimals."""
+    pivot = balls.groupBy("host").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("ball_est"))).alias(f"_e{t}")
+            for t in range(iterations + 1)
+        ]
+    )
+    expr = " + ".join(
+        f"greatest(_e{t} - _e{t - 1}, cast(0 as double)) / cast({t} as double)"
+        for t in range(1, iterations + 1)
+    )
+    return pivot.select(
+        "host", F.round(F.expr(expr), 4).alias("harmonic"))
+
+
+def hyperball_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    p: int = 4,
+    direction: str = "in",
+) -> str:
+    """DuckDB unrolled-CTE twin of :func:`hyperball` (md5 family): per
+    round, the moved-register union and groupBy-max replayed exactly;
+    per-round summaries (integer ssum + IEEE-double estimate in the same
+    op order) unioned. Ends in a SELECT with no ORDER BY."""
+    from .sketches import _alpha
+
+    m = 1 << p
+    word_bits = 60 - p
+    scale_pow = word_bits + 1
+    alpha = _alpha(m)
+    modulus = 1 << word_bits
+    prop = ("SELECT src, dst FROM e" if direction == "in"
+            else "SELECT dst AS src, src AS dst FROM e")
+    parts = [
+        f"""WITH raw_edges AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+prop AS ({prop}),
+nodes AS (SELECT src AS host FROM prop UNION SELECT dst FROM prop),
+h0 AS (SELECT host,
+              ('0x' || substring(md5(host::VARCHAR), 1, 15))::BIGINT AS hv
+       FROM nodes),
+regs0 AS (
+  SELECT host, hv // {modulus} AS register,
+         CASE WHEN hv % {modulus} = 0 THEN {word_bits + 1}
+              ELSE {word_bits + 1} - length(bin(hv % {modulus}))
+         END AS max_rho
+  FROM h0)"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+regs{t} AS (
+  SELECT host, register, max(max_rho) AS max_rho FROM (
+    SELECT host, register, max_rho FROM regs{t - 1}
+    UNION ALL
+    SELECT p.dst AS host, r.register, r.max_rho
+    FROM regs{t - 1} r JOIN prop p ON p.src = r.host
+  ) GROUP BY host, register)"""
+        )
+    for t in range(iterations + 1):
+        parts.append(
+            f""",
+sum{t} AS (
+  SELECT host, {t} AS t, count(*) AS n_registers,
+         CAST(sum(1::BIGINT << ({scale_pow} - max_rho))
+              + ({m} - count(*)) * {1 << scale_pow} AS BIGINT) AS ssum
+  FROM regs{t} GROUP BY host)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM sum{t}" for t in range(iterations + 1))
+    est = (f"{alpha!r} * {m} * {m} * {float(1 << scale_pow)!r}"
+           " / ssum::DOUBLE")
+    parts.append(
+        f""",
+allt AS ({union})
+SELECT host, t, n_registers, ssum,
+       round(CASE WHEN {est} <= 2.5 * {m} AND {m} - n_registers > 0
+             THEN {float(m)!r} * ln({float(m)!r}
+                                    / ({m} - n_registers)::DOUBLE)
+             ELSE {est} END, 4) AS ball_est
+FROM allt"""
+    )
+    return "".join(parts)
+
+
+def harmonic_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    p: int = 4,
+) -> str:
+    """DuckDB twin of hyperball |> hyperball_harmonic: pivots the ball
+    table and combines the clamped growth terms in the identical fixed
+    left-to-right expression. Ends in a SELECT with no ORDER BY."""
+    balls = hyperball_oracle_sql(edges_sql, iterations, p, direction="in")
+    es = ",\n         ".join(
+        f"max(CASE WHEN t = {t} THEN ball_est END) AS _e{t}"
+        for t in range(iterations + 1)
+    )
+    expr = " + ".join(
+        f"greatest(_e{t} - _e{t - 1}, CAST(0 AS DOUBLE))"
+        f" / CAST({t} AS DOUBLE)"
+        for t in range(1, iterations + 1)
+    )
+    return f"""WITH balls AS ({balls}),
+piv AS (
+  SELECT host,
+         {es}
+  FROM balls GROUP BY host)
+SELECT host, round({expr}, 4) AS harmonic FROM piv"""
+
+
+# ---------------------------------------------------------------------------
+# k-core coreness via iterated h-index
+# ---------------------------------------------------------------------------
+
+def coreness(edges: DataFrame, rounds: int = 4,
+             checkpoint_interval: int = 4) -> DataFrame:
+    """Coreness (k-core number) of every host via the iterated-h-index
+    fixed point (Lü, Zhou, Zhang & Stanley, "The H-index of a network
+    node and its relation to degree and coreness", Nat. Commun. 2016):
+    ``c_0(v) = deg(v)``; each round ``c_t(v) = H({c_{t-1}(u) : u ~ v})``
+    where H is the h-index (the largest h such that at least h neighbors
+    have value >= h). The sequence decreases monotonically to the exact
+    coreness — the standard "dense core of the web graph" signal for
+    crawl prioritization and seed selection (a high-coreness host sits in
+    a densely interlinked cluster; degree alone is gameable by a single
+    spam hub, coreness is not).
+
+    A fixed ``rounds`` makes the spec deterministic and oracle-able
+    (:func:`coreness_oracle_sql` unrolls every round); values converge
+    from above, so after R rounds each value is an upper bound that is
+    EXACT once the graph's peeling depth is < R (hand-tested) — same
+    fixed-round contract as :func:`label_propagation`.
+
+    Skew-resistant h-index: instead of a per-neighbor window (a 1M-degree
+    hub would funnel 1M rows through one window partition), neighbor
+    values are first count-aggregated per (host, value) — map-side
+    combined, rows per host bounded by the number of DISTINCT neighbor
+    values (<= max coreness, tiny) — then ``H = max(min(value,
+    cum_count))`` over a window on that collapsed table, using the
+    identity H = max over distinct v of min(v, #neighbors with value >= v).
+    All integer arithmetic; the undirected edge table is persisted once;
+    lineage cut every ``checkpoint_interval`` rounds.
+
+    Returns ``(host, coreness)`` BIGINT for every non-isolated node.
+    """
+    from pyspark.sql import Window as W
+
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = edges.sparkSession
+    directed = (
+        edges.select(F.col("src"), F.col("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    und = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    c = (und.groupBy(F.col("src").alias("host"))
+         .agg(F.count(F.lit(1)).cast("long").alias("val")))
+    prev_ck_ids: set[int] = set()
+    for i in range(rounds):
+        nbr = (
+            und.join(c.withColumnRenamed("host", "src"), "src")
+            .select(F.col("dst").alias("host"), "val")
+        )
+        cnts = (nbr.groupBy("host", "val")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+        w = (W.partitionBy("host").orderBy(F.col("val").desc())
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        c = (
+            cnts.withColumn("cum", F.sum("cnt").over(w))
+            .groupBy("host")
+            .agg(F.max(F.least(F.col("val"), F.col("cum")))
+                 .cast("long").alias("val"))
+        )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < rounds:
+            c, ck_ids = local_checkpoint_tracked(c)
+            release_checkpoint(spark, prev_ck_ids)
+            prev_ck_ids = ck_ids
+    out = c.select("host", F.col("val").alias("coreness"))
+    out, _final = local_checkpoint_tracked(out)
+    release_checkpoint(spark, prev_ck_ids)
+    und.unpersist()
+    return out
+
+
+def coreness_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB unrolled-CTE twin of :func:`coreness`: symmetrize, degree,
+    then per round the identical collapsed h-index (count per distinct
+    neighbor value, cumulative window ordered value-desc,
+    max(min(val, cum))). Ends in a SELECT with no ORDER BY."""
+    parts = [
+        f"""WITH directed AS (
+  SELECT src, dst FROM ({edges_sql}) WHERE src <> dst),
+und AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM directed
+         UNION ALL SELECT dst, src FROM directed)),
+c0 AS (SELECT src AS host, count(*)::BIGINT AS val FROM und GROUP BY src)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT host, max(least(val, cum))::BIGINT AS val FROM (
+    SELECT host, val, sum(cnt) OVER (
+        PARTITION BY host ORDER BY val DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM (
+      SELECT e.dst AS host, p.val, count(*)::BIGINT AS cnt
+      FROM und e JOIN c{i - 1} p ON p.host = e.src
+      GROUP BY e.dst, p.val))
+  GROUP BY host)"""
+        )
+    parts.append(f"\nSELECT host, val AS coreness FROM c{rounds}")
     return "".join(parts)

@@ -1981,3 +1981,122 @@ def test_spam_mass_matches_duckdb(spark):
         iterations=4)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def _py_ball_summary(hosts, p=4):
+    """Pure-Python twin of one HyperBall ball's (n_registers, ssum):
+    md5 60-bit hash -> register/rho exactly as sketches._hash60."""
+    import hashlib
+
+    word_bits = 60 - p
+    m = 1 << p
+    sp = word_bits + 1
+    regs: dict[int, int] = {}
+    for h in hosts:
+        hv = int(hashlib.md5(str(h).encode()).hexdigest()[:15], 16)
+        reg = hv >> word_bits
+        w = hv & ((1 << word_bits) - 1)
+        rho = sp if w == 0 else sp - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    ssum = (sum(1 << (sp - r) for r in regs.values())
+            + (m - len(regs)) * (1 << sp))
+    return (len(regs), ssum)
+
+
+def test_hyperball_hand_graph(spark):
+    """Path 1->2->3 with direction='in' (who reaches v): the ball of 3
+    grows {3} -> {2,3} -> {1,2,3}; node 1 (nothing reaches it) stays a
+    singleton. Register state checked against a pure-Python HLL twin."""
+    from llm_scraper_spark.operators.graph import hyperball
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    balls = hyperball(edges, iterations=2, p=4).collect()
+    got = {(r.host, r.t): (r.n_registers, r.ssum) for r in balls}
+    assert got[(3, 0)] == _py_ball_summary([3])
+    assert got[(3, 1)] == _py_ball_summary([2, 3])
+    assert got[(3, 2)] == _py_ball_summary([1, 2, 3])
+    assert got[(1, 0)] == _py_ball_summary([1])
+    assert got[(1, 2)] == _py_ball_summary([1])
+    # out-direction: ball of 1 reaches everyone, ball of 3 stays alone
+    balls_o = hyperball(edges, iterations=2, p=4, direction="out").collect()
+    got_o = {(r.host, r.t): (r.n_registers, r.ssum) for r in balls_o}
+    assert got_o[(1, 2)] == _py_ball_summary([1, 2, 3])
+    assert got_o[(3, 2)] == _py_ball_summary([3])
+
+
+def test_hyperball_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        hyperball, hyperball_oracle_sql)
+
+    rows = [(i * 37 % 23, (i * i + 5) % 23) for i in range(200)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(
+        (r.host, r.t, r.n_registers, r.ssum, r.ball_est)
+        for r in hyperball(edges, iterations=3, p=4).collect())
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    sql = hyperball_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=3, p=4)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_hyperball_harmonic_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        harmonic_oracle_sql, hyperball, hyperball_harmonic)
+
+    rows = [(i * 13 % 31, (i * 7 + 3) % 31) for i in range(150)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    balls = hyperball(edges, iterations=3, p=4)
+    got = sorted((r.host, r.harmonic)
+                 for r in hyperball_harmonic(balls, 3).collect())
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    sql = harmonic_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=3, p=4)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    # a hub that everything points at must out-rank a leaf nobody cites
+    hub_edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 8)], "src long, dst long")
+    hb = hyperball_harmonic(hyperball(hub_edges, iterations=2, p=4), 2)
+    h = {r.host: r.harmonic for r in hb.collect()}
+    assert h[0] > h[1]
+
+
+def test_coreness_hand_graph(spark):
+    """K4 (coreness 3) with a pendant chain: 4-clique nodes are 3-core;
+    the pendant attached to the clique and its tail peel to 1."""
+    from llm_scraper_spark.operators.graph import coreness
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(0, 10), (10, 11)], "src long, dst long")
+    got = {r.host: r.coreness for r in coreness(edges, rounds=4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1}
+    # triangle + one chord node of degree 2 hanging off two triangle nodes:
+    # everyone with two neighbors in the 2-core is 2-core
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3)], "src long, dst long")
+    got2 = {r.host: r.coreness
+            for r in coreness(tri, rounds=4).collect()}
+    assert got2 == {0: 2, 1: 2, 2: 2, 3: 2}
+
+
+def test_coreness_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        coreness, coreness_oracle_sql)
+
+    rows = [(i * 37 % 29, (i * i + 7) % 29) for i in range(250)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted((r.host, r.coreness)
+                 for r in coreness(edges, rounds=4).collect())
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    sql = coreness_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", rounds=4)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
