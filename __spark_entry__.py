@@ -599,6 +599,161 @@ def _host_coreness_oracle_sql() -> str:
             + "\nORDER BY host")
 
 
+def q_distance_distribution(spark, sf_dir):
+    """HyperANF's headline statistic (Boldi, Rosa & Vigna WWW'11): the
+    graph distance distribution N(t) = reachable pairs within t hops and
+    the effective diameter (smallest t reaching 90% of final mass) —
+    sizes crawl wave counts and frontier retention. Per-host ball
+    estimates go to fixed point via floor() BEFORE the sum, so the per-t
+    reduction is exact BIGINT under any partitioning; the 90% test and
+    ppm shares are integer comparisons the oracle replays exactly."""
+    from llm_scraper_spark.operators.graph import (
+        distance_distribution, hyperball)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    balls = hyperball(edges, iterations=3, p=4, hash_family="md5")
+    return distance_distribution(balls, 3).orderBy("t")
+
+
+def _distance_distribution_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import (
+        distance_distribution_oracle_sql)
+
+    return (distance_distribution_oracle_sql(
+        _hyperball_edges_sql(), iterations=3, p=4) + "\nORDER BY t")
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 relevance ranking (Robertson & Zaragoza 2009, Lucene idf)
+    of the corpus against a fixed query — what the inverted index is
+    FOR, and the topic-subset selector for corpus curation. k1/b are
+    exact rationals so the tf saturation is a single IEEE division of
+    two exact BIGINTs; idf is one ln of an integer ratio; each term
+    score is floor-quantized to 1e6 fixed point BEFORE the per-doc sum,
+    so the reduction is exact integer arithmetic the oracle replays."""
+    from llm_scraper_spark.operators.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_scores(docs, ["hash", "join", "window"])
+    return out.orderBy(F.desc("score_fp"), "doc_id").limit(200)
+
+
+def _bm25_rank_oracle_sql() -> str:
+    from llm_scraper_spark.operators.corpus import bm25_oracle_sql
+
+    return (bm25_oracle_sql("SELECT doc_id, text FROM documents",
+                            ["hash", "join", "window"])
+            + "\nORDER BY score_fp DESC, doc_id LIMIT 200")
+
+
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous/HRW sharding of the host space (Thaler & Ravishankar
+    1998) — elastic frontier partitioning where growing the cluster
+    n -> n+1 moves ONLY the keys the new shard wins, so per-host crawl
+    state never migrates on rescale. Zero-shuffle: the argmax is one
+    codegen'd array_max projection. The query emits the 8-shard and
+    9-shard assignment side by side plus the moved flag, making the
+    consistency property itself part of the gated output."""
+    from llm_scraper_spark.operators.frontier import rendezvous_shard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hosts = docs.select(
+        _pagerank_host(":s").cast("string").alias("host")).distinct()
+    out = rendezvous_shard(hosts, "host", 8, hash_family="md5",
+                           out_col="shard8")
+    out = rendezvous_shard(out, "host", 9, hash_family="md5",
+                           out_col="shard9")
+    return out.select(
+        "host", "shard8", "shard9",
+        (F.col("shard8") != F.col("shard9")).alias("moved"),
+    ).orderBy("host")
+
+
+def _rendezvous_shards_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import (
+        rendezvous_shard_sql_expr)
+
+    e8 = rendezvous_shard_sql_expr("host", 8)
+    e9 = rendezvous_shard_sql_expr("host", 9)
+    return f"""
+        WITH hosts AS (
+          SELECT DISTINCT
+            (('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+             % {PAGERANK_HOSTS})::VARCHAR AS host
+          FROM documents)
+        SELECT host, {e8} AS shard8, {e9} AS shard9,
+               {e8} <> {e9} AS moved
+        FROM hosts ORDER BY host"""
+
+
+def q_latency_quantiles(spark, sf_dir):
+    """Per-host fetch-latency p50/p95/p99 from a log2-bucket histogram
+    (the HdrHistogram idea as pure relational algebra) — the tail-latency
+    signal a timeout/backoff policy keys on, where the EWMA tracks the
+    mean. Exact integer state: deterministic under any partitioning,
+    mergeable wave-over-wave, quantile read-out is an integer crossing
+    test the oracle replays bit-for-bit (unlike percentile_approx's
+    merge-order-dependent GK sketch). Latencies synthesized closed-form
+    from documents, same feed as ewma_delay."""
+    from llm_scraper_spark.operators.frontier import latency_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    log = docs.select(
+        F.col("source").alias("host"),
+        ((F.col("n_chars") % 900) + 20).cast("long").alias("latency_ms"),
+    )
+    return latency_quantiles(log).orderBy("host")
+
+
+def _latency_quantiles_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import (
+        latency_quantiles_oracle_sql)
+
+    log_sql = """
+      SELECT source AS host,
+             CAST((n_chars % 900) + 20 AS BIGINT) AS latency_ms
+      FROM documents"""
+    return latency_quantiles_oracle_sql(log_sql) + "\nORDER BY host"
+
+
+def q_waterfill_budgets(spark, sf_dir):
+    """Weighted water-filling (max-min fair, Bertsekas & Gallager §6.5.2)
+    of one global per-wave fetch budget across hosts: the largest integer
+    water level L with sum(min(demand, L*weight)) <= budget, allocated as
+    min(demand, L*weight) — small hosts get everything, the rest share
+    by weight, nobody starves. Exact integer algorithm over the DISTINCT
+    saturation-level breakpoints (hosts collapse first, so the one
+    global-ordered window sees the breakpoint set, not the host set);
+    division guarded to non-negative operands so Spark DIV == DuckDB //.
+    Demands = per-host doc counts; weights derived from the host name."""
+    from llm_scraper_spark.operators.frontier import waterfill_budgets
+
+    docs = _t(spark, sf_dir, "documents")
+    demands = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).alias("demand")
+    ).withColumn(
+        "weight",
+        (F.conv(F.substring(F.md5(F.col("host")), 1, 15), 16, 10)
+         .cast("long") % 3 + 1),
+    )
+    return (waterfill_budgets(demands, 300)
+            .orderBy("host"))
+
+
+def _waterfill_budgets_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import waterfill_oracle_sql
+
+    demands_sql = """
+      SELECT host, demand,
+             ('0x' || substring(md5(host), 1, 15))::BIGINT % 3 + 1 AS weight
+      FROM (SELECT source AS host, count(*)::BIGINT AS demand
+            FROM documents GROUP BY source)"""
+    return waterfill_oracle_sql(demands_sql, 300) + "\nORDER BY host"
+
+
 def _host_hits_oracle_sql() -> str:
     from llm_scraper_spark.operators.graph import hits_oracle_sql
 
@@ -3406,6 +3561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_nf": q_hyperball_nf,
         "harmonic_centrality": q_harmonic_centrality,
         "host_coreness": q_host_coreness,
+        "distance_distribution": q_distance_distribution,
+        "bm25_rank": q_bm25_rank,
+        "rendezvous_shards": q_rendezvous_shards,
+        "latency_quantiles": q_latency_quantiles,
+        "waterfill_budgets": q_waterfill_budgets,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -3784,6 +3944,11 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_nf": _hyperball_nf_oracle_sql(),
         "harmonic_centrality": _harmonic_centrality_oracle_sql(),
         "host_coreness": _host_coreness_oracle_sql(),
+        "distance_distribution": _distance_distribution_oracle_sql(),
+        "bm25_rank": _bm25_rank_oracle_sql(),
+        "rendezvous_shards": _rendezvous_shards_oracle_sql(),
+        "latency_quantiles": _latency_quantiles_oracle_sql(),
+        "waterfill_budgets": _waterfill_budgets_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

@@ -208,3 +208,132 @@ def inverted_index(df: DataFrame, text_col: str = "text",
             gaps.alias("postings"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1_num: int = 6,
+    k1_den: int = 5,
+    b_num: int = 3,
+    b_den: int = 4,
+    scale: int = 1_000_000,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """BM25 relevance scoring (Robertson & Zaragoza 2009, the Lucene
+    ``(N+1)/(df+0.5)`` idf variant) of every document against a fixed
+    query-term set — the ranking function the inverted-index artifact
+    exists to serve, and the standard "query-relevant subset" selector
+    when curating a training corpus around a topic.
+
+    Engine-exact arithmetic: k1 and b are exact rationals
+    (default 6/5 = 1.2, 3/4 = 0.75), so the tf saturation term reduces to
+    a ratio of two exact BIGINTs::
+
+        tf_part = (k1d + k1n) * bd * T * tf
+                  / (k1d*bd*T*tf + k1n*(bd-bn)*T + k1n*bn*dl*N)
+
+    (T = total corpus tokens, N = docs, dl = doc length) — ONE IEEE
+    double division per (doc, term). idf likewise collapses to
+    ``ln((2N+2) / (2df+1))`` — one division, one ln. Their product is
+    quantized to ``floor(score * scale)`` fixed point BEFORE the per-doc
+    sum, so the reduction over query terms is exact integer arithmetic
+    under any partitioning (the lm_score discipline).
+
+    Scale shape: tokenization is a narrow explode; tf/df/dl are
+    map-side-combined aggregates; the per-(doc,term) score row set is
+    bounded by |query| * |docs|; corpus scalars (N, T) and the per-term
+    df ride in on broadcast joins — no windows, no Python.
+
+    Returns ``(doc_id, n_matched, score_fp)`` for docs matching >= 1
+    query term, score_fp = BIGINT fixed-point BM25 * scale.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("term"),
+    ).filter(F.length("term") >= int(min_token_len))
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    q = [str(t) for t in query_terms]
+    qtoks = toks.filter(F.col("term").isin(q))
+    tf = qtoks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtoks.groupBy("term").agg(
+        F.count_distinct("doc").alias("df"))
+    stats = toks.agg(
+        F.count_distinct("doc").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_toks"),
+    )
+    kd, kn, bd, bn = int(k1_den), int(k1_num), int(b_den), int(b_num)
+    num = f"{(kd + kn) * bd} * total_toks * tf"
+    den = (f"{kd * bd} * total_toks * tf + {kn * (bd - bn)} * total_toks"
+           f" + {kn * bn} * dl * n_docs")
+    idf = "ln(CAST(2 * n_docs + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"
+    term_fp = (f"CAST(floor(({idf}) * (CAST({num} AS DOUBLE)"
+               f" / CAST({den} AS DOUBLE)) * {int(scale)}) AS BIGINT)")
+    scored = (
+        tf.join(dl, "doc")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("doc"), F.expr(term_fp).alias("fp"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_matched"),
+             F.sum("fp").cast("long").alias("score_fp"))
+        .select(F.col("doc").alias(id_col), "n_matched", "score_fp")
+    )
+
+
+def bm25_oracle_sql(
+    docs_sql: str,
+    query_terms: list[str],
+    k1_num: int = 6,
+    k1_den: int = 5,
+    b_num: int = 3,
+    b_den: int = 4,
+    scale: int = 1_000_000,
+    min_token_len: int = 1,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores`: identical tokenization
+    (regexp split on whitespace of lower(trim(text))), identical exact
+    integer numerator/denominator, the same single-division +
+    single-ln double chain, same floor quantization before the integer
+    sum. ``docs_sql`` must yield (doc_id, text). Ends in a SELECT with
+    no ORDER BY."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    kd, kn, bd, bn = int(k1_den), int(k1_num), int(b_den), int(b_num)
+    num = f"{(kd + kn) * bd} * total_toks * tf"
+    den = (f"{kd * bd} * total_toks * tf + {kn * (bd - bn)} * total_toks"
+           f" + {kn * bn} * dl * n_docs")
+    idf = "ln(CAST(2 * n_docs + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"
+    term_fp = (f"CAST(floor(({idf}) * (CAST({num} AS DOUBLE)"
+               f" / CAST({den} AS DOUBLE)) * {int(scale)}) AS BIGINT)")
+    return f"""WITH src AS ({docs_sql}),
+toks AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM src
+),
+ftoks AS (SELECT doc, term FROM toks
+          WHERE length(term) >= {int(min_token_len)}),
+dl AS (SELECT doc, count(*)::BIGINT AS dl FROM ftoks GROUP BY doc),
+qtoks AS (SELECT doc, term FROM ftoks WHERE term IN ({qlist})),
+tf AS (SELECT doc, term, count(*)::BIGINT AS tf
+       FROM qtoks GROUP BY doc, term),
+dfreq AS (SELECT term, count(DISTINCT doc)::BIGINT AS df
+          FROM qtoks GROUP BY term),
+stats AS (SELECT count(DISTINCT doc)::BIGINT AS n_docs,
+                 count(*)::BIGINT AS total_toks FROM ftoks),
+scored AS (
+  SELECT tf.doc, {term_fp} AS fp
+  FROM tf JOIN dl USING (doc) JOIN dfreq USING (term), stats
+)
+SELECT doc AS doc_id, count(*) AS n_matched,
+       CAST(sum(fp) AS BIGINT) AS score_fp
+FROM scored GROUP BY doc"""

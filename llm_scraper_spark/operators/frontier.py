@@ -607,3 +607,310 @@ SELECT host, wave, ewma_fp,
                       ({int(k_num)} * ewma_fp) // ({int(k_den)} * {s})))
          ::BIGINT AS delay_ms
 FROM rec"""
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (HRW) shard assignment
+# ---------------------------------------------------------------------------
+
+def rendezvous_shard(df: DataFrame, key_col: str, n_shards: int,
+                     hash_family: str = "xxhash64",
+                     out_col: str = "shard") -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar,
+    IEEE/ACM ToN 1998): ``shard(key) = argmax over s of hash(key, s)``.
+    THE frontier-partitioning primitive for an elastic crawl cluster:
+    unlike ``hash(key) % n``, growing n -> n+1 shards reassigns only the
+    keys the NEW shard wins (~1/(n+1) of them) — per-host state (seen
+    shards, robots caches, politeness windows) stays put through
+    rescales. Ties (astronomically rare, but the spec must be total)
+    break to the smallest shard id.
+
+    Scale shape: ZERO shuffle — the argmax is a single narrow projection
+    (an array of (hash, shard) structs reduced with array_max, entirely
+    inside whole-stage codegen), so sharding 10^10 frontier rows costs
+    one map pass. ``n_shards`` is bounded (a cluster has at most
+    thousands of executor groups); for n_shards beyond ~1000 prefer
+    hashing onto virtual nodes.
+
+    md5 family is the oracle twin (``md5(key || '#hrw' || s)`` 60-bit);
+    xxhash64(key, s) is the scale path.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    kc = F.col(key_col)
+    structs = []
+    for s in range(int(n_shards)):
+        if hash_family == "md5":
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(kc.cast("string"), F.lit(f"#hrw{s}"))),
+                    1, 15),
+                16, 10).cast("long")
+        elif hash_family == "xxhash64":
+            h = F.xxhash64(kc, F.lit(s))
+        else:
+            raise ValueError(f"unknown hash_family: {hash_family}")
+        # negate the shard id so array_max's lexicographic struct order
+        # breaks hash ties toward the SMALLEST shard
+        structs.append(F.struct(h.alias("h"), F.lit(-s).alias("ns")))
+    best = F.array_max(F.array(*structs))
+    return df.withColumn(out_col, (-best["ns"]).cast("int"))
+
+
+def rendezvous_shard_sql_expr(key_sql: str, n_shards: int) -> str:
+    """DuckDB scalar expression twin of :func:`rendezvous_shard` (md5
+    family): a CASE chain selecting the first shard id whose hash equals
+    the greatest — identical smallest-id tie-break."""
+    hs = [
+        f"('0x' || substring(md5({key_sql} || '#hrw{s}'), 1, 15))::BIGINT"
+        for s in range(int(n_shards))
+    ]
+    greatest = "greatest(" + ", ".join(hs) + ")"
+    cases = " ".join(
+        f"WHEN {h} = {greatest} THEN {s}" for s, h in enumerate(hs))
+    return f"(CASE {cases} END)"
+
+
+# ---------------------------------------------------------------------------
+# log-bucket latency quantiles
+# ---------------------------------------------------------------------------
+
+def latency_quantiles(fetch_log: DataFrame, host_col: str = "host",
+                      latency_col: str = "latency_ms",
+                      quantiles: tuple[int, ...] = (50, 95, 99)
+                      ) -> DataFrame:
+    """Per-host fetch-latency percentiles from a log2-bucket histogram —
+    the HdrHistogram idea (fixed exponential buckets, bounded relative
+    error) reduced to pure relational algebra: bucket = bit_length(x)-1
+    (so bucket b covers [2^b, 2^{b+1})), counts per (host, bucket), and
+    each requested percentile is the UPPER BOUND of the first bucket
+    whose cumulative count crosses q% of the host's total. Feeds the
+    politeness tier: p95/p99 (not the mean the EWMA tracks) is what a
+    timeout/backoff policy should key on.
+
+    Why not percentile_approx: Spark's GK sketch is float-valved,
+    merge-order-dependent at the margins, and not reproducible in
+    another engine. The histogram is exact integer state: deterministic
+    under any partitioning, mergeable wave-over-wave (sum the counts),
+    and the quantile read-out is an integer comparison
+    (``100 * cum >= q * total``), so DuckDB replays it bit-for-bit.
+    Relative error is bounded by the bucket width (factor of 2; use
+    quarter-decade buckets for tighter SLOs, same shape).
+
+    Scale shape: one map-side-combined groupBy to (host, bucket) — rows
+    bounded by hosts x 64 — then a tiny cumulative window per host.
+    Non-positive latencies clamp to bucket 0 ([1, 2) i.e. value 1).
+
+    Returns ``(host, n_obs, p{q}_hi...)`` with p-hi = 2^{b+1} - 1, the
+    inclusive upper bound of the crossing bucket.
+    """
+    lc = F.col(latency_col)
+    # bit_length(x) - 1 == length(bin(x)) - 1 for positive BIGINT
+    bucket = (
+        F.when(lc <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(lc.cast("long"))) - F.lit(1))
+        .cast("int")
+    )
+    counts = (
+        fetch_log.select(F.col(host_col).alias("host"),
+                         bucket.alias("bucket"))
+        .groupBy("host", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (W.partitionBy("host").orderBy("bucket")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wt = W.partitionBy("host").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    cum = (counts.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("total", F.sum("cnt").over(wt)))
+    aggs = [F.max("total").alias("n_obs")]
+    for q in quantiles:
+        aggs.append(
+            F.min(
+                F.when(F.lit(100) * F.col("cum") >= F.lit(int(q))
+                       * F.col("total"), F.col("bucket"))
+            ).alias(f"_b{q}")
+        )
+    out = cum.groupBy("host").agg(*aggs)
+    sel = [F.col("host"), F.col("n_obs")]
+    for q in quantiles:
+        sel.append(
+            F.expr(f"CAST(shiftleft(1L, _b{q} + 1) - 1 AS BIGINT)")
+            .alias(f"p{q}_hi"))
+    return out.select(*sel)
+
+
+def latency_quantiles_oracle_sql(fetch_log_sql: str,
+                                 quantiles: tuple[int, ...] = (50, 95, 99)
+                                 ) -> str:
+    """DuckDB twin of :func:`latency_quantiles`: same bucket derivation
+    (length(bin(x)) - 1 with the <=0 clamp), same cumulative window and
+    integer crossing test. Ends in a SELECT with no ORDER BY."""
+    bq = ",\n         ".join(
+        f"min(CASE WHEN 100 * cum >= {int(q)} * total THEN bucket END)"
+        f" AS _b{q}" for q in quantiles)
+    ps = ",\n       ".join(
+        f"CAST((1::BIGINT << (_b{q} + 1)) - 1 AS BIGINT) AS p{int(q)}_hi"
+        for q in quantiles)
+    return f"""WITH log AS ({fetch_log_sql}),
+bucketed AS (
+  SELECT host,
+         CASE WHEN latency_ms <= 0 THEN 0
+              ELSE length(bin(latency_ms::BIGINT)) - 1 END AS bucket
+  FROM log),
+counts AS (SELECT host, bucket, count(*)::BIGINT AS cnt
+           FROM bucketed GROUP BY host, bucket),
+cums AS (
+  SELECT host, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY host ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY host) AS total
+  FROM counts),
+agg AS (
+  SELECT host, max(total)::BIGINT AS n_obs,
+         {bq}
+  FROM cums GROUP BY host)
+SELECT host, n_obs,
+       {ps}
+FROM agg"""
+
+
+# ---------------------------------------------------------------------------
+# water-filling global budget allocation
+# ---------------------------------------------------------------------------
+
+def waterfill_budgets(demands: DataFrame, budget: int,
+                      host_col: str = "host", demand_col: str = "demand",
+                      weight_col: str = "weight") -> DataFrame:
+    """Weighted water-filling (max-min fair) allocation of a single
+    global fetch budget across hosts: find the largest integer water
+    level L such that ``sum over hosts of min(demand, L * weight) <=
+    budget`` and allocate ``min(demand, L * weight)`` to each host — the
+    classic max-min fairness rule (Bertsekas & Gallager, Data Networks
+    §6.5.2) that per-host caps (politeness budgets) and per-host
+    priorities (weights) both fold into. Hosts with little pending work
+    get it all; the rest share the remainder in proportion to weight —
+    no host starves, no budget is wasted on saturated hosts.
+
+    Exact integer algorithm, two small shuffles: a host saturates at
+    level ``t = ceil(demand / weight)``; f(L) is piecewise linear with
+    breakpoints at the DISTINCT t values, so hosts are first collapsed
+    to per-t (sum_demand, sum_weight) rows — the only global-ordered
+    window then runs over distinct saturation levels, typically
+    thousands of rows even for 10^8 hosts (it is the breakpoint set,
+    not the host set; bucket t logarithmically if ever unbounded). Per
+    breakpoint interval the max feasible L is closed-form
+    ``(budget - cum_sat_demand) DIV remaining_weight`` — guarded to
+    non-negative operands so Spark's truncating DIV and DuckDB's
+    flooring // agree — clamped into the interval; L* is the max over
+    intervals and the scalar rides a broadcast back onto the host table.
+    Up to ``remaining_weight - 1`` units may be left unallocated
+    (integer level); callers wanting exhaustion run a second pass over
+    unsaturated hosts.
+
+    Returns ``(host, demand, weight, alloc)``; hosts with demand <= 0
+    are dropped (alloc would be 0).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    B = int(budget)
+    d = (
+        demands.select(
+            F.col(host_col).alias("host"),
+            F.col(demand_col).cast("long").alias("demand"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .filter((F.col("demand") > 0) & (F.col("weight") > 0))
+    )
+    per_t = (
+        d.withColumn("t", F.expr("(demand + weight - 1) DIV weight"))
+        .groupBy("t")
+        .agg(F.sum("demand").alias("sd"), F.sum("weight").alias("sw"))
+    )
+    w_ord = (W.orderBy("t")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_all = W.orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    rows = (
+        per_t.withColumn("cd", F.sum("sd").over(w_ord))
+        .withColumn("cw", F.sum("sw").over(w_ord))
+        .withColumn("total_w", F.sum("sw").over(w_all))
+        .withColumn("min_t", F.min("t").over(w_all))
+        .withColumn("nxt", F.lead("t").over(W.orderBy("t")))
+    )
+    # candidate level inside [t, nxt-1]: all hosts with t' <= t saturated
+    cand = F.expr(f"""
+        CASE WHEN total_w - cw = 0 THEN (CASE WHEN cd <= {B} THEN t END)
+             WHEN {B} >= cd THEN
+               CASE WHEN ({B} - cd) DIV (total_w - cw) >= t
+                    THEN least(({B} - cd) DIV (total_w - cw),
+                               coalesce(nxt - 1, ({B} - cd)
+                                        DIV (total_w - cw)))
+               END
+        END""")
+    level = rows.select(cand.alias("cand"), "min_t", "total_w").groupBy().agg(
+        F.max("cand").alias("_c"),
+        F.max("min_t").alias("_mt"),
+        F.max("total_w").alias("_tw"),
+    ).select(
+        F.greatest(
+            F.coalesce(F.col("_c"), F.lit(-1)),
+            F.least(F.expr(f"{B} DIV _tw"), F.col("_mt") - 1),
+        ).cast("long").alias("level")
+    )
+    return (
+        d.crossJoin(F.broadcast(level))
+        .select(
+            "host", "demand", "weight",
+            F.least(F.col("demand"),
+                    F.col("level") * F.col("weight"))
+            .cast("long").alias("alloc"),
+        )
+    )
+
+
+def waterfill_oracle_sql(demands_sql: str, budget: int) -> str:
+    """DuckDB twin of :func:`waterfill_budgets`: identical breakpoint
+    collapse, guarded non-negative integer division, interval clamp, and
+    final greatest(max-candidate, below-first-breakpoint candidate).
+    ``demands_sql`` must yield (host, demand, weight). Ends in a SELECT
+    with no ORDER BY."""
+    B = int(budget)
+    return f"""WITH d AS (
+  SELECT host, demand::BIGINT AS demand, weight::BIGINT AS weight
+  FROM ({demands_sql}) WHERE demand > 0 AND weight > 0),
+per_t AS (
+  SELECT (demand + weight - 1) // weight AS t,
+         sum(demand)::BIGINT AS sd, sum(weight)::BIGINT AS sw
+  FROM d GROUP BY 1),
+rows_ AS (
+  SELECT t, sd, sw,
+         sum(sd) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cd,
+         sum(sw) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cw,
+         sum(sw) OVER () AS total_w,
+         min(t) OVER () AS min_t,
+         lead(t) OVER (ORDER BY t) AS nxt
+  FROM per_t),
+cands AS (
+  SELECT min_t, total_w,
+         CASE WHEN total_w - cw = 0
+                THEN (CASE WHEN cd <= {B} THEN t END)
+              WHEN {B} >= cd THEN
+                CASE WHEN ({B} - cd) // (total_w - cw) >= t
+                     THEN least(({B} - cd) // (total_w - cw),
+                                coalesce(nxt - 1, ({B} - cd)
+                                         // (total_w - cw)))
+                END
+         END AS cand
+  FROM rows_),
+lvl AS (
+  SELECT greatest(coalesce(max(cand), -1),
+                  least({B} // max(total_w), max(min_t) - 1))::BIGINT
+           AS level
+  FROM cands)
+SELECT d.host, d.demand, d.weight,
+       least(d.demand, lvl.level * d.weight)::BIGINT AS alloc
+FROM d, lvl"""

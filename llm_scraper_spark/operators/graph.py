@@ -1203,3 +1203,68 @@ c{i} AS (
         )
     parts.append(f"\nSELECT host, val AS coreness FROM c{rounds}")
     return "".join(parts)
+
+
+def distance_distribution(balls: DataFrame, iterations: int,
+                          scale: int = 10_000) -> DataFrame:
+    """Graph distance distribution + effective diameter from the
+    :func:`hyperball` ball table — the HyperANF headline statistic
+    (Boldi, Rosa & Vigna, WWW 2011): ``N(t) = sum over v of |B(v, t)|``
+    counts reachable pairs within distance t; the effective diameter is
+    the smallest t at which N(t) reaches 90% of its final value. For a
+    crawl this is the "how many hops from the seeds is the web" dial
+    that sizes wave counts and frontier retention.
+
+    Exactness: per-host estimates are mapped to fixed point FIRST
+    (``floor(ball_est * scale)`` — floor, not cast, because Spark's
+    double->long cast truncates while DuckDB's rounds), so the per-t sum
+    is an exact associative BIGINT reduction no matter the partitioning,
+    and the 90% test is the integer comparison ``10*N(t) >= 9*N(T)``.
+    Output is one row per t: ``(t, n_hosts, nf_fp, reach_ppm,
+    is_effective_diameter)`` with reach_ppm = parts-per-million of the
+    final mass (integer division).
+    """
+    from pyspark.sql import Window as W
+
+    nf = balls.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum(F.expr(f"CAST(floor(ball_est * {scale}) AS BIGINT)"))
+        .alias("nf_fp"),
+    )
+    w = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    nf = nf.withColumn(
+        "_final", F.max(F.when(F.col("t") == iterations, F.col("nf_fp")))
+        .over(w))
+    nf = nf.withColumn(
+        "_eff_t",
+        F.min(F.when(F.lit(10) * F.col("nf_fp")
+                     >= F.lit(9) * F.col("_final"), F.col("t"))).over(w))
+    return nf.select(
+        "t", "n_hosts", "nf_fp",
+        F.expr("(nf_fp * 1000000) DIV _final").cast("long")
+        .alias("reach_ppm"),
+        (F.col("t") == F.col("_eff_t")).alias("is_effective_diameter"),
+    )
+
+
+def distance_distribution_oracle_sql(edges_sql: str, iterations: int = 3,
+                                     p: int = 4,
+                                     scale: int = 10_000) -> str:
+    """DuckDB twin of hyperball |> distance_distribution: same
+    fixed-point floor before the integer sum, same integer 90% test and
+    ppm division. Ends in a SELECT with no ORDER BY."""
+    balls = hyperball_oracle_sql(edges_sql, iterations, p, direction="in")
+    return f"""WITH balls AS ({balls}),
+nf AS (
+  SELECT t, count(*) AS n_hosts,
+         CAST(sum(CAST(floor(ball_est * {scale}) AS BIGINT)) AS BIGINT)
+           AS nf_fp
+  FROM balls GROUP BY t),
+fin AS (SELECT nf_fp AS final_fp FROM nf WHERE t = {iterations}),
+eff AS (SELECT min(t) AS eff_t FROM nf, fin
+        WHERE 10 * nf_fp >= 9 * final_fp)
+SELECT nf.t, nf.n_hosts, nf.nf_fp,
+       CAST((nf.nf_fp * 1000000) // fin.final_fp AS BIGINT) AS reach_ppm,
+       nf.t = eff.eff_t AS is_effective_diameter
+FROM nf, fin, eff"""

@@ -2100,3 +2100,226 @@ def test_coreness_matches_duckdb(spark):
         f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", rounds=4)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_distance_distribution_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        distance_distribution, distance_distribution_oracle_sql, hyperball)
+
+    rows = [(i * 37 % 23, (i * i + 5) % 23) for i in range(200)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    balls = hyperball(edges, iterations=3, p=4)
+    got = sorted(tuple(r) for r in
+                 distance_distribution(balls, 3).collect())
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    sql = distance_distribution_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=3, p=4)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    # sanity: mass is monotone in t, exactly one effective-diameter row,
+    # and the final row reaches 100% (ppm = 1_000_000)
+    by_t = {r[0]: r for r in got}
+    assert all(by_t[t][2] <= by_t[t + 1][2] for t in range(3))
+    assert sum(1 for r in got if r[4]) == 1
+    assert by_t[3][3] == 1_000_000
+
+
+def test_bm25_hand_corpus(spark):
+    """3-doc corpus, query {apple, pear}: scores match a pure-Python
+    replay of the exact-rational BM25 (k1=6/5, b=3/4, Lucene idf)."""
+    import math
+
+    from llm_scraper_spark.operators.corpus import bm25_scores
+
+    rows = [
+        ("d1", "apple pear apple"),
+        ("d2", "apple banana banana kiwi"),
+        ("d3", "kiwi banana kiwi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.n_matched, r.score_fp)
+           for r in bm25_scores(docs, ["apple", "pear"]).collect()}
+
+    N, T = 3, 10
+    dls = {"d1": 3, "d2": 4, "d3": 3}
+    tfs = {("d1", "apple"): 2, ("d1", "pear"): 1, ("d2", "apple"): 1}
+    dfs = {"apple": 2, "pear": 1}
+
+    def fp(doc, term):
+        tf, dl, df = tfs[(doc, term)], dls[doc], dfs[term]
+        idf = math.log((2 * N + 2) / (2 * df + 1))
+        num = 44 * T * tf
+        den = 20 * T * tf + 6 * T + 18 * dl * N
+        return math.floor(idf * (num / den) * 1_000_000)
+
+    want = {
+        "d1": (2, fp("d1", "apple") + fp("d1", "pear")),
+        "d2": (1, fp("d2", "apple")),
+    }
+    assert got == want
+    # the rarer term must contribute more per-occurrence: d1 beats d2
+    assert got["d1"][1] > got["d2"][1]
+
+
+def test_bm25_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.corpus import bm25_oracle_sql, bm25_scores
+
+    vocab = ["scan", "join", "hash", "row", "window", "agg", "sort"]
+    rows = [
+        (f"d{i}", " ".join(vocab[(i * j * 7 + j) % len(vocab)]
+                           for j in range(3 + i % 9)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    terms = ["join", "window", "sort"]
+    got = sorted(tuple(r) for r in bm25_scores(docs, terms).collect())
+    vals = ", ".join(
+        f"('{d}', '{t}')" for d, t in rows)
+    sql = bm25_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)", terms)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_rendezvous_shard_stability(spark):
+    """The HRW property: growing n -> n+1 shards moves ONLY keys won by
+    the new shard — every key that moved must now sit on shard n."""
+    from llm_scraper_spark.operators.frontier import rendezvous_shard
+
+    keys = spark.createDataFrame(
+        [(f"host{i}.example",) for i in range(300)], "host string")
+    a = {r.host: r.shard
+         for r in rendezvous_shard(keys, "host", 8).collect()}
+    b = {r.host: r.shard
+         for r in rendezvous_shard(keys, "host", 9).collect()}
+    moved = {k for k in a if a[k] != b[k]}
+    assert moved and all(b[k] == 8 for k in moved)
+    # both families: every shard id in range, deterministic across calls
+    assert set(a.values()) <= set(range(8))
+    a2 = {r.host: r.shard
+          for r in rendezvous_shard(keys, "host", 8).collect()}
+    assert a == a2
+
+
+def test_rendezvous_shard_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        rendezvous_shard, rendezvous_shard_sql_expr)
+
+    keys = spark.createDataFrame(
+        [(f"h{i}.net",) for i in range(200)], "host string")
+    got = sorted(
+        (r.host, r.shard)
+        for r in rendezvous_shard(keys, "host", 5,
+                                  hash_family="md5").collect())
+    vals = ", ".join(f"('h{i}.net')" for i in range(200))
+    expr = rendezvous_shard_sql_expr("host", 5)
+    want = sorted(duckdb.connect().execute(
+        f"SELECT host, {expr} AS shard "
+        f"FROM (VALUES {vals}) AS t(host)").fetchall())
+    assert got == want
+
+
+def test_latency_quantiles_hand(spark):
+    """16 latencies of 1ms and one of 1000ms: p50 sits in bucket 0
+    (hi=1), p99 in 1000's bucket ([512,1024) -> hi=1023). Zero/negative
+    clamp to bucket 0."""
+    from llm_scraper_spark.operators.frontier import latency_quantiles
+
+    rows = [("a", 1)] * 16 + [("a", 1000), ("b", 0), ("b", -5)]
+    log = spark.createDataFrame(rows, "host string, latency_ms long")
+    got = {r.host: (r.n_obs, r.p50_hi, r.p95_hi, r.p99_hi)
+           for r in latency_quantiles(log).collect()}
+    assert got["a"] == (17, 1, 1023, 1023)
+    assert got["b"] == (2, 1, 1, 1)
+
+
+def test_latency_quantiles_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        latency_quantiles, latency_quantiles_oracle_sql)
+
+    rows = [(f"h{i % 7}", (i * i * 13) % 5000 + (i % 3) - 1)
+            for i in range(400)]
+    log = spark.createDataFrame(rows, "host string, latency_ms long")
+    got = sorted(tuple(r) for r in latency_quantiles(log).collect())
+    vals = ", ".join(f"('{h}', {v})" for h, v in rows)
+    sql = latency_quantiles_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(host, latency_ms)")
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def _py_waterfill(rows, budget):
+    """Brute-force integer water level: max L with sum(min(d, L*w)) <= B."""
+    def f(L):
+        return sum(min(d, L * w) for _, d, w in rows)
+
+    L = 0
+    while f(L + 1) <= budget and f(L + 1) > f(L):
+        L += 1
+    # extend past flat regions: if f saturates below budget, any larger L
+    # gives the same allocation, so the canonical level is the max t
+    if f(L) <= budget and all(min(d, L * w) == d for _, d, w in rows):
+        L = max((d + w - 1) // w for _, d, w in rows)
+    elif f(L + 1) <= budget:
+        while f(L + 1) <= budget:
+            L += 1
+    return {h: min(d, L * w) for h, d, w in rows}
+
+
+def test_waterfill_hand_and_properties(spark):
+    from llm_scraper_spark.operators.frontier import waterfill_budgets
+
+    rows = [("a", 100, 1), ("b", 3, 1), ("c", 50, 2)]
+    d = spark.createDataFrame(rows, "host string, demand long, weight long")
+    # B=33: level 10 -> a=10, b=3, c=20 (sum 33, exactly feasible)
+    got = {r.host: r.alloc
+           for r in waterfill_budgets(d, 33).collect()}
+    assert got == {"a": 10, "b": 3, "c": 20}
+    # budget covers everything -> everyone gets their demand
+    got_all = {r.host: r.alloc
+               for r in waterfill_budgets(d, 1000).collect()}
+    assert got_all == {"a": 100, "b": 3, "c": 50}
+    # budget below total weight -> level 0, nobody scheduled
+    got_zero = {r.host: r.alloc for r in waterfill_budgets(d, 3).collect()}
+    assert got_zero == {"a": 0, "b": 0, "c": 0}
+    # randomized feasibility + maximality vs brute force
+    import random
+
+    rng = random.Random(7)
+    rows2 = [(f"h{i}", rng.randint(1, 60), rng.randint(1, 5))
+             for i in range(40)]
+    d2 = spark.createDataFrame(
+        rows2, "host string, demand long, weight long")
+    for budget in (0, 17, 113, 450, 5000):
+        got2 = {r.host: r.alloc
+                for r in waterfill_budgets(d2, budget).collect()}
+        assert got2 == _py_waterfill(rows2, budget), budget
+        assert sum(got2.values()) <= budget
+
+
+def test_waterfill_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        waterfill_budgets, waterfill_oracle_sql)
+
+    rows = [(f"h{i}", (i * 17) % 80 + 1, i % 4 + 1) for i in range(120)]
+    d = spark.createDataFrame(rows, "host string, demand long, weight long")
+    for budget in (25, 300, 2000, 100000):
+        got = sorted(tuple(r)
+                     for r in waterfill_budgets(d, budget).collect())
+        vals = ", ".join(f"('{h}', {dd}, {w})" for h, dd, w in rows)
+        sql = waterfill_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(host, demand, weight)",
+            budget)
+        want = sorted(tuple(r)
+                      for r in duckdb.connect().execute(sql).fetchall())
+        assert got == want, budget

@@ -454,3 +454,35 @@ def test_session3_operators_plan_shapes(spark, sf_mid):
                      buckets_pow=14)
     p = _exec_plan(dsir_scores(docs, w, buckets_pow=14))
     assert "BroadcastHashJoin" in p and "Python" not in p
+
+
+def test_session5_operators_plan_shapes(spark, sf_mid):
+    """Session-5 scale-shape claims, pinned: rendezvous sharding is a
+    ZERO-exchange narrow projection; BM25 broadcasts the tiny df/stats
+    sides (no sort-merge join of the corpus); latency quantiles collapse
+    to (host,bucket) with one exchange feeding the window; none of them
+    run a Python stage."""
+    from llm_scraper_spark.operators.corpus import bm25_scores
+    from llm_scraper_spark.operators.frontier import (latency_quantiles,
+                                                      rendezvous_shard)
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "text", "source", "n_chars")
+
+    hosts = docs.select(F.col("source").alias("host")).distinct()
+    p = _exec_plan(rendezvous_shard(hosts, "host", 8))
+    # the distinct costs its exchange; the shard assignment itself adds none
+    base = _exec_plan(hosts)
+    assert p.count("Exchange") == base.count("Exchange"), p
+    assert "Python" not in p and "ArrowEval" not in p
+
+    p = _exec_plan(bm25_scores(docs, ["hash", "join", "window"]))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+    log = docs.select(F.col("source").alias("host"),
+                      (F.col("n_chars") % 900 + 20).alias("latency_ms"))
+    p = _exec_plan(latency_quantiles(log))
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "Window" in p
