@@ -3538,6 +3538,184 @@ def _host_communities_oracle_sql() -> str:
             + "\nORDER BY host")
 
 
+def q_mercator_schedule(spark, sf_dir):
+    """Mercator back-queue fetch schedule (Heydon & Najork 1999 §3.2):
+    hosts pinned to one of 4 back queues (md5 mod — no host ever splits
+    across workers), per-host FIFO positions spaced one crawl-delay
+    apart, queues drained in (ready_ms, seq) order — the politeness
+    scheduler's time dimension that schedule_wave's budget counts don't
+    model. Integer end-to-end (mod-hash, row_number, multiply); two
+    window exchanges, zero Python. Frontier synthesized from documents;
+    per-host delay derived from the host name's md5."""
+    from llm_scraper_spark.operators.frontier import mercator_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("source").alias("host"),
+        F.col("doc_id").cast("long").alias("seq"),
+        (F.conv(F.substring(F.md5(F.col("source")), 1, 15), 16, 10)
+         .cast("long") % 1900 + 100).alias("delay_ms"),
+    )
+    return (mercator_schedule(frontier, 4, delay_col="delay_ms")
+            .orderBy("queue", "queue_pos"))
+
+
+def _mercator_schedule_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import mercator_oracle_sql
+
+    frontier_sql = """
+      SELECT 'https://' || source || '/d/' || doc_id::VARCHAR AS url,
+             source AS host, doc_id::BIGINT AS seq,
+             (('0x' || substring(md5(source), 1, 15))::BIGINT
+              % 1900 + 100)::BIGINT AS delay_ms
+      FROM documents"""
+    return (mercator_oracle_sql(frontier_sql, 4, delay_sql="delay_ms")
+            + "\nORDER BY queue, queue_pos")
+
+
+def q_change_rate(spark, sf_dir):
+    """Poisson change-rate estimation (Cho & Garcia-Molina, TOIT 2003
+    §4.2): the consistent lambda estimator over the same synthetic
+    revisit history recrawl_schedule uses — n/X/wave-span are exact
+    BIGINTs, the estimate is ONE fixed-order ln/multiply/divide over
+    exactly-representable integers floored to 1e6 fixed point (the
+    bm25/lm_score discipline), and the revisit period is pure integer
+    DIV, clamped to [1, 1024] waves. One window + one map-side-combined
+    groupBy."""
+    from llm_scraper_spark.operators.frontier import change_rate
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    history = ev.select(
+        F.concat(F.lit("u"), (F.col("event_id") % RECRAWL_URLS)
+                 .cast("string")).alias("url"),
+        F.expr(f"event_id DIV {RECRAWL_URLS}").alias("wave"),
+        (_md5_60bit(F.col("event_id"), ":fp") % 3)
+        .cast("string").alias("fingerprint"),
+    )
+    return change_rate(history).orderBy("url")
+
+
+def _change_rate_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import change_rate_oracle_sql
+
+    history_sql = f"""
+      SELECT 'u' || (event_id % {RECRAWL_URLS})::VARCHAR AS url,
+             event_id // {RECRAWL_URLS} AS wave,
+             (('0x' || substring(md5(event_id::VARCHAR || ':fp'), 1,
+                                 15))::BIGINT % 3)::VARCHAR AS fingerprint
+      FROM events"""
+    return change_rate_oracle_sql(history_sql) + "\nORDER BY url"
+
+
+def q_url_entropy(spark, sf_dir):
+    """Per-host URL-template entropy trap scoring (the statistical
+    complement to trap_patterns' structural rules; IRLbot's
+    infinite-URL-space signal): a md5-selected third of hosts mint
+    unique letter-token paths (session-id style — survives the
+    digit/hex template collapsing), the rest serve everything from two
+    numeric templates. Entropy is exact fixed point — each template row
+    contributes floor(1e6*c*ln(c)) BIGINT before the per-host sum, and
+    the read-out ln(N) - S/N is integer arithmetic both engines replay.
+    Two map-side-combined groupBys, no windows, no Python."""
+    from llm_scraper_spark.operators.frontier import url_template_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id").cast("string")
+    trap_host = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 15), 16, 10)
+        .cast("long") % 3 == 0)
+    path = F.when(
+        trap_host,
+        F.concat(F.lit("/s/"), F.translate(
+            F.substring(F.md5(F.concat(doc, F.lit(":t"))), 1, 10),
+            "0123456789", "ghijklmnop")),
+    ).otherwise(
+        F.concat(F.lit("/cat"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit("/item"), doc))
+    urls = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), path).alias("url"))
+    return (url_template_entropy(urls, min_urls=5,
+                                 entropy_threshold_fp=1_500_000)
+            .orderBy("host"))
+
+
+def _url_entropy_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import (
+        url_template_entropy_oracle_sql)
+
+    urls_sql = """
+      SELECT 'https://' || source ||
+             CASE WHEN ('0x' || substring(md5(source), 1, 15))::BIGINT
+                       % 3 = 0
+                  THEN '/s/' || translate(
+                         substring(md5(doc_id::VARCHAR || ':t'), 1, 10),
+                         '0123456789', 'ghijklmnop')
+                  ELSE '/cat' || (doc_id % 5)::VARCHAR
+                       || '/item' || doc_id::VARCHAR
+             END AS url
+      FROM documents"""
+    return (url_template_entropy_oracle_sql(
+        urls_sql, min_urls=5, entropy_threshold_fp=1_500_000)
+        + "\nORDER BY host")
+
+
+def q_focused_relevance(spark, sf_dir):
+    """Focused-crawl relevance propagation (shark/fish-search family)
+    over the synthetic host graph: four seed hosts carry fixed-point
+    topical scores; every other host earns a geometrically decayed
+    (1/2 per hop) share of its most relevant in-neighbor, bounded to a
+    3-hop radius. Max-propagation is skew-proof (map-side-combinable MAX
+    per dst) and spam-resistant (many weak in-links never add up);
+    integer max/DIV end-to-end, every round oracle-unrolled."""
+    from llm_scraper_spark.operators.graph import relevance_propagation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    seeds = spark.range(4).select(
+        F.col("id").alias("host"),
+        ((F.col("id") + 1) * F.lit(250_000)).cast("long").alias("rel_fp"))
+    return relevance_propagation(edges, seeds, rounds=3).orderBy("host")
+
+
+def _focused_relevance_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import (
+        relevance_propagation_oracle_sql)
+
+    seeds_sql = ("SELECT host::BIGINT AS host, rel_fp::BIGINT AS rel_fp "
+                 "FROM (VALUES (0, 250000), (1, 500000), (2, 750000), "
+                 "(3, 1000000)) AS t(host, rel_fp)")
+    return (relevance_propagation_oracle_sql(
+        _hyperball_edges_sql(), seeds_sql, rounds=3) + "\nORDER BY host")
+
+
+def q_dust_rewrite(spark, sf_dir):
+    """DUST rule APPLICATION (the payoff of dust_rules' mining): every
+    crawled URL rewritten by stripping the parameters its host's
+    validated rules cover — broadcast drop-set join + one native
+    filter() HOF, no UDF, no extra shuffle. The oracle replays mining
+    AND rewrite end-to-end, including the no-query / no-rules /
+    all-params-dropped edge cases."""
+    from llm_scraper_spark.operators.dust import (
+        apply_param_rules, mine_param_rules)
+
+    pages = _dust_pages(spark, sf_dir)
+    rules = mine_param_rules(pages, min_support=2)
+    return (apply_param_rules(pages, rules)
+            .select("url", "rewritten_url").orderBy("url"))
+
+
+def _dust_rewrite_oracle_sql() -> str:
+    from llm_scraper_spark.operators.dust import (
+        apply_param_rules_oracle_sql)
+
+    return (apply_param_rules_oracle_sql(_DUST_PAGES_SQL, min_support=2)
+            + "\nORDER BY url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3566,6 +3744,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "latency_quantiles": q_latency_quantiles,
         "waterfill_budgets": q_waterfill_budgets,
+        "mercator_schedule": q_mercator_schedule,
+        "change_rate": q_change_rate,
+        "url_entropy": q_url_entropy,
+        "focused_relevance": q_focused_relevance,
+        "dust_rewrite": q_dust_rewrite,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -3949,6 +4132,11 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_shards": _rendezvous_shards_oracle_sql(),
         "latency_quantiles": _latency_quantiles_oracle_sql(),
         "waterfill_budgets": _waterfill_budgets_oracle_sql(),
+        "mercator_schedule": _mercator_schedule_oracle_sql(),
+        "change_rate": _change_rate_oracle_sql(),
+        "url_entropy": _url_entropy_oracle_sql(),
+        "focused_relevance": _focused_relevance_oracle_sql(),
+        "dust_rewrite": _dust_rewrite_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

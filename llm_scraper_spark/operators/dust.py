@@ -202,3 +202,43 @@ SELECT {keys},
         AND SUM(CASE WHEN _fp = _fp2 THEN 1 ELSE 0 END) >= {int(min_support)})
          AS valid
 FROM ev GROUP BY {keys}"""
+
+
+def apply_param_rules_oracle_sql(
+    pages_sql: str,
+    min_support: int = 2,
+) -> str:
+    """DuckDB twin of mine + :func:`apply_param_rules` end-to-end
+    (by_host form): mine the valid per-host drop-set with
+    :func:`mine_param_rules_oracle_sql`'s chain, then rewrite every URL
+    by filtering its param list against that set — identical null/empty
+    handling (no ?, no rules for the host, all params dropped). Emits
+    ``(url, rewritten_url)``."""
+    mine = mine_param_rules_oracle_sql(pages_sql, min_support=min_support,
+                                       by_host=True)
+    return f"""
+WITH rules AS ({mine}),
+drops AS (
+  SELECT host, list(param) AS _drop
+  FROM rules WHERE valid GROUP BY host),
+pages2 AS (
+  SELECT url,
+         regexp_extract(url, '{HOST_RE}', 1) AS _h,
+         instr(url, '?') AS _q,
+         split_part(url, '?', 1) AS _base,
+         string_split(substr(url, instr(url, '?') + 1), '&') AS _params
+  FROM ({pages_sql})),
+joined AS (
+  SELECT p.*, d._drop,
+         list_filter(p._params,
+                     kv -> NOT list_contains(
+                       coalesce(d._drop, []),
+                       lower(split_part(kv, '=', 1)))) AS _kept
+  FROM pages2 p LEFT JOIN drops d ON d.host = p._h)
+SELECT url,
+       CASE WHEN _q = 0 THEN url
+            WHEN _drop IS NULL THEN url
+            WHEN len(_kept) = 0 THEN _base
+            ELSE _base || '?' || array_to_string(_kept, '&')
+       END AS rewritten_url
+FROM joined"""

@@ -914,3 +914,304 @@ lvl AS (
 SELECT d.host, d.demand, d.weight,
        least(d.demand, lvl.level * d.weight)::BIGINT AS alloc
 FROM d, lvl"""
+
+
+# ---------------------------------------------------------------------------
+# Mercator front/back-queue politeness schedule
+# ---------------------------------------------------------------------------
+
+def mercator_schedule(frontier: DataFrame, n_queues: int,
+                      url_col: str = "url", host_col: str = "host",
+                      seq_col: str = "seq",
+                      delay_col: str | None = None,
+                      default_delay_ms: int = 1000,
+                      hash_family: str = "md5") -> DataFrame:
+    """Mercator-style back-queue fetch schedule (Heydon & Najork,
+    "Mercator: a scalable, extensible web crawler", WWW Journal 1999,
+    §3.2): hosts are pinned to one of ``n_queues`` back queues so no two
+    workers ever fetch the same host concurrently, each host serializes
+    its own URLs one crawl-delay apart, and each queue drains in
+    earliest-ready-time order across the hosts it owns. The reference has
+    the degenerate form (one global semaphore of 8, worker.py:31); at
+    10^10 URLs the back-queue structure IS the politeness scheduler.
+
+    Relational model, integer end-to-end:
+
+    - ``queue``     = hash(host) mod n_queues (md5 60-bit oracle family
+      or xxhash64+pmod scale family) — host affinity, never rebalanced
+      mid-wave;
+    - ``host_pos``  = 0-based FIFO position within the host (ordered by
+      ``seq_col``);
+    - ``ready_ms``  = host_pos * crawl_delay(host) — when the URL may
+      be fetched, given the host serializes itself;
+    - ``queue_pos`` = drain order within the queue: ORDER BY
+      (ready_ms, seq) — the heap-pop order of Mercator's back-queue
+      ready heap, made deterministic by the seq tie-break.
+
+    Scale shape: two windows — PARTITION BY host (politeness) then
+    PARTITION BY queue (drain order). The queue window is the wider one
+    but n_queues is chosen ~3x the worker count (Mercator's rule), so
+    rows-per-queue ~ frontier/n_queues, and the whole schedule is two
+    exchanges with zero Python. ``delay_col`` (ms per host, e.g. from
+    :func:`ewma_crawl_delay` or robots Crawl-delay) is optional;
+    absent hosts fall back to ``default_delay_ms``.
+    """
+    if n_queues < 1:
+        raise ValueError("n_queues must be >= 1")
+    h = F.col(host_col)
+    if hash_family == "md5":
+        qid = F.pmod(
+            F.conv(F.substring(F.md5(h.cast("string")), 1, 15), 16, 10)
+            .cast("long"), F.lit(int(n_queues)))
+    elif hash_family == "xxhash64":
+        qid = F.pmod(F.xxhash64(h), F.lit(int(n_queues)))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family}")
+    delay = (F.coalesce(F.col(delay_col), F.lit(int(default_delay_ms)))
+             if delay_col else F.lit(int(default_delay_ms)))
+    wh = W.partitionBy(host_col).orderBy(seq_col)
+    out = (
+        frontier.withColumn("queue", qid.cast("int"))
+        .withColumn("host_pos",
+                    (F.row_number().over(wh) - F.lit(1)).cast("long"))
+        .withColumn("ready_ms",
+                    (F.col("host_pos") * delay.cast("long")).cast("long"))
+    )
+    wq = W.partitionBy("queue").orderBy("ready_ms", seq_col)
+    return out.withColumn("queue_pos",
+                          (F.row_number().over(wq) - F.lit(1)).cast("long"))
+
+
+def mercator_oracle_sql(frontier_sql: str, n_queues: int,
+                        default_delay_ms: int = 1000,
+                        delay_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`mercator_schedule` (md5 family): identical
+    mod-hash queue pin, host FIFO window, and (ready_ms, seq) drain
+    order."""
+    delay = delay_sql or str(int(default_delay_ms))
+    return f"""
+WITH f AS ({frontier_sql}),
+pinned AS (
+  SELECT *,
+         (('0x' || substring(md5(host), 1, 15))::BIGINT
+          % {int(n_queues)})::INT AS queue,
+         (row_number() OVER (PARTITION BY host ORDER BY seq) - 1)::BIGINT
+           AS host_pos
+  FROM f),
+ready AS (
+  SELECT *, (host_pos * ({delay}))::BIGINT AS ready_ms FROM pinned)
+SELECT *,
+       (row_number() OVER (PARTITION BY queue ORDER BY ready_ms, seq)
+        - 1)::BIGINT AS queue_pos
+FROM ready"""
+
+
+# ---------------------------------------------------------------------------
+# Poisson change-rate estimation (Cho & Garcia-Molina 2003)
+# ---------------------------------------------------------------------------
+
+def change_rate(history: DataFrame, url_col: str = "url",
+                wave_col: str = "wave", fp_col: str = "fingerprint",
+                max_interval: int = 1024) -> DataFrame:
+    """Per-URL Poisson change-rate estimate from revisit history
+    ``(url, wave, fingerprint)`` — the principled companion to
+    :func:`recrawl_intervals`' double-or-reset heuristic. Cho &
+    Garcia-Molina ("Estimating Frequency of Change", TOIT 2003, §4.2)
+    show the naive X/T estimator is biased (a revisit sees AT MOST one
+    change no matter how many occurred) and derive the consistent
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / Tbar
+
+    where ``n`` = revisit comparisons, ``X`` = comparisons that showed a
+    change, ``Tbar`` = mean inter-visit gap (the +0.5s are their
+    continuity correction, which also keeps X = n finite). Output drives
+    the revisit period: crawl a page about once per expected change.
+
+    Exactness discipline (the lm_score/bm25 pattern): n, X and the wave
+    span W are exact BIGINTs; the estimate is ONE fixed-order float
+    expression over exactly-representable integers —
+    ``floor((-1e6 * ln((2*(n-X)+1) / (2*n+1))) * n / W)`` — so both
+    engines perform the identical ln / multiply / divide sequence on
+    identical doubles. ``revisit_waves`` is then pure integer arithmetic:
+    1e6 DIV lambda_fp, clamped to [1, max_interval].
+
+    Scale shape: one window per URL (shared exchange with
+    recrawl_intervals' shape) + one groupBy(url) — map-side combined;
+    single-observation URLs (n = 0) emit NULL estimates and the max
+    interval (nothing is known about them).
+
+    Returns ``(url, n_obs, n_changed, wave_span, lambda_fp,
+    revisit_waves)``.
+    """
+    w = W.partitionBy(url_col).orderBy(wave_col)
+    prev_fp = F.lag(fp_col).over(w)
+    obs = history.select(
+        F.col(url_col).alias("url"), F.col(wave_col).alias("_wave"),
+        F.when(prev_fp.isNull(), None)
+        .otherwise((F.col(fp_col) != prev_fp).cast("int")).alias("_chg"),
+    )
+    agg = obs.groupBy("url").agg(
+        F.count("_chg").cast("long").alias("n_obs"),
+        F.coalesce(F.sum("_chg"), F.lit(0)).cast("long").alias("n_changed"),
+        (F.max("_wave") - F.min("_wave")).cast("long").alias("wave_span"),
+    )
+    n, x, span = F.col("n_obs"), F.col("n_changed"), F.col("wave_span")
+    ratio = ((F.lit(2) * (n - x) + F.lit(1)).cast("double")
+             / (F.lit(2) * n + F.lit(1)).cast("double"))
+    lam = F.floor(((F.lit(-1e6) * F.log(ratio)) * n.cast("double"))
+                  / span.cast("double")).cast("long")
+    cap = int(max_interval)
+    revisit = (
+        F.when(F.col("lambda_fp").isNull() | (F.col("lambda_fp") <= 0),
+               F.lit(cap))
+        .otherwise(F.least(F.greatest(
+            F.expr("1000000 DIV lambda_fp"), F.lit(1)), F.lit(cap)))
+        .cast("long")
+    )
+    return (
+        agg.withColumn(
+            "lambda_fp", F.when((n > 0) & (span > 0), lam))
+        .withColumn("revisit_waves", revisit)
+    )
+
+
+def change_rate_oracle_sql(history_sql: str,
+                           max_interval: int = 1024) -> str:
+    """DuckDB twin of :func:`change_rate` — identical window, counts and
+    the same fixed-order ln/multiply/divide float expression."""
+    cap = int(max_interval)
+    return f"""
+WITH h AS ({history_sql}),
+obs AS (
+  SELECT url, wave AS _wave,
+         CASE WHEN lag(fingerprint) OVER
+                     (PARTITION BY url ORDER BY wave) IS NULL THEN NULL
+              WHEN fingerprint <> lag(fingerprint) OVER
+                     (PARTITION BY url ORDER BY wave) THEN 1 ELSE 0
+         END AS _chg
+  FROM h),
+agg AS (
+  SELECT url,
+         count(_chg)::BIGINT AS n_obs,
+         coalesce(sum(_chg), 0)::BIGINT AS n_changed,
+         (max(_wave) - min(_wave))::BIGINT AS wave_span
+  FROM obs GROUP BY url),
+est AS (
+  SELECT *,
+         CASE WHEN n_obs > 0 AND wave_span > 0 THEN
+           floor(((-1e6 * ln((2*(n_obs - n_changed) + 1)::DOUBLE
+                             / (2*n_obs + 1)::DOUBLE))
+                  * n_obs::DOUBLE) / wave_span::DOUBLE)::BIGINT
+         END AS lambda_fp
+  FROM agg)
+SELECT url, n_obs, n_changed, wave_span, lambda_fp,
+       (CASE WHEN lambda_fp IS NULL OR lambda_fp <= 0 THEN {cap}
+             ELSE least(greatest(1000000 // lambda_fp, 1), {cap})
+        END)::BIGINT AS revisit_waves
+FROM est"""
+
+
+# ---------------------------------------------------------------------------
+# URL-template entropy (crawler-trap scoring)
+# ---------------------------------------------------------------------------
+
+TEMPLATE_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def url_template_entropy(df: DataFrame, url_col: str = "url",
+                         min_urls: int = 20,
+                         entropy_threshold_fp: int = 2_000_000
+                         ) -> DataFrame:
+    """Per-host Shannon entropy of URL *path templates* — the statistical
+    trap detector that complements :func:`trap_patterns`' structural
+    rules. A host minting session ids / calendar pages into the path
+    produces a near-unique template per URL, so the template distribution
+    approaches uniform and its entropy approaches ln(n): high entropy
+    over many URLs = the host's URL space is not converging = trap (the
+    signal behind IRLbot's "spam and infinite-loop avoidance", Lee et
+    al., TWEB 2009). Low entropy = few templates serve all pages = a
+    finite site.
+
+    Template = URL path with every digit run collapsed to ``D`` and every
+    long hex run to ``X`` (order matters: hex first, else hex runs with
+    digits split). Entropy is computed EXACTLY in fixed point via
+    ``H = ln(N) - (sum_t c_t*ln(c_t)) / N``: each template row
+    contributes ``floor(1e6 * c * ln(c))`` — a BIGINT — so the per-host
+    sum is exact integer under any partitioning, and
+
+        entropy_fp = floor(1e6 * ln(N)) - (S DIV N)
+
+    is pure integer arithmetic both engines replay bit-for-bit
+    (floor-before-sum, the bm25/lm_score discipline; c=1 rows contribute
+    exactly 0). ``trap`` fires when entropy_fp exceeds the threshold
+    (default 2.0 nats) with at least ``min_urls`` evidence.
+
+    Scale shape: two map-side-combined groupBys — (host, template) then
+    host — both narrow projections; no windows, no Python.
+
+    Returns ``(host, n_urls, n_templates, entropy_fp, trap)``.
+    """
+    u = F.col(url_col)
+    path = F.regexp_extract(u, TEMPLATE_PATH_RE, 1)
+    template = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-fA-F]{8,}", "X"), r"[0-9]+", "D")
+    per_t = (
+        df.select(_mercator_host(u).alias("host"),
+                  template.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    term_fp = F.floor(F.lit(1e6) * F.col("c").cast("double")
+                      * F.log(F.col("c").cast("double"))).cast("long")
+    per_h = (
+        per_t.select("host", "c", term_fp.alias("_term"))
+        .groupBy("host")
+        .agg(F.sum("c").cast("long").alias("n_urls"),
+             F.count(F.lit(1)).cast("long").alias("n_templates"),
+             F.sum("_term").cast("long").alias("_s"))
+    )
+    ent = (F.floor(F.lit(1e6) * F.log(F.col("n_urls").cast("double")))
+           .cast("long") - F.expr("_s DIV n_urls")).cast("long")
+    return (
+        per_h.withColumn("entropy_fp", ent)
+        .withColumn(
+            "trap",
+            (F.col("entropy_fp") > int(entropy_threshold_fp))
+            & (F.col("n_urls") >= int(min_urls)))
+        .drop("_s")
+    )
+
+
+def _mercator_host(c):
+    return F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+
+
+def url_template_entropy_oracle_sql(urls_sql: str, min_urls: int = 20,
+                                    entropy_threshold_fp: int = 2_000_000
+                                    ) -> str:
+    """DuckDB twin of :func:`url_template_entropy` — identical host/path
+    regexes, per-row floor-quantized c*ln(c), integer read-out."""
+    return f"""
+WITH u AS ({urls_sql}),
+per_t AS (
+  SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)
+           AS host,
+         regexp_replace(
+           regexp_replace(
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1),
+             '[0-9a-fA-F]{{8,}}', 'X', 'g'),
+           '[0-9]+', 'D', 'g') AS template,
+         count(*)::BIGINT AS c
+  FROM u GROUP BY 1, 2),
+per_h AS (
+  SELECT host, sum(c)::BIGINT AS n_urls, count(*)::BIGINT AS n_templates,
+         sum(floor(1e6 * c::DOUBLE * ln(c::DOUBLE))::BIGINT)::BIGINT AS _s
+  FROM per_t GROUP BY host)
+SELECT host, n_urls, n_templates,
+       (floor(1e6 * ln(n_urls::DOUBLE))::BIGINT - _s // n_urls)::BIGINT
+         AS entropy_fp,
+       (floor(1e6 * ln(n_urls::DOUBLE))::BIGINT - _s // n_urls
+        > {int(entropy_threshold_fp)}) AND n_urls >= {int(min_urls)}
+         AS trap
+FROM per_h"""

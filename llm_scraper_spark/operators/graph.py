@@ -1268,3 +1268,148 @@ SELECT nf.t, nf.n_hosts, nf.nf_fp,
        CAST((nf.nf_fp * 1000000) // fin.final_fp AS BIGINT) AS reach_ppm,
        nf.t = eff.eff_t AS is_effective_diameter
 FROM nf, fin, eff"""
+
+
+# ---------------------------------------------------------------------------
+# focused-crawl relevance propagation (shark-search family)
+# ---------------------------------------------------------------------------
+
+def relevance_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    decay_num: int = 1,
+    decay_den: int = 2,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """Focused-crawl relevance propagation over the host graph — the
+    shark-search family (Hersovici et al., WWW 1998; De Bra's
+    fish-search): a host's crawl relevance is its own topical score or an
+    exponentially decayed share of the most relevant host that links to
+    it, whichever is larger. Drives frontier prioritization for a
+    TOPICAL crawl: hosts near (graph-wise) the on-topic core get budget
+    first, and relevance dies off geometrically so the crawl cannot
+    wander arbitrarily far off topic. The decay makes the fixed point
+    trivially convergent; ``rounds`` bounds the propagation radius (a
+    host more than ``rounds`` hops from any seed scores 0).
+
+    ``seeds``: ``(host, rel_fp)`` with NON-NEGATIVE BIGINT fixed-point
+    relevance (e.g. 1e6-scaled topical scores from bm25_scores /
+    lm_score rolled up per host). Update rule, all integer:
+
+        rel' (v) = max(rel(v), (decay_num * max_{u->v} rel(u)) DIV decay_den)
+
+    max-propagation (not sum-) is deliberate: it is skew-proof (a
+    map-side-combinable MAX per dst — a hot dst collapses early), needs
+    no out-degree normalization, and can never inflate a spam hub by
+    accumulating many tiny contributions.
+
+    Scale shape is trust_rank's: edges distinct'd and persisted once;
+    per round ONE hash join (ranks on src) + one map-side-combined
+    groupBy-MAX on dst + one left join back; lineage cut every
+    ``checkpoint_interval`` rounds; everything released before return.
+
+    Returns ``(host, rel_fp)`` for every node in the graph (seeds keep
+    at least their seed score; unreached hosts report 0).
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    if decay_num < 0 or decay_den <= 0 or decay_num > decay_den:
+        raise ValueError("decay must satisfy 0 <= num <= den, den > 0")
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    # duplicate seed hosts collapse to their max score (oracle-identical)
+    base = nodes.join(
+        F.broadcast(seeds.groupBy("host")
+                    .agg(F.max("rel_fp").alias("_seed"))),
+        "host", "left",
+    ).select(
+        "host",
+        F.greatest(F.coalesce(F.col("_seed"), F.lit(0)), F.lit(0))
+        .cast("long").alias("rel_fp"),
+    ).persist()
+
+    rel = base
+    prev_ck_ids: set[int] = set()
+    for i in range(rounds):
+        inbound = (
+            e.join(rel, e["src"] == rel["host"])
+            .select(F.col("dst"), F.col("rel_fp").alias("_r"))
+            .groupBy("dst")
+            .agg(F.max("_r").alias("_m"))
+        )
+        rel = base.join(
+            inbound, base["host"] == inbound["dst"], "left"
+        ).select(
+            "host",
+            F.greatest(
+                F.col("rel_fp"),
+                F.expr(f"({int(decay_num)} * coalesce(_m, 0L))"
+                       f" DIV {int(decay_den)}"),
+            ).cast("long").alias("rel_fp"),
+        )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < rounds:
+            rel, ck_ids = local_checkpoint_tracked(rel)
+            release_checkpoint(spark, prev_ck_ids)
+            prev_ck_ids = ck_ids
+    rel, _final = local_checkpoint_tracked(rel)
+    release_checkpoint(spark, prev_ck_ids)
+    e.unpersist()
+    nodes.unpersist()
+    base.unpersist()
+    return rel
+
+
+def relevance_propagation_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    rounds: int = 3,
+    decay_num: int = 1,
+    decay_den: int = 2,
+) -> str:
+    """DuckDB unrolled-CTE replay of :func:`relevance_propagation` —
+    same integer max/DIV rule per round. Ends in ``SELECT host, rel_fp
+    FROM relN`` (callers append ORDER BY)."""
+    parts = [
+        f"""WITH raw_edges AS ({edges_sql}),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+seedset AS (SELECT host, max(rel_fp) AS rel_fp FROM ({seeds_sql})
+            GROUP BY host),
+base AS (
+  SELECT n.host,
+         greatest(coalesce(s.rel_fp, 0), 0)::BIGINT AS rel_fp
+  FROM nodes n LEFT JOIN seedset s ON s.host = n.host),
+rel0 AS (SELECT host, rel_fp FROM base)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+rel{i} AS (
+  SELECT b.host,
+         greatest(b.rel_fp,
+                  ({int(decay_num)} * coalesce(m._m, 0))
+                    // {int(decay_den)})::BIGINT AS rel_fp
+  FROM base b
+  LEFT JOIN (
+    SELECT e.dst, max(p.rel_fp) AS _m
+    FROM rel{i - 1} p JOIN edges e ON e.src = p.host
+    GROUP BY e.dst
+  ) m ON m.dst = b.host
+)"""
+        )
+    parts.append(f"\nSELECT host, rel_fp FROM rel{rounds}")
+    return "".join(parts)

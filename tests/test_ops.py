@@ -2323,3 +2323,255 @@ def test_waterfill_matches_duckdb(spark):
         want = sorted(tuple(r)
                       for r in duckdb.connect().execute(sql).fetchall())
         assert got == want, budget
+
+
+# ---------------------------------------------------------------------------
+# session-6: mercator schedule / change rate / url entropy /
+#            relevance propagation / dust rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_mercator_schedule_hand(spark):
+    from llm_scraper_spark.operators.frontier import mercator_schedule
+
+    # one host, 3 urls: positions 0,1,2 and ready times 0,d,2d; a second
+    # host interleaves by ready time within a shared queue
+    rows = [("u%d" % i, "a.com", i) for i in range(3)]
+    rows += [("v0", "b.com", 10)]
+    f = spark.createDataFrame(rows, "url string, host string, seq long")
+    out = {r["url"]: r for r in
+           mercator_schedule(f, 1, default_delay_ms=500).collect()}
+    assert [out[f"u{i}"]["host_pos"] for i in range(3)] == [0, 1, 2]
+    assert [out[f"u{i}"]["ready_ms"] for i in range(3)] == [0, 500, 1000]
+    assert out["v0"]["ready_ms"] == 0
+    # single queue drains by (ready_ms, seq): u0(0,0), v0(0,10),
+    # u1(500,1), u2(1000,2)
+    drain = sorted(out.values(), key=lambda r: r["queue_pos"])
+    assert [r["url"] for r in drain] == ["u0", "v0", "u1", "u2"]
+    # all rows land in queue 0
+    assert {r["queue"] for r in out.values()} == {0}
+
+
+def test_mercator_schedule_host_affinity(spark):
+    from llm_scraper_spark.operators.frontier import mercator_schedule
+
+    rows = [(f"h{i % 7}.com/p{i}", f"h{i % 7}.com", i) for i in range(70)]
+    f = spark.createDataFrame(rows, "url string, host string, seq long")
+    got = mercator_schedule(f, 3).collect()
+    # a host maps to exactly one queue
+    qs = {}
+    for r in got:
+        qs.setdefault(r["host"], set()).add(r["queue"])
+    assert all(len(v) == 1 for v in qs.values())
+    # queue_pos is a permutation of 0..n-1 within each queue
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["queue"], []).append(r["queue_pos"])
+    for q, ps in per_q.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_mercator_schedule_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        mercator_oracle_sql, mercator_schedule)
+
+    rows = [(f"http://h{i % 11}.com/p{i}", f"h{i % 11}.com", (i * 37) % 200)
+            for i in range(200)]
+    f = spark.createDataFrame(rows, "url string, host string, seq long")
+    got = sorted(
+        (r["url"], r["queue"], r["host_pos"], r["ready_ms"], r["queue_pos"])
+        for r in mercator_schedule(f, 4, default_delay_ms=250).collect())
+    vals = ", ".join(f"('{u}', '{h}', {s})" for u, h, s in rows)
+    sql = mercator_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(url, host, seq)",
+        4, default_delay_ms=250)
+    want = sorted(
+        (u, q, hp, rm, qp) for u, h, s, q, hp, rm, qp in
+        duckdb.connect().execute(
+            "SELECT url, host, seq, queue, host_pos, ready_ms, queue_pos "
+            f"FROM ({sql})").fetchall())
+    assert got == want
+
+
+def test_change_rate_hand(spark):
+    from llm_scraper_spark.operators.frontier import change_rate
+
+    # url A: 5 observations over waves 0..8, 2 changes in 4 comparisons
+    hist = [("A", 0, "x"), ("A", 2, "x"), ("A", 4, "y"),
+            ("A", 6, "y"), ("A", 8, "z"),
+            # url B: never changes in 3 comparisons
+            ("B", 0, "k"), ("B", 1, "k"), ("B", 2, "k"), ("B", 3, "k"),
+            # url C: single fetch -> nothing known
+            ("C", 5, "q")]
+    df = spark.createDataFrame(hist, "url string, wave long, fingerprint string")
+    out = {r["url"]: r for r in change_rate(df).collect()}
+    import math
+    a = out["A"]
+    assert (a["n_obs"], a["n_changed"], a["wave_span"]) == (4, 2, 8)
+    want_a = math.floor((-1e6 * math.log((2 * 2 + 1) / (2 * 4 + 1))) * 4 / 8)
+    assert a["lambda_fp"] == want_a
+    assert a["revisit_waves"] == min(max(10**6 // want_a, 1), 1024)
+    b = out["B"]
+    assert b["n_changed"] == 0
+    # no observed change -> tiny lambda -> long revisit
+    assert b["revisit_waves"] > out["A"]["revisit_waves"]
+    c = out["C"]
+    assert c["lambda_fp"] is None and c["revisit_waves"] == 1024
+
+
+def test_change_rate_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        change_rate, change_rate_oracle_sql)
+
+    rows = [(f"u{i % 40}", i // 40 * ((i % 3) + 1),
+             f"fp{(i * 7) % 5 if i % 4 else 0}")
+            for i in range(400)]
+    # dedupe (url, wave) pairs so the window order is total
+    seen = {}
+    for u, w, fp in rows:
+        seen[(u, w)] = fp
+    rows = [(u, w, fp) for (u, w), fp in sorted(seen.items())]
+    df = spark.createDataFrame(rows, "url string, wave long, fingerprint string")
+    got = sorted(tuple(r) for r in change_rate(df).collect())
+    vals = ", ".join(f"('{u}', {w}, '{fp}')" for u, w, fp in rows)
+    sql = change_rate_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(url, wave, fingerprint)")
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_url_template_entropy_hand(spark):
+    from llm_scraper_spark.operators.frontier import url_template_entropy
+
+    # trap.com: unique letter-token paths (survive digit/hex collapsing,
+    # like base64ish session tokens) -> unique templates
+    def tok(i):
+        v, s = i * 7919 + 13, ""
+        for _ in range(8):
+            v, r = divmod(v, 26)
+            s += chr(ord("g") + r % 17)
+        return s
+
+    rows = [(f"http://trap.com/s/{tok(i)}",) for i in range(25)]
+    # site.com: 25 urls, only 2 templates
+    rows += [(f"http://site.com/article/{i}",) for i in range(20)]
+    rows += [(f"http://site.com/tag/{i}",) for i in range(5)]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["host"]: r for r in
+           url_template_entropy(df, min_urls=20).collect()}
+    t, s = out["trap.com"], out["site.com"]
+    assert t["n_templates"] == 25 and t["trap"]
+    assert s["n_templates"] == 2 and not s["trap"]
+    import math
+    # site.com exact fixed-point entropy: H = ln(25) - (S/25)
+    S = (math.floor(1e6 * 20 * math.log(20))
+         + math.floor(1e6 * 5 * math.log(5)))
+    assert s["entropy_fp"] == math.floor(1e6 * math.log(25)) - S // 25
+
+
+def test_url_template_entropy_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        url_template_entropy, url_template_entropy_oracle_sql)
+
+    rows = []
+    for i in range(300):
+        h = f"h{i % 9}.com"
+        if i % 9 < 3:
+            p = f"/p/{'%x' % (0xabc000 + i * 104729)}"
+        else:
+            p = f"/cat{i % 4}/item{i % 13}"
+        rows.append((f"http://{h}{p}?q={i}",))
+    df = spark.createDataFrame(rows, "url string")
+    got = sorted(tuple(r)
+                 for r in url_template_entropy(df, min_urls=10).collect())
+    vals = ", ".join(f"('{u}')" for (u,) in rows)
+    sql = url_template_entropy_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(url)", min_urls=10)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_relevance_propagation_hand(spark):
+    from llm_scraper_spark.operators.graph import relevance_propagation
+
+    # path a -> b -> c -> d, seed a at 1_000_000, decay 1/2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    seeds = spark.createDataFrame([("a", 1_000_000)],
+                                  "host string, rel_fp long")
+    out = {r["host"]: r["rel_fp"]
+           for r in relevance_propagation(edges, seeds, rounds=3).collect()}
+    assert out == {"a": 1_000_000, "b": 500_000, "c": 250_000, "d": 125_000}
+    # radius bound: with 1 round only b is reached
+    out1 = {r["host"]: r["rel_fp"]
+            for r in relevance_propagation(edges, seeds, rounds=1).collect()}
+    assert out1 == {"a": 1_000_000, "b": 500_000, "c": 0, "d": 0}
+    # max (not sum): two seeds pointing at the same host don't add up
+    edges2 = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string")
+    seeds2 = spark.createDataFrame(
+        [("a", 1_000_000), ("b", 600_000)], "host string, rel_fp long")
+    out2 = {r["host"]: r["rel_fp"]
+            for r in relevance_propagation(edges2, seeds2, rounds=2).collect()}
+    assert out2["c"] == 500_000
+
+
+def test_relevance_propagation_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        relevance_propagation, relevance_propagation_oracle_sql)
+
+    edges = [(f"h{(i * 13) % 23}", f"h{(i * 7 + 3) % 23}")
+             for i in range(150)]
+    seeds = [(f"h{i}", (i + 1) * 250_000) for i in range(4)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame(seeds, "host string, rel_fp long")
+    got = sorted(tuple(r)
+                 for r in relevance_propagation(e, s, rounds=3).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    sv = ", ".join(f"('{h}', {r})" for h, r in seeds)
+    sql = relevance_propagation_oracle_sql(
+        f"SELECT * FROM (VALUES {ev}) AS t(src, dst)",
+        f"SELECT * FROM (VALUES {sv}) AS t(host, rel_fp)", rounds=3)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_apply_param_rules_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.dust import (
+        apply_param_rules, apply_param_rules_oracle_sql, mine_param_rules)
+
+    pages = []
+    for i in range(40):
+        fp = f"c{i}"
+        pages.append((f"http://a.com/p{i}?sid={i}&x={i % 3}", fp))
+        pages.append((f"http://a.com/p{i}?x={i % 3}", fp))  # sid irrelevant
+    # x changes content on b.com -> vetoed there
+    for i in range(10):
+        pages.append((f"http://b.com/q{i}?x=1", f"v{i}a"))
+        pages.append((f"http://b.com/q{i}", f"v{i}b"))
+    pages.append(("http://c.com/plain", "z"))
+    df = spark.createDataFrame(pages, "url string, content_fp string")
+    rules = mine_param_rules(df, min_support=2)
+    got = sorted(
+        (r["url"], r["rewritten_url"])
+        for r in apply_param_rules(df, rules).select(
+            "url", "rewritten_url").collect())
+    vals = ", ".join(f"('{u}', '{fp}')" for u, fp in pages)
+    sql = apply_param_rules_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(url, content_fp)",
+        min_support=2)
+    want = sorted(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    # the sid param actually got stripped on a.com
+    rewr = dict(got)
+    assert rewr["http://a.com/p0?sid=0&x=0"] == "http://a.com/p0?x=0"

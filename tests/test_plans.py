@@ -486,3 +486,74 @@ def test_session5_operators_plan_shapes(spark, sf_mid):
     p = _exec_plan(latency_quantiles(log))
     assert "Python" not in p and "ArrowEval" not in p
     assert "Window" in p
+
+
+def test_session6_operators_plan_shapes(spark, sf_mid):
+    """Session-6 scale-shape claims, pinned: the Mercator schedule is
+    exactly its two windows (host, then queue) with no Python stage;
+    change-rate is one window + one hash aggregate; template entropy is
+    two hash aggregates with NO window and no join; relevance
+    propagation broadcasts the seed side."""
+    from llm_scraper_spark.operators.frontier import (
+        change_rate, mercator_schedule, url_template_entropy)
+    from llm_scraper_spark.operators.graph import relevance_propagation
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "source")
+    frontier = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("source").alias("host"),
+        F.col("doc_id").cast("long").alias("seq"),
+    )
+    p = _exec_plan(mercator_schedule(frontier, 4))
+    assert p.count("Window") == 2, p
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "Join" not in p
+
+    hist = docs.select(
+        F.col("source").alias("url"),
+        (F.col("doc_id") % 40).alias("wave"),
+        (F.col("doc_id") % 3).cast("string").alias("fingerprint"))
+    p = _exec_plan(change_rate(hist))
+    assert p.count("Window") == 1, p
+    assert "Python" not in p and "ArrowEval" not in p
+
+    p = _exec_plan(url_template_entropy(frontier))
+    assert "Window" not in p and "Join" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+    # relevance_propagation localCheckpoints its result (the executed
+    # plan collapses to an RDD scan), so pin the seeding join's shape
+    # directly: nodes x broadcast(seeds) must plan as a broadcast hash
+    # join, and the full operator must stay Python-free end-to-end
+    # (checked via the physical plan of one reproduced round).
+    edges = docs.select(
+        F.col("source").alias("src"),
+        F.concat(F.col("source"), F.lit("x")).alias("dst"))
+    seeds = spark.createDataFrame([("src0", 1_000_000)],
+                                  "host string, rel_fp long")
+    nodes = (edges.select(F.col("src").alias("host"))
+             .unionByName(edges.select(F.col("dst").alias("host")))
+             .distinct())
+    base = nodes.join(
+        F.broadcast(seeds.groupBy("host")
+                    .agg(F.max("rel_fp").alias("_seed"))),
+        "host", "left",
+    ).select("host",
+             F.greatest(F.coalesce(F.col("_seed"), F.lit(0)), F.lit(0))
+             .cast("long").alias("rel_fp"))
+    inbound = (edges.join(base, edges["src"] == base["host"])
+               .select(F.col("dst"), F.col("rel_fp").alias("_r"))
+               .groupBy("dst").agg(F.max("_r").alias("_m")))
+    rel = base.join(inbound, base["host"] == inbound["dst"], "left").select(
+        "host",
+        F.greatest(F.col("rel_fp"),
+                   F.expr("(1 * coalesce(_m, 0L)) DIV 2"))
+        .cast("long").alias("rel_fp"))
+    p = _exec_plan(rel)
+    assert "BroadcastHashJoin" in p, p
+    assert "Python" not in p and "ArrowEval" not in p
+    # and the real operator's output is reachable without Python stages
+    out = relevance_propagation(edges, seeds, rounds=1)
+    assert "Python" not in _exec_plan(out)
