@@ -3716,6 +3716,205 @@ def _dust_rewrite_oracle_sql() -> str:
             + "\nORDER BY url")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup gate (incremental_simhash_dedup): a new crawl
+    batch (docs with doc_id%3==0) is checked against the existing corpus
+    (the other two thirds) — batch texts are a md5-chosen mix of exact
+    copies of a corpus doc, one-token-appended near copies, and the
+    doc's own (novel) text, so all three outcomes occur. O(batch)
+    recompute + bucket-capped 4-chunk blocking join against what would
+    be a precomputed corpus signature table at scale; the oracle
+    recomputes both sides' 60-bit fingerprints token-by-token plus the
+    cap, verify, and min-(hamming,id) pick."""
+    from llm_scraper_spark.operators.dedup import incremental_simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    prev = docs.select(F.col("doc_id").alias("_pid"),
+                       F.col("text").alias("_ptext"))
+    mode = _md5_60bit(F.col("doc_id"), ":im") % 3
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .join(prev, F.col("_pid") == F.col("doc_id") - 1)
+        .select(
+            "doc_id",
+            F.when(mode == 0, F.col("_ptext"))
+            .when(mode == 1, F.concat(F.col("_ptext"), F.lit(" zq xv jk")))
+            .otherwise(F.col("text")).alias("text"))
+    )
+    return (incremental_simhash_dedup(corpus, batch, hash_family="md5")
+            .orderBy("doc_id"))
+
+
+def _incremental_dedup_oracle_sql() -> str:
+    from llm_scraper_spark.operators.dedup import (
+        incremental_simhash_oracle_sql)
+
+    corpus_sql = "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0"
+    batch_sql = """
+      SELECT d.doc_id,
+             CASE (('0x' || substring(md5(d.doc_id::VARCHAR || ':im'),
+                                      1, 15))::BIGINT % 3)
+               WHEN 0 THEN p.text
+               WHEN 1 THEN p.text || ' zq xv jk'
+               ELSE d.text END AS text
+      FROM documents d JOIN documents p ON p.doc_id = d.doc_id - 1
+      WHERE d.doc_id % 3 = 0"""
+    return (incremental_simhash_oracle_sql(corpus_sql, batch_sql)
+            + "\nORDER BY doc_id")
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (Bharat & Broder WWW'99 at page-fingerprint
+    granularity): each doc serves on host h<k>, a md5-chosen two thirds
+    are mirrored onto m<k>, and a fifth of the mirrors add unique junk
+    pages — so containment percents spread below 100 and host sizes
+    differ. Hot fingerprints (served by more hosts than the cap) are
+    excluded from pair evidence by construction of the operator; integer
+    containment percent end-to-end."""
+    from llm_scraper_spark.operators.dedup import mirror_hosts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 37).cast("string")
+    fp = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                    F.lit(":mfp"))), 1, 12)
+    orig = docs.select(F.concat(F.lit("h"), k).alias("host"),
+                       fp.alias("content_fp"))
+    mirrored = docs.filter(_md5_60bit(F.col("doc_id"), ":mr") % 3 != 0)
+    mir = mirrored.select(F.concat(F.lit("m"), k).alias("host"),
+                          fp.alias("content_fp"))
+    junk = (docs.filter(_md5_60bit(F.col("doc_id"), ":mj") % 5 == 0)
+            .select(F.concat(F.lit("m"), k).alias("host"),
+                    F.substring(F.md5(F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":junk"))),
+                        1, 12).alias("content_fp")))
+    pages = orig.unionByName(mir).unionByName(junk)
+    return (mirror_hosts(pages, min_shared=3, min_overlap_pct=40)
+            .orderBy("host_a", "host_b"))
+
+
+def _mirror_hosts_oracle_sql() -> str:
+    from llm_scraper_spark.operators.dedup import mirror_hosts_oracle_sql
+
+    pages_sql = """
+      SELECT 'h' || (doc_id % 37)::VARCHAR AS host,
+             substring(md5(doc_id::VARCHAR || ':mfp'), 1, 12) AS content_fp
+      FROM documents
+      UNION ALL
+      SELECT 'm' || (doc_id % 37)::VARCHAR,
+             substring(md5(doc_id::VARCHAR || ':mfp'), 1, 12)
+      FROM documents
+      WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':mr'),
+                               1, 15))::BIGINT % 3 <> 0
+      UNION ALL
+      SELECT 'm' || (doc_id % 37)::VARCHAR,
+             substring(md5(doc_id::VARCHAR || ':junk'), 1, 12)
+      FROM documents
+      WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':mj'),
+                               1, 15))::BIGINT % 5 = 0"""
+    return (mirror_hosts_oracle_sql(pages_sql, min_shared=3,
+                                    min_overlap_pct=40)
+            + "\nORDER BY host_a, host_b")
+
+
+def _curation_docs(spark, sf_dir):
+    """Shared (doc_id, host, tokens, quality_fp) feed for the
+    domain-cap / budget-select curation queries — tokens and quality
+    derived closed-form so both engines replay them."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        (F.expr("n_chars DIV 4") + 1).cast("long").alias("tokens"),
+        (_md5_60bit(F.col("doc_id"), ":ql") % 100_000).cast("long")
+        .alias("quality_fp"),
+    )
+
+
+_CURATION_DOCS_SQL = """
+  SELECT doc_id, source AS host,
+         (n_chars // 4 + 1)::BIGINT AS tokens,
+         (('0x' || substring(md5(doc_id::VARCHAR || ':ql'), 1,
+                             15))::BIGINT % 100000)::BIGINT AS quality_fp
+  FROM documents"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain token-share cap (the C4/RefinedWeb diversity control):
+    no host may exceed 1% of total corpus tokens; overflowing hosts drop
+    their lowest-quality docs first. One per-host window + a broadcast
+    scalar total — no global ordering; exact integer cap and
+    cumulative-prefix rule, replayed by the oracle."""
+    from llm_scraper_spark.operators.corpus import domain_cap
+
+    return (domain_cap(_curation_docs(spark, sf_dir), cap_ppm=10_000)
+            .orderBy("doc_id"))
+
+
+def _domain_cap_oracle_sql() -> str:
+    from llm_scraper_spark.operators.corpus import domain_cap_oracle_sql
+
+    return (domain_cap_oracle_sql(_CURATION_DOCS_SQL, cap_ppm=10_000)
+            + "\nORDER BY doc_id")
+
+
+def q_budget_select(spark, sf_dir):
+    """Token-budget corpus selection WITHOUT a global sort: quality is
+    quantized into 5000-wide bins, the budget threshold is found on the
+    tiny per-bin table, docs above the threshold are kept by a broadcast
+    comparison and only the single boundary bin is ordered to fill the
+    remainder — the histogram-threshold top-k that survives 100 TB where
+    ORDER BY quality would single-partition. Exact integer protocol,
+    boundary prefix rule identical to domain_cap's."""
+    from llm_scraper_spark.operators.corpus import budget_select
+
+    return (budget_select(_curation_docs(spark, sf_dir),
+                          budget_tokens=30_000, bin_width=5_000)
+            .orderBy("doc_id"))
+
+
+def _budget_select_oracle_sql() -> str:
+    from llm_scraper_spark.operators.corpus import budget_select_oracle_sql
+
+    return (budget_select_oracle_sql(_CURATION_DOCS_SQL,
+                                     budget_tokens=30_000, bin_width=5_000)
+            + "\nORDER BY doc_id")
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val split: the split hashes the NEAR-DUP
+    CLUSTER id (line-sharing connected components, same graph as
+    dedup_clusters), so a val doc's near-twin can never sit in train —
+    the contamination mode per-doc hashing cannot prevent. The oracle
+    recomputes the whole chain: line hashing, megaclique cap, WITH
+    RECURSIVE closure, and the split hash on the resulting label."""
+    from llm_scraper_spark.operators.dedup import line_share_clusters
+    from llm_scraper_spark.operators.sampling import cluster_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncluster banner padding padding "),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("\nbridge banner padding padding "),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("text"),
+    )
+    clusters = line_share_clusters(docs, hash_family="md5").select(
+        "doc_id", "cluster_id")
+    return cluster_split(clusters, val_pct=20).orderBy("doc_id")
+
+
+def _leakage_split_oracle_sql() -> str:
+    from llm_scraper_spark.operators.sampling import cluster_split_sql_expr
+
+    expr = cluster_split_sql_expr("lab.cluster_id", val_pct=20)
+    return _dedup_clusters_cte() + f"""
+        SELECT lab.doc_id, lab.cluster_id, {expr} AS split
+        FROM lab ORDER BY lab.doc_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3749,6 +3948,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_entropy": q_url_entropy,
         "focused_relevance": q_focused_relevance,
         "dust_rewrite": q_dust_rewrite,
+        "incremental_dedup": q_incremental_dedup,
+        "mirror_hosts": q_mirror_hosts,
+        "domain_cap": q_domain_cap,
+        "budget_select": q_budget_select,
+        "leakage_split": q_leakage_split,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -4137,6 +4341,11 @@ def oracle_sql() -> dict[str, str]:
         "url_entropy": _url_entropy_oracle_sql(),
         "focused_relevance": _focused_relevance_oracle_sql(),
         "dust_rewrite": _dust_rewrite_oracle_sql(),
+        "incremental_dedup": _incremental_dedup_oracle_sql(),
+        "mirror_hosts": _mirror_hosts_oracle_sql(),
+        "domain_cap": _domain_cap_oracle_sql(),
+        "budget_select": _budget_select_oracle_sql(),
+        "leakage_split": _leakage_split_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

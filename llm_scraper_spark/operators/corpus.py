@@ -337,3 +337,192 @@ scored AS (
 SELECT doc AS doc_id, count(*) AS n_matched,
        CAST(sum(fp) AS BIGINT) AS score_fp
 FROM scored GROUP BY doc"""
+
+
+# ---------------------------------------------------------------------------
+# per-domain share cap (C4 / RefinedWeb-style diversity control)
+# ---------------------------------------------------------------------------
+
+def domain_cap(
+    docs: DataFrame,
+    cap_ppm: int,
+    host_col: str = "host",
+    tokens_col: str = "tokens",
+    quality_col: str = "quality_fp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain token-share cap — the corpus diversity control every
+    web-scale training set applies (C4 and RefinedWeb cap any single
+    registered domain's contribution so Wikipedia mirrors and SEO farms
+    can't dominate the mixture): no host may contribute more than
+    ``cap_ppm`` parts-per-million of the corpus' total tokens, and when a
+    host overflows, its LOWEST-quality docs are dropped first.
+
+    Exact integer protocol: ``cap_tokens = (total_tokens * cap_ppm) DIV
+    1e6`` (one tiny agg broadcast back); within each host docs are
+    ranked ``(quality DESC, doc_id ASC)`` and kept while the
+    cumulative-inclusive token count stays ``<= cap_tokens`` — a strict
+    prefix rule, so the decision for every doc is reproducible from the
+    (host-local) ordering alone under any partitioning.
+
+    Scale shape: ONE per-host window over the slim (host, tokens,
+    quality, id) projection + one scalar aggregate joined via broadcast
+    — no global ordering anywhere. Returns the input columns plus
+    ``cum_tokens, cap_tokens, keep``.
+    """
+    tot = docs.agg(F.sum(tokens_col).cast("long").alias("_total"))
+    cap_expr = F.expr(f"(_total * {int(cap_ppm)}) DIV 1000000")
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .withColumn("cap_tokens", cap_expr.cast("long"))
+        .withColumn("cum_tokens",
+                    F.sum(tokens_col).over(w).cast("long"))
+        .withColumn("keep", F.col("cum_tokens") <= F.col("cap_tokens"))
+        .drop("_total")
+    )
+
+
+def domain_cap_oracle_sql(docs_sql: str, cap_ppm: int) -> str:
+    """DuckDB twin of :func:`domain_cap` — same integer cap derivation
+    and the same (quality DESC, doc_id) cumulative prefix rule."""
+    return f"""
+WITH d AS ({docs_sql}),
+tot AS (SELECT sum(tokens)::BIGINT AS _total FROM d),
+ranked AS (
+  SELECT d.*, ((tot._total * {int(cap_ppm)}) // 1000000)::BIGINT
+           AS cap_tokens,
+         sum(tokens) OVER (PARTITION BY host
+                           ORDER BY quality_fp DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          )::BIGINT AS cum_tokens
+  FROM d, tot)
+SELECT *, cum_tokens <= cap_tokens AS keep
+FROM ranked"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection (histogram-threshold, no global sort)
+# ---------------------------------------------------------------------------
+
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    bin_width: int = 10_000,
+    tokens_col: str = "tokens",
+    quality_col: str = "quality_fp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select the highest-quality docs whose tokens fit a global budget —
+    the "take the best N tokens" curation step — WITHOUT a global sort.
+    A naive top-k orders the whole corpus by quality (one
+    all-data-on-one-ordering exchange, the classic 100 TB scale killer);
+    this is the histogram-threshold form: quantize quality into
+    ``quality_fp DIV bin_width`` bins, aggregate (tokens, count) per bin
+    (map-side combined, bins are bounded), find the threshold bin where
+    the budget crosses via a window over the TINY bin table, take every
+    doc ABOVE the threshold outright, and order only WITHIN the single
+    boundary bin to fill what remains — the per-row decision everywhere
+    else is a broadcast integer comparison.
+
+    Exact integer protocol: docs in bins strictly above ``thr_bin`` are
+    kept; the remaining budget ``rem = budget - tokens_above`` fills the
+    boundary bin in ``(quality DESC, doc_id ASC)`` order under the same
+    cumulative-inclusive ``<= rem`` prefix rule as :func:`domain_cap`.
+    Ties and boundaries are thus fully deterministic, and the single
+    window only ever sees ONE bin's rows (bounded by corpus/bins under
+    any non-adversarial quality distribution; pick ``bin_width`` so a
+    bin's tokens ~ budget/100).
+
+    Returns the input columns plus ``bin, tier ('full'|'boundary'|NULL),
+    keep``.
+    """
+    b = F.expr(f"{quality_col} DIV {int(bin_width)}")
+    binned = docs.withColumn("bin", b.cast("long"))
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(tokens_col).cast("long").alias("_bt"))
+    wb = (Window.orderBy(F.col("bin").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bins = per_bin.withColumn("_cum", F.sum("_bt").over(wb).cast("long"))
+    # threshold bin: the HIGHEST bin whose cumulative-from-top EXCEEDS the
+    # budget — the first crossing walking down from the top, so every bin
+    # above it fits entirely; if none exceeds, all fit
+    thr = bins.agg(
+        F.max(F.when(F.col("_cum") > int(budget_tokens), F.col("bin")))
+        .alias("_thr"),
+        F.coalesce(
+            F.max(F.when(F.col("_cum") <= int(budget_tokens), F.col("_cum"))),
+            F.lit(0)).cast("long").alias("_above"),
+    )
+    wq = (
+        Window.partitionBy("bin")
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        binned.crossJoin(F.broadcast(thr))
+        .withColumn(
+            "tier",
+            F.when(F.col("_thr").isNull() | (F.col("bin") > F.col("_thr")),
+                   F.lit("full"))
+            .when(F.col("bin") == F.col("_thr"), F.lit("boundary")))
+        .withColumn(
+            "_cumq",
+            F.when(F.col("tier") == "boundary",
+                   F.sum(tokens_col).over(wq)).cast("long"))
+        .withColumn(
+            "keep",
+            F.when(F.col("tier") == "full", F.lit(True))
+            .when(F.col("tier") == "boundary",
+                  F.col("_cumq") <= F.lit(int(budget_tokens)) - F.col("_above"))
+            .otherwise(F.lit(False)))
+        .drop("_thr", "_above", "_cumq")
+    )
+    return out
+
+
+def budget_select_oracle_sql(docs_sql: str, budget_tokens: int,
+                             bin_width: int = 10_000) -> str:
+    """DuckDB twin of :func:`budget_select` — same binning, threshold
+    scan, and boundary-bin prefix fill."""
+    B = int(budget_tokens)
+    return f"""
+WITH d AS ({docs_sql}),
+binned AS (SELECT d.*, (quality_fp // {int(bin_width)})::BIGINT AS bin
+           FROM d),
+per_bin AS (SELECT bin, sum(tokens)::BIGINT AS _bt
+            FROM binned GROUP BY bin),
+bins AS (
+  SELECT bin, sum(_bt) OVER (ORDER BY bin DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)::BIGINT AS _cum
+  FROM per_bin),
+thr AS (
+  SELECT max(CASE WHEN _cum > {B} THEN bin END) AS _thr,
+         coalesce(max(CASE WHEN _cum <= {B} THEN _cum END), 0)::BIGINT
+           AS _above
+  FROM bins),
+tiered AS (
+  SELECT b.*,
+         CASE WHEN t._thr IS NULL OR b.bin > t._thr THEN 'full'
+              WHEN b.bin = t._thr THEN 'boundary' END AS tier,
+         t._above
+  FROM binned b, thr t),
+cumq AS (
+  SELECT tiered.*,
+         CASE WHEN tier = 'boundary' THEN
+           sum(tokens) OVER (PARTITION BY bin
+                             ORDER BY quality_fp DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+         END::BIGINT AS _cumq
+  FROM tiered)
+SELECT * EXCLUDE (_cumq, _above),
+       CASE WHEN tier = 'full' THEN TRUE
+            WHEN tier = 'boundary' THEN _cumq <= {B} - _above
+            ELSE FALSE END AS keep
+FROM cumq"""

@@ -967,3 +967,250 @@ def duplicated_gram_counts(df: DataFrame, text_col: str = "text",
              F.sum(F.coalesce("_isdup", F.lit(0))).alias("n_dup"))
         .select(F.col("id").alias(id_col), "n_grams", "n_dup")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental SimHash dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def incremental_simhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental near-dup gate: which docs of a NEW crawl ``batch`` are
+    near-duplicates of an EXISTING ``corpus``? The operation a continuous
+    crawl actually needs — re-deduping 100 TB on every wave is a full
+    O(corpus) pass, while this is O(batch + matched buckets): in
+    production the corpus side of the bucket join reads a precomputed
+    (chunk, id, simhash) table (exactly what this function's first stage
+    emits) partition-pruned to the batch's chunk values, so cost scales
+    with the DELTA.
+
+    Blocking: 4 chunks of 16 bits (xxhash64 family) or 15 bits (60-bit
+    md5 oracle family) — any pair within hamming<=3 of a 4-chunk split
+    agrees on >= 1 chunk (pigeonhole), same recall argument as
+    :func:`simhash_near_dups`. Chunks matching more than ``max_bucket``
+    CORPUS docs are dropped from candidate generation (the all-zero
+    fingerprint of empty/near-empty docs and boilerplate-dominated
+    chunks would otherwise quadratically explode the join) — the cap is
+    part of the spec and replayed by the oracle.
+
+    Returns one row per batch doc: ``(doc_id, simhash, is_dup, dup_of,
+    hamming)`` with ``dup_of`` = the minimum matching corpus id at the
+    minimum hamming distance (deterministic), NULL when ``is_dup`` is
+    false.
+    """
+    n_bits = 64 if hash_family == "xxhash64" else 60
+    chunk_bits = n_bits // 4
+    mask = (1 << chunk_bits) - 1
+    c_sig = simhash64(corpus, text_col, id_col, hash_family)
+    b_sig = simhash64(batch, text_col, id_col, hash_family)
+
+    def chunked(sig: DataFrame, side: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col("simhash").alias(f"sh_{side}"),
+            F.posexplode(
+                F.array(*[
+                    F.shiftright(F.col("simhash"), chunk_bits * i)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(4)
+                ])
+            ).alias("chunk_idx", "chunk"),
+        )
+
+    c_chunks = chunked(c_sig, "c")
+    # hot-chunk cap, measured on the CORPUS side (the big side)
+    ok = (c_chunks.groupBy("chunk_idx", "chunk")
+          .agg(F.count(F.lit(1)).alias("_n"))
+          .filter(F.col("_n") <= int(max_bucket))
+          .select("chunk_idx", "chunk"))
+    b_chunks = chunked(b_sig, "b")
+    cand = (
+        b_chunks.join(ok, ["chunk_idx", "chunk"])
+        .join(c_chunks, ["chunk_idx", "chunk"])
+        .select("id_b", "sh_b", "id_c", "sh_c")
+        .dropDuplicates(["id_b", "id_c"])
+        .withColumn("hamming", hamming64("sh_b", "sh_c"))
+        .filter(F.col("hamming") <= int(max_hamming))
+    )
+    best = (
+        cand.groupBy("id_b")
+        .agg(F.min(F.struct("hamming", "id_c")).alias("_m"))
+        .select(F.col("id_b"),
+                F.col("_m.id_c").alias("dup_of"),
+                F.col("_m.hamming").alias("hamming"))
+    )
+    return (
+        b_sig.join(best, b_sig[id_col] == best["id_b"], "left")
+        .select(
+            F.col(id_col), F.col("simhash"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of", "hamming",
+        )
+    )
+
+
+def incremental_simhash_oracle_sql(
+    corpus_sql: str,
+    batch_sql: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    n_bits: int = 60,
+) -> str:
+    """DuckDB twin of :func:`incremental_simhash_dedup` (md5 family):
+    recomputes both sides' fingerprints token-by-token, the 4-chunk
+    blocking, the corpus-side bucket cap, the xor-popcount verify, and
+    the (hamming, id)-minimum dup_of."""
+    chunk_bits = n_bits // 4
+    mask = (1 << chunk_bits) - 1
+    sums = ", ".join(
+        f"sum(CASE WHEN ((v >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(n_bits))
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(n_bits))
+    chunks = ", ".join(
+        f"(simhash >> {chunk_bits * i}) & {mask}" for i in range(4))
+
+    def sig_cte(src_sql: str, name: str) -> str:
+        return f"""
+{name}_t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM ({src_sql})),
+{name}_h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS v
+  FROM {name}_t),
+{name}_s AS (SELECT doc_id, {sums} FROM {name}_h GROUP BY doc_id),
+{name}_sig AS (SELECT doc_id, ({fp}) AS simhash FROM {name}_s),
+{name}_ch AS (
+  SELECT doc_id, simhash,
+         unnest(generate_series(0, 3)) AS chunk_idx,
+         unnest([{chunks}]) AS chunk
+  FROM {name}_sig)"""
+
+    return f"""
+WITH {sig_cte(corpus_sql, 'c')},
+{sig_cte(batch_sql, 'b').lstrip()},
+ok AS (
+  SELECT chunk_idx, chunk FROM c_ch GROUP BY chunk_idx, chunk
+  HAVING count(*) <= {int(max_bucket)}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS id_b, b.simhash AS sh_b,
+                  c.doc_id AS id_c, c.simhash AS sh_c
+  FROM b_ch b
+  JOIN ok USING (chunk_idx, chunk)
+  JOIN c_ch c USING (chunk_idx, chunk)),
+ver AS (
+  SELECT id_b, id_c, bit_count(xor(sh_b, sh_c)) AS hamming
+  FROM cand WHERE bit_count(xor(sh_b, sh_c)) <= {int(max_hamming)}),
+best AS (
+  SELECT id_b, min(hamming) AS hamming FROM ver GROUP BY id_b),
+pick AS (
+  SELECT v.id_b, min(v.id_c) AS dup_of, b.hamming
+  FROM ver v JOIN best b ON b.id_b = v.id_b AND b.hamming = v.hamming
+  GROUP BY v.id_b, b.hamming)
+SELECT s.doc_id, s.simhash,
+       p.dup_of IS NOT NULL AS is_dup, p.dup_of, p.hamming
+FROM b_sig s LEFT JOIN pick p ON p.id_b = s.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# mirror-host detection (Bharat & Broder 1999)
+# ---------------------------------------------------------------------------
+
+def mirror_hosts(
+    pages: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "content_fp",
+    min_shared: int = 5,
+    min_overlap_pct: int = 50,
+    max_hosts_per_fp: int = 50,
+) -> DataFrame:
+    """Host-pair mirror detection from ``(host, content_fingerprint)``
+    crawl evidence — Bharat & Broder's "mirror, mirror on the web"
+    (WWW 1999) shingle-overlap test lifted to whole-page fingerprints: two
+    hosts serving largely the same content set are mirrors (or
+    scraper/proxy copies), and the crawler should fetch ONE of them and
+    alias the other (the host-level big brother of DUST's param rules).
+
+    Overlap score is the containment coefficient in integer percent:
+    ``100 * |A ∩ B| DIV min(|A|, |B|)`` — containment (not Jaccard)
+    deliberately, so a small mirror fully contained in a big host still
+    scores 100. A pair ships when ``shared >= min_shared`` and the
+    percent clears ``min_overlap_pct``.
+
+    Scale shape: the pair generator joins the slim DISTINCT (fp, host)
+    projection with itself ON fp — and fingerprints served by more than
+    ``max_hosts_per_fp`` hosts are dropped first (empty pages, shared
+    boilerplate, parked-domain templates would otherwise create a
+    quadratic hot key; a fingerprint on 1000 hosts is boilerplate, not
+    mirror evidence — documented cap, replayed by the oracle). Host
+    sizes come from one map-side-combined groupBy; everything is
+    integer.
+
+    Returns ``(host_a, host_b, shared, n_a, n_b, overlap_pct)`` with
+    host_a < host_b.
+    """
+    hf = pages.select(F.col(host_col).alias("host"),
+                      F.col(fp_col).alias("fp")).distinct()
+    sizes = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    ok = (hf.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+          .filter(F.col("_n") <= int(max_hosts_per_fp)).select("fp"))
+    slim = hf.join(ok, "fp")
+    a = slim.select(F.col("fp"), F.col("host").alias("host_a"))
+    b = slim.select(F.col("fp"), F.col("host").alias("host_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= int(min_shared))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"),
+                      F.col("n").cast("long").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("n").cast("long").alias("n_b"))
+    return (
+        pairs.join(sa, "host_a").join(sb, "host_b")
+        .withColumn("overlap_pct",
+                    F.expr("(100 * shared) DIV least(n_a, n_b)").cast("int"))
+        .filter(F.col("overlap_pct") >= int(min_overlap_pct))
+        .select("host_a", "host_b", "shared", "n_a", "n_b", "overlap_pct")
+    )
+
+
+def mirror_hosts_oracle_sql(
+    pages_sql: str,
+    min_shared: int = 5,
+    min_overlap_pct: int = 50,
+    max_hosts_per_fp: int = 50,
+) -> str:
+    """DuckDB twin of :func:`mirror_hosts` — identical distinct
+    projection, hot-fingerprint cap, pair counts, and integer containment
+    percent."""
+    return f"""
+WITH hf AS (
+  SELECT DISTINCT host, content_fp AS fp FROM ({pages_sql})),
+sizes AS (SELECT host, count(*)::BIGINT AS n FROM hf GROUP BY host),
+ok AS (
+  SELECT fp FROM hf GROUP BY fp
+  HAVING count(*) <= {int(max_hosts_per_fp)}),
+slim AS (SELECT hf.* FROM hf JOIN ok USING (fp)),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+  FROM slim a JOIN slim b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2
+  HAVING count(*) >= {int(min_shared)})
+SELECT p.host_a, p.host_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+       ((100 * p.shared) // least(sa.n, sb.n))::INT AS overlap_pct
+FROM pairs p
+JOIN sizes sa ON sa.host = p.host_a
+JOIN sizes sb ON sb.host = p.host_b
+WHERE (100 * p.shared) // least(sa.n, sb.n) >= {int(min_overlap_pct)}"""

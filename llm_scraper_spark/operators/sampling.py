@@ -171,3 +171,48 @@ def weighted_sample_topk(df: DataFrame, k: int, weight_col: str,
     keyed = df.withColumn("aes_key_fp", aes_key_fp(key_col, weight_col, seed))
     return (keyed.filter(F.col("aes_key_fp").isNotNull())
             .orderBy(F.asc("aes_key_fp"), F.col(key_col)).limit(k))
+
+
+def cluster_split(
+    clusters: DataFrame,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/validation split: the split decision hashes the
+    near-dup CLUSTER id, not the document id, so two near-duplicate
+    documents can NEVER straddle the boundary — the train/test
+    contamination mode document-level hashing cannot prevent (a val doc's
+    near-twin sitting in train is memorization leakage that benchmark
+    decontamination won't catch because the val set isn't a benchmark).
+    Input is any (doc_id, cluster_id) assignment — e.g.
+    ``dedup.line_share_clusters`` or connected components over minhash
+    pairs; singleton docs are their own cluster and split independently.
+
+    Deterministic and engine-replayable: ``md5(cluster_id || '#' ||
+    seed)`` 60-bit, uniform mod 100 < val_pct — the hash_uniform family
+    (null-propagating F.concat, same expression in the oracle). Zero
+    shuffles on top of the cluster assignment: one narrow projection.
+
+    Returns the input plus ``split`` ('val' | 'train').
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(cluster_col).cast("string"),
+                               F.lit("#"), F.lit(seed))), 1, 15),
+            16, 10).cast("long") % 100
+    )
+    return clusters.withColumn(
+        "split",
+        F.when(h < int(val_pct), F.lit("val")).otherwise(F.lit("train")))
+
+
+def cluster_split_sql_expr(cluster_sql: str, val_pct: int = 10,
+                           seed: str = "split") -> str:
+    """DuckDB scalar twin of :func:`cluster_split`'s split expression."""
+    return (
+        f"(CASE WHEN ('0x' || substring(md5({cluster_sql}::VARCHAR"
+        f" || '#{seed}'), 1, 15))::BIGINT % 100 < {int(val_pct)}"
+        " THEN 'val' ELSE 'train' END)")

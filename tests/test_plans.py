@@ -557,3 +557,48 @@ def test_session6_operators_plan_shapes(spark, sf_mid):
     # and the real operator's output is reachable without Python stages
     out = relevance_propagation(edges, seeds, rounds=1)
     assert "Python" not in _exec_plan(out)
+
+
+def test_session6b_operators_plan_shapes(spark, sf_mid):
+    """Batch-2 scale shapes, pinned: no Python stage and no cartesian
+    product anywhere; domain_cap is one per-host window plus a broadcast
+    1-row total; budget_select's only per-doc window is the boundary
+    bin's; cluster_split adds zero exchanges."""
+    from llm_scraper_spark.operators.corpus import budget_select, domain_cap
+    from llm_scraper_spark.operators.dedup import (
+        incremental_simhash_dedup, mirror_hosts)
+    from llm_scraper_spark.operators.sampling import cluster_split
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "text", "source", "n_chars")
+
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    p = _exec_plan(incremental_simhash_dedup(corpus, batch))
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    pages = docs.select(F.col("source").alias("host"),
+                        F.substring("text", 1, 16).alias("content_fp"))
+    p = _exec_plan(mirror_hosts(pages))
+    assert "Python" not in p and "CartesianProduct" not in p
+
+    cur = docs.select(
+        "doc_id", F.col("source").alias("host"),
+        (F.col("n_chars") + 1).alias("tokens"),
+        (F.col("doc_id") % 1000).alias("quality_fp"))
+    p = _exec_plan(domain_cap(cur, 10_000))
+    assert p.count("Window") == 1, p
+    assert "Python" not in p
+
+    p = _exec_plan(budget_select(cur, 30_000))
+    # two windows total: the tiny per-bin cumulative + the boundary bin's
+    assert p.count("Window") == 2, p
+    assert "Python" not in p
+
+    clusters = docs.select("doc_id",
+                           (F.col("doc_id") % 37).alias("cluster_id"))
+    base = _exec_plan(clusters)
+    p = _exec_plan(cluster_split(clusters))
+    assert p.count("Exchange") == base.count("Exchange"), p
+    assert "Python" not in p
