@@ -2415,12 +2415,15 @@ def _pii_oracle_sql() -> str:
 
 
 def _minhash_cte_prefix(bands: int = 4, rows: int = 8, n_shingle: int = 3,
-                        max_bucket: int = 200) -> str:
+                        max_bucket: int = 200,
+                        docs_sql: str | None = None) -> str:
     """The shared DuckDB CTE chain recomputing the MinHash+LSH candidate
     pipeline (md5 family): 3-gram shingles, 32 md5-carved 32-bit
     permutation hashes, banded LSH with the bucket-size cap, distinct
     pairs. Ends after the ``pairs`` CTE — callers append their own SELECT
-    (signature-agreement estimate, exact shingle-set Jaccard, ...)."""
+    (signature-agreement estimate, exact shingle-set Jaccard, ...).
+    ``docs_sql`` overrides the (doc_id, text) source (default: the
+    ``documents`` view)."""
     k = bands * rows
     sig_exprs = []
     for p in range(k):
@@ -2438,10 +2441,11 @@ def _minhash_cte_prefix(bands: int = 4, rows: int = 8, n_shingle: int = 3,
             f"SELECT doc_id, {j} AS band_idx, "
             f"md5({parts} || ',' || '{j}') AS band_hash FROM sigs"
         )
+    src = f"({docs_sql})" if docs_sql else "documents"
     return rf"""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
-          FROM documents
+          FROM {src}
         ), sh AS (
           SELECT doc_id,
                  list_transform(range(1, greatest(len(w) - {n_shingle - 1}, 0) + 1),
@@ -3915,6 +3919,189 @@ def _leakage_split_oracle_sql() -> str:
         FROM lab ORDER BY lab.doc_id"""
 
 
+def q_pld_rollup(spark, sf_dir):
+    """Registered-domain (pay-level-domain) rollup — the aggregation
+    level Common Crawl's webgraph ships alongside the host graph,
+    because host-level stats overcount subdomain-sharded sites
+    (blogspot/github-pages tenants). Hostnames are synthesized with
+    md5-chosen subdomain depths and a suffix mix including multipart
+    registries (co.uk, com.au); the PLD extraction is a pure native
+    split/element_at/CASE chain over the embedded suffix subset, and the
+    rollup counts distinct hosts and URLs per PLD."""
+    from llm_scraper_spark.functions.urls import registered_domain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id").cast("string")
+    sub = (F.when(_md5_60bit(F.col("doc_id"), ":sd") % 4 == 0, "www.")
+           .when(_md5_60bit(F.col("doc_id"), ":sd") % 4 == 1, "a.b.")
+           .when(_md5_60bit(F.col("doc_id"), ":sd") % 4 == 2, "cdn.")
+           .otherwise(""))
+    name = F.concat(F.lit("site"), (F.col("doc_id") % 23).cast("string"))
+    sfx = (F.when(_md5_60bit(F.col("doc_id"), ":sx") % 5 == 0, ".co.uk")
+           .when(_md5_60bit(F.col("doc_id"), ":sx") % 5 == 1, ".com.au")
+           .when(_md5_60bit(F.col("doc_id"), ":sx") % 5 == 2, ".org")
+           .when(_md5_60bit(F.col("doc_id"), ":sx") % 5 == 3, ".net")
+           .otherwise(".com"))
+    hosts = docs.select(
+        F.concat(sub, name, sfx).alias("host"), "doc_id")
+    return (
+        hosts.withColumn("pld", registered_domain("host"))
+        .groupBy("pld")
+        .agg(F.countDistinct("host").cast("long").alias("n_hosts"),
+             F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .orderBy("pld")
+    )
+
+
+def _pld_rollup_oracle_sql() -> str:
+    from llm_scraper_spark.functions.urls import registered_domain_sql_expr
+
+    pld = registered_domain_sql_expr("host")
+    return f"""
+WITH h AS (
+  SELECT (CASE (('0x' || substring(md5(doc_id::VARCHAR || ':sd'), 1,
+                                   15))::BIGINT % 4)
+            WHEN 0 THEN 'www.' WHEN 1 THEN 'a.b.' WHEN 2 THEN 'cdn.'
+            ELSE '' END)
+         || 'site' || (doc_id % 23)::VARCHAR
+         || (CASE (('0x' || substring(md5(doc_id::VARCHAR || ':sx'), 1,
+                                      15))::BIGINT % 5)
+               WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com.au'
+               WHEN 2 THEN '.org' WHEN 3 THEN '.net'
+               ELSE '.com' END) AS host,
+         doc_id
+  FROM documents)
+SELECT {pld} AS pld, count(DISTINCT host)::BIGINT AS n_hosts,
+       count(*)::BIGINT AS n_urls
+FROM h GROUP BY 1 ORDER BY pld"""
+
+
+def q_degree_powerlaw(spark, sf_dir):
+    """Out-degree distribution + Hill power-law exponent of the host
+    graph (Clauset-Shalizi-Newman's MLE over the tail d >= k_min) — the
+    heavy-tail constant that predicts frontier skew and sizes hot-host
+    salting. Per-host floor(1e6*ln(d/k_min)) BIGINTs sum exactly under
+    any partitioning; alpha is then pure integer arithmetic; the tiny
+    summary broadcasts onto the degree histogram."""
+    from llm_scraper_spark.operators.graph import degree_powerlaw
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return degree_powerlaw(edges, k_min=2).orderBy("degree")
+
+
+def _degree_powerlaw_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import degree_powerlaw_oracle_sql
+
+    return (degree_powerlaw_oracle_sql(_hyperball_edges_sql(), k_min=2)
+            + "\nORDER BY degree")
+
+
+def q_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity (Serrano & Boguñá 2003): the share of a
+    host's distinct out-links answered by a link back, in integer ppm —
+    separates editorial linking from extractive spam targeting and is
+    the basic webgraph health statistic. One self-join of the distinct
+    edge list against its reversal + one map-side-combined groupBy."""
+    from llm_scraper_spark.operators.graph import reciprocity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return reciprocity(edges).orderBy("host")
+
+
+def _reciprocity_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import reciprocity_oracle_sql
+
+    return (reciprocity_oracle_sql(_hyperball_edges_sql())
+            + "\nORDER BY host")
+
+
+def q_wilson_success(spark, sf_dir):
+    """Per-host fetch-success ranking by the Wilson lower bound (z=2) —
+    the confidence-adjusted sort that keeps a 3/3 host from outranking a
+    96/100 one, feeding the retry/suspend tier. Counts are exact
+    BIGINTs; the bound is one fixed-order sqrt expression (IEEE sqrt is
+    correctly rounded, hence engine-identical) floored to 1e6 fixed
+    point. Success flags derived md5-closed-form from documents."""
+    from llm_scraper_spark.operators.frontier import wilson_success
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.select(
+        F.col("source").alias("host"),
+        (_md5_60bit(F.col("doc_id"), ":ok") % 10 < 8).alias("ok"),
+    )
+    return wilson_success(history).orderBy("host")
+
+
+def _wilson_success_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import (
+        wilson_success_oracle_sql)
+
+    history_sql = """
+      SELECT source AS host,
+             ('0x' || substring(md5(doc_id::VARCHAR || ':ok'), 1,
+                                15))::BIGINT % 10 < 8 AS ok
+      FROM documents"""
+    return wilson_success_oracle_sql(history_sql) + "\nORDER BY host"
+
+
+_CONTAINMENT_DOCS_SQL = r"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(
+           list_slice(regexp_split_to_array(lower(trim(text)), '\s+'),
+                      1, 15), ' ')
+  FROM documents WHERE doc_id % 20 = 0"""
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Exact n-gram CONTAINMENT over LSH candidates (Broder's
+    resemblance-vs-containment split): every 20th doc also exists as a
+    15-token excerpt, so quotation/inclusion pairs score containment
+    1e6 ppm from the excerpt side while Jaccard stays low — the case
+    Jaccard-only verification misses. Permissive banding (16x2 over the
+    same 32 md5-carved hashes) favors recall; all counts and both ppm
+    directions are exact integers the oracle recomputes end-to-end."""
+    from llm_scraper_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                         1, 15)).alias("text"))
+    inp = docs.unionByName(excerpts)
+    return (ngram_containment_pairs(inp, bands=16, rows=2,
+                                    hash_family="md5")
+            .orderBy("id_a", "id_b"))
+
+
+def _containment_pairs_oracle_sql() -> str:
+    return _minhash_cte_prefix(bands=16, rows=2,
+                               docs_sql=_CONTAINMENT_DOCS_SQL) + r"""
+        , ssets AS (
+          SELECT doc_id, list_distinct(s) AS ss FROM sh WHERE len(s) >= 1
+        )
+        SELECT p.id_a, p.id_b,
+               len(list_intersect(ca.ss, cb.ss))::BIGINT AS n_common,
+               len(ca.ss)::BIGINT AS n_a,
+               len(cb.ss)::BIGINT AS n_b,
+               ((1000000 * len(list_intersect(ca.ss, cb.ss)))
+                // len(ca.ss))::BIGINT AS containment_a_ppm,
+               ((1000000 * len(list_intersect(ca.ss, cb.ss)))
+                // len(cb.ss))::BIGINT AS containment_b_ppm
+        FROM pairs p
+        JOIN ssets ca ON ca.doc_id = p.id_a
+        JOIN ssets cb ON cb.doc_id = p.id_b
+        ORDER BY p.id_a, p.id_b"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3953,6 +4140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "budget_select": q_budget_select,
         "leakage_split": q_leakage_split,
+        "pld_rollup": q_pld_rollup,
+        "degree_powerlaw": q_degree_powerlaw,
+        "reciprocity": q_reciprocity,
+        "wilson_success": q_wilson_success,
+        "containment_pairs": q_containment_pairs,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -4346,6 +4538,11 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _domain_cap_oracle_sql(),
         "budget_select": _budget_select_oracle_sql(),
         "leakage_split": _leakage_split_oracle_sql(),
+        "pld_rollup": _pld_rollup_oracle_sql(),
+        "degree_powerlaw": _degree_powerlaw_oracle_sql(),
+        "reciprocity": _reciprocity_oracle_sql(),
+        "wilson_success": _wilson_success_oracle_sql(),
+        "containment_pairs": _containment_pairs_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

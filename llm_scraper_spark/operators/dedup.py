@@ -1214,3 +1214,50 @@ FROM pairs p
 JOIN sizes sa ON sa.host = p.host_a
 JOIN sizes sb ON sb.host = p.host_b
 WHERE (100 * p.shared) // least(sa.n, sb.n) >= {int(min_overlap_pct)}"""
+
+
+def ngram_containment_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_shingle: int = 3, bands: int = 16, rows: int = 4,
+    max_bucket_size: int = 200, hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for LSH candidate pairs — the asymmetric
+    companion to :func:`ngram_jaccard_pairs`: ``C(A,B) = |A∩B| / |A|``
+    (Broder's resemblance-vs-containment distinction, SEQUENCES 1997).
+    Jaccard misses inclusions — a tweet quoted inside an article scores
+    near-zero Jaccard but containment ~1 from the tweet's side — so
+    quotation/inclusion detection, boilerplate-envelope discovery, and
+    "is this doc a superset of that one" all key on containment.
+
+    Integer end-to-end: shingle sets are exact, the three counts are
+    ints, and both directions ship as ppm (1e6 * common DIV size) — no
+    float division, engine-replayable. Same candidate generator and
+    bucket caps as the minhash pipeline (md5 family = oracle twin).
+
+    Returns ``(id_a, id_b, n_common, n_a, n_b, containment_a_ppm,
+    containment_b_ppm)``.
+    """
+    cands = minhash_candidates(df, text_col, id_col, n_shingle, bands, rows,
+                               max_bucket_size, hash_family)
+    sh = (
+        shingles_exploded(df, text_col, id_col, n_shingle)
+        .groupBy("id").agg(F.collect_set("s").alias("sh"))
+    )
+    return (
+        cands.select("id_a", "id_b")
+        .join(sh.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("sh", "sh_a"), on="id_a")
+        .join(sh.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sh", "sh_b"), on="id_b")
+        .withColumn("n_common",
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("n_a", F.size("sh_a").cast("long"))
+        .withColumn("n_b", F.size("sh_b").cast("long"))
+        .select(
+            "id_a", "id_b", "n_common", "n_a", "n_b",
+            F.expr("(1000000 * n_common) DIV n_a").cast("long")
+            .alias("containment_a_ppm"),
+            F.expr("(1000000 * n_common) DIV n_b").cast("long")
+            .alias("containment_b_ppm"),
+        )
+    )

@@ -1215,3 +1215,58 @@ SELECT host, n_urls, n_templates,
         > {int(entropy_threshold_fp)}) AND n_urls >= {int(min_urls)}
          AS trap
 FROM per_h"""
+
+
+# ---------------------------------------------------------------------------
+# Wilson-lower-bound fetch success ranking
+# ---------------------------------------------------------------------------
+
+def wilson_success(history: DataFrame, host_col: str = "host",
+                   ok_col: str = "ok") -> DataFrame:
+    """Per-host fetch-success ranking by the Wilson score interval's
+    lower bound (Wilson 1927; the "how not to sort by average rating"
+    correction): a host that served 3/3 requests must NOT outrank one
+    that served 96/100, so the retry/suspend policy sorts by the
+    confidence-adjusted lower bound, not the raw ratio. z = 2
+    (~97.7% one-sided) keeps every constant an exact small integer:
+
+        lb = (s + 2 - 2*sqrt(s*(n-s)/n + 1)) / (n + 4)
+
+    Determinism: n and s are exact BIGINTs from one map-side-combined
+    groupBy; the bound is ONE fixed-order double expression over
+    exactly-representable integers — division, sqrt (correctly rounded
+    per IEEE 754, so engine-identical), multiply, divide — floored to
+    1e6 fixed point. No windows, no Python.
+
+    Returns ``(host, n, s, wilson_fp)``.
+    """
+    agg = (
+        history.groupBy(F.col(host_col).alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.coalesce(
+                 F.sum(F.col(ok_col).cast("int")), F.lit(0))
+             .cast("long").alias("s"))
+    )
+    n, s = F.col("n").cast("double"), F.col("s").cast("double")
+    lb = ((s + F.lit(2.0)
+           - F.lit(2.0) * F.sqrt(s * (n - s) / n + F.lit(1.0)))
+          / (n + F.lit(4.0)))
+    return agg.withColumn(
+        "wilson_fp", F.floor(F.lit(1e6) * lb).cast("long"))
+
+
+def wilson_success_oracle_sql(history_sql: str) -> str:
+    """DuckDB twin of :func:`wilson_success` — identical counts and the
+    same fixed-order sqrt expression."""
+    return f"""
+WITH h AS ({history_sql}),
+agg AS (
+  SELECT host, count(*)::BIGINT AS n,
+         coalesce(sum(CASE WHEN ok THEN 1 ELSE 0 END), 0)::BIGINT AS s
+  FROM h GROUP BY host)
+SELECT host, n, s,
+       floor(1e6 * ((s::DOUBLE + 2.0
+                     - 2.0 * sqrt(s::DOUBLE * (n::DOUBLE - s::DOUBLE)
+                                  / n::DOUBLE + 1.0))
+                    / (n::DOUBLE + 4.0)))::BIGINT AS wilson_fp
+FROM agg"""

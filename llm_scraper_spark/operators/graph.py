@@ -1413,3 +1413,122 @@ rel{i} AS (
         )
     parts.append(f"\nSELECT host, rel_fp FROM rel{rounds}")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# degree power-law tail (Hill estimator) + reciprocity
+# ---------------------------------------------------------------------------
+
+def degree_powerlaw(edges: DataFrame, k_min: int = 2) -> DataFrame:
+    """Out-degree distribution of the host graph with the Hill maximum-
+    likelihood power-law exponent over the tail (Hill 1975; the discrete
+    form surveyed in Clauset, Shalizi & Newman, SIAM Rev. 2009):
+
+        alpha_hat = 1 + n_tail / sum_{d >= k_min} ln(d / k_min)
+
+    Web host graphs are canonically heavy-tailed (alpha ~ 2.1 for
+    in-degree, Broder et al. WWW 2000); the fitted alpha is the
+    crawl-planning constant — it predicts how much frontier mass the
+    top hosts will absorb and whether hot-host salting is worth its
+    shuffle.
+
+    Exactness: per-host ``floor(1e6 * ln(d / k_min))`` BIGINTs sum
+    exactly under any partitioning (the bm25 floor-before-sum
+    discipline), then ``alpha_fp = 1e6 + (n_tail * 1e12) DIV S`` is pure
+    integer arithmetic. Scale shape: one distinct + one groupBy for
+    degrees, one groupBy for the histogram (rows = distinct degree
+    values, tiny), one 2-value aggregate broadcast onto the histogram.
+
+    Returns the degree histogram ``(degree, n_hosts)`` with the summary
+    ``(k_min, n_tail, sum_ln_fp, alpha_fp)`` repeated on every row
+    (alpha_fp NULL when the tail is empty or has zero log-mass).
+    """
+    if k_min < 1:
+        raise ValueError("k_min must be >= 1")
+    e = (edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+         .distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hist = (deg.groupBy("d").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_hosts"))
+            .withColumnRenamed("d", "degree"))
+    term = F.floor(F.lit(1e6) * F.log(F.col("d").cast("double")
+                                      / F.lit(float(k_min)))).cast("long")
+    summ = (deg.filter(F.col("d") >= int(k_min))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tail"),
+                 F.coalesce(F.sum(term), F.lit(0)).cast("long")
+                 .alias("sum_ln_fp")))
+    summ = summ.select(
+        F.lit(int(k_min)).alias("k_min"), "n_tail", "sum_ln_fp",
+        F.when(F.col("sum_ln_fp") > 0,
+               F.lit(1_000_000)
+               + F.expr("(n_tail * 1000000000000) DIV sum_ln_fp"))
+        .cast("long").alias("alpha_fp"))
+    return hist.crossJoin(F.broadcast(summ))
+
+
+def degree_powerlaw_oracle_sql(edges_sql: str, k_min: int = 2) -> str:
+    """DuckDB twin of :func:`degree_powerlaw` — identical distinct,
+    degree counts, per-host floored log terms, and integer alpha."""
+    k = int(k_min)
+    return f"""
+WITH raw_edges AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+hist AS (SELECT d AS degree, count(*)::BIGINT AS n_hosts
+         FROM deg GROUP BY d),
+summ AS (
+  SELECT count(*)::BIGINT AS n_tail,
+         coalesce(sum(floor(1e6 * ln(d::DOUBLE / {k}.0))::BIGINT),
+                  0)::BIGINT AS sum_ln_fp
+  FROM deg WHERE d >= {k})
+SELECT h.degree, h.n_hosts, {k} AS k_min, s.n_tail, s.sum_ln_fp,
+       CASE WHEN s.sum_ln_fp > 0
+            THEN 1000000 + (s.n_tail * 1000000000000) // s.sum_ln_fp
+       END::BIGINT AS alpha_fp
+FROM hist h, summ s"""
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-host link reciprocity of the directed host graph: of a host's
+    distinct out-links, how many are answered by a link back?
+    ``recip_ppm = 1e6 * |out ∩ in^R| DIV outd``. Reciprocity separates
+    editorial linking (blogrolls, partners — high) from extractive
+    linking (spam/SEO targets — near zero back-linking), and feeds the
+    same prioritization tier as spam_mass; it is also the basic
+    webgraph health statistic (Serrano & Boguñá 2003 formalized it vs
+    the random-graph baseline).
+
+    Scale shape: ONE self-join of the distinct edge list against its
+    reversal on the composite (src,dst) key — hash join on slim
+    integer/string pairs, no windows — then a map-side-combined groupBy.
+    Integer end-to-end.
+
+    Returns ``(host, outd, recip, recip_ppm)``.
+    """
+    e = (edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+         .distinct())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   F.lit(1).alias("_r"))
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .groupBy(F.col("src").alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("outd"),
+             F.coalesce(F.sum("_r"), F.lit(0)).cast("long").alias("recip"))
+        .withColumn("recip_ppm",
+                    F.expr("(1000000 * recip) DIV outd").cast("long"))
+    )
+
+
+def reciprocity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`reciprocity` — same distinct edge set,
+    reversal join, and integer ppm."""
+    return f"""
+WITH raw_edges AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst)
+SELECT e.src AS host, count(*)::BIGINT AS outd,
+       coalesce(sum(CASE WHEN r.src IS NOT NULL THEN 1 END), 0)::BIGINT
+         AS recip,
+       ((1000000 * coalesce(sum(CASE WHEN r.src IS NOT NULL THEN 1 END),
+                            0)) // count(*))::BIGINT AS recip_ppm
+FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+GROUP BY e.src"""

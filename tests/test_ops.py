@@ -2782,3 +2782,156 @@ def test_cluster_split_no_leakage(spark):
         f"SELECT doc_id, cluster_id, {expr} AS split "
         f"FROM (VALUES {vals}) AS t(doc_id, cluster_id)").fetchall())
     assert got == want
+
+
+def test_registered_domain(spark):
+    import duckdb
+
+    from llm_scraper_spark.functions.urls import (
+        registered_domain, registered_domain_sql_expr)
+
+    cases = ["a.b.example.co.uk", "www.example.com", "example.com",
+             "localhost", "deep.sub.tree.example.org", "x.co.jp",
+             "co.uk", "s1.blog.example.com.br", "example.ac.uk"]
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r["host"]: r["pld"] for r in df.select(
+        "host", registered_domain("host").alias("pld")).collect()}
+    assert got["a.b.example.co.uk"] == "example.co.uk"
+    assert got["www.example.com"] == "example.com"
+    assert got["example.com"] == "example.com"
+    assert got["localhost"] == "localhost"
+    assert got["deep.sub.tree.example.org"] == "example.org"
+    assert got["x.co.jp"] == "x.co.jp"
+    assert got["co.uk"] == "co.uk"  # 2 labels pass through
+    assert got["s1.blog.example.com.br"] == "example.com.br"
+    # engine equality on every case
+    expr = registered_domain_sql_expr("host")
+    vals = ", ".join(f"('{h}')" for h in cases)
+    want = dict(duckdb.connect().execute(
+        f"SELECT host, {expr} FROM (VALUES {vals}) t(host)").fetchall())
+    assert got == want
+
+
+def test_degree_powerlaw_hand(spark):
+    import math
+
+    from llm_scraper_spark.operators.graph import degree_powerlaw
+
+    # hub with degree 4, two hosts with degree 2, one with degree 1
+    edges = ([("hub", f"t{i}") for i in range(4)]
+             + [("a", "t0"), ("a", "t1"), ("b", "t2"), ("b", "t3"),
+                ("c", "t0")])
+    e = spark.createDataFrame(edges, "src string, dst string")
+    out = degree_powerlaw(e, k_min=2).collect()
+    hist = {r["degree"]: r["n_hosts"] for r in out}
+    assert hist == {4: 1, 2: 2, 1: 1}
+    r = out[0]
+    assert r["n_tail"] == 3
+    want_s = (math.floor(1e6 * math.log(4 / 2.0))
+              + 2 * math.floor(1e6 * math.log(2 / 2.0)))
+    assert r["sum_ln_fp"] == want_s
+    assert r["alpha_fp"] == 1_000_000 + (3 * 10**12) // want_s
+
+
+def test_degree_powerlaw_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        degree_powerlaw, degree_powerlaw_oracle_sql)
+
+    edges = [(f"h{(i * 13) % 40}", f"h{(i * 7 + 1) % 40}")
+             for i in range(300)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(tuple(r) for r in degree_powerlaw(e, k_min=3).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    sql = degree_powerlaw_oracle_sql(
+        f"SELECT * FROM (VALUES {ev}) AS t(src, dst)", k_min=3)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_reciprocity_hand(spark):
+    from llm_scraper_spark.operators.graph import reciprocity
+
+    edges = [("a", "b"), ("b", "a"),            # reciprocated
+             ("a", "c"),                        # not
+             ("c", "d"), ("d", "c"),            # reciprocated
+             ("a", "b")]                        # duplicate edge ignored
+    e = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["host"]: r for r in reciprocity(e).collect()}
+    assert (out["a"]["outd"], out["a"]["recip"]) == (2, 1)
+    assert out["a"]["recip_ppm"] == 500_000
+    assert out["b"]["recip_ppm"] == 1_000_000
+    assert out["c"]["recip_ppm"] == 1_000_000 and out["c"]["outd"] == 1
+
+
+def test_reciprocity_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        reciprocity, reciprocity_oracle_sql)
+
+    edges = [(f"h{(i * 11) % 25}", f"h{(i * 17 + 2) % 25}")
+             for i in range(250)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(tuple(r) for r in reciprocity(e).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    sql = reciprocity_oracle_sql(
+        f"SELECT * FROM (VALUES {ev}) AS t(src, dst)")
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_wilson_success_hand(spark):
+    import math
+
+    from llm_scraper_spark.operators.frontier import wilson_success
+
+    rows = ([("good", True)] * 96 + [("good", False)] * 4
+            + [("tiny", True)] * 3)
+    df = spark.createDataFrame(rows, "host string, ok boolean")
+    out = {r["host"]: r for r in wilson_success(df).collect()}
+    g, t = out["good"], out["tiny"]
+    assert (g["n"], g["s"], t["n"], t["s"]) == (100, 96, 3, 3)
+    # 96/100 outranks 3/3 under the lower bound (the whole point)
+    assert g["wilson_fp"] > t["wilson_fp"]
+    want = math.floor(1e6 * ((96 + 2 - 2 * math.sqrt(96 * 4 / 100 + 1))
+                             / 104))
+    assert g["wilson_fp"] == want
+
+
+def test_wilson_success_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        wilson_success, wilson_success_oracle_sql)
+
+    rows = [(f"h{i % 20}", (i * 7) % 5 != 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "host string, ok boolean")
+    got = sorted(tuple(r) for r in wilson_success(df).collect())
+    vals = ", ".join(f"('{h}', {str(o).lower()})" for h, o in rows)
+    sql = wilson_success_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(host, ok)")
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_ngram_containment_pairs(spark):
+    from llm_scraper_spark.operators.dedup import ngram_containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog again"
+    article = quote + " padding words continue onwards here more " \
+                      "padding tokens fill the article body out"
+    df = spark.createDataFrame(
+        [(1, quote), (2, article),
+         (3, "entirely unrelated material occupies this document text")],
+        "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r
+           for r in ngram_containment_pairs(
+               df, bands=16, rows=1, hash_family="md5").collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    # every shingle of the quote appears in the article -> containment 1.0
+    assert r["containment_a_ppm"] == 1_000_000
+    assert r["containment_b_ppm"] < 1_000_000
+    assert all(k == (1, 2) for k in out)

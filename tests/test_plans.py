@@ -602,3 +602,39 @@ def test_session6b_operators_plan_shapes(spark, sf_mid):
     p = _exec_plan(cluster_split(clusters))
     assert p.count("Exchange") == base.count("Exchange"), p
     assert "Python" not in p
+
+
+def test_session6c_operators_plan_shapes(spark, sf_mid):
+    """Batch-3 scale shapes, pinned: PLD extraction adds zero exchanges
+    (pure projection); degree_powerlaw and reciprocity are hash-agg /
+    hash-join shapes with no window and no Python; wilson_success is a
+    single map-side-combined aggregate."""
+    from llm_scraper_spark.functions.urls import registered_domain
+    from llm_scraper_spark.operators.frontier import wilson_success
+    from llm_scraper_spark.operators.graph import (
+        degree_powerlaw, reciprocity)
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "source")
+
+    hosts = docs.select(F.col("source").alias("host"))
+    base = _exec_plan(hosts)
+    p = _exec_plan(hosts.withColumn("pld", registered_domain("host")))
+    assert p.count("Exchange") == base.count("Exchange"), p
+    assert "Python" not in p
+
+    edges = docs.select(F.col("source").alias("src"),
+                        F.concat(F.col("source"), F.lit("x")).alias("dst"))
+    p = _exec_plan(degree_powerlaw(edges))
+    assert "Window" not in p and "Python" not in p
+    assert "CartesianProduct" not in p
+
+    p = _exec_plan(reciprocity(edges))
+    assert "Window" not in p and "Python" not in p
+    assert "CartesianProduct" not in p
+
+    hist = docs.select(F.col("source").alias("host"),
+                       (F.col("doc_id") % 3 != 0).alias("ok"))
+    p = _exec_plan(wilson_success(hist))
+    assert p.count("Exchange") == 1, p
+    assert "Window" not in p and "Python" not in p
