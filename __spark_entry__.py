@@ -4102,6 +4102,77 @@ def _containment_pairs_oracle_sql() -> str:
         ORDER BY p.id_a, p.id_b"""
 
 
+def q_robots_wildcards(spark, sf_dir):
+    """Full RFC 9309 robots matching — the wildcard upgrade of
+    robots_gating's prefix rule: ``*`` runs, ``$`` end anchors, and
+    longest-rule-octets-wins with Allow beating Disallow on ties. Each
+    rule compiles to an anchored regex inside a transform() lambda
+    (native, per-host arrays ride the broadcast join at scale); paths
+    and three host rule profiles are synthesized closed-form, and the
+    oracle replays the identical escape/anchor/longest-pick chain in
+    RE2."""
+    from llm_scraper_spark.operators.robots import robots_allowed_rep
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host_k = (F.col("doc_id") % 9).cast("long")
+    path = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/cat"), (F.col("doc_id") % 5).cast("string"),
+                        F.lit("/item"), F.col("doc_id").cast("string"),
+                        F.lit(".php")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("/p"), F.col("doc_id").cast("string"),
+                       F.lit("/x?s="), (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.concat(F.lit("/fish"),
+                            (F.col("doc_id") % 11).cast("string"),
+                            F.lit(".html"))))
+    arr = lambda *xs: F.array(*[F.lit(x) for x in xs])  # noqa: E731
+    allow = (F.when(host_k % 3 == 0, arr("/cat1*", "/p*"))
+             .when(host_k % 3 == 1, arr("/fish*"))
+             .otherwise(arr()))
+    disallow = (F.when(host_k % 3 == 0, arr("/*.php$", "/fish*", "/cat*"))
+                .when(host_k % 3 == 1, arr("/*.html$", "/p*"))
+                .otherwise(arr("/")))
+    f = docs.select(
+        "doc_id", F.concat(F.lit("h"), host_k.cast("string")).alias("host"),
+        path.alias("path"), allow.alias("allow"), disallow.alias("disallow"))
+    return f.select(
+        "doc_id", "host", "path",
+        robots_allowed_rep(F.col("path"), F.col("allow"),
+                           F.col("disallow")).alias("allowed"),
+    ).orderBy("doc_id")
+
+
+def _robots_wildcards_oracle_sql() -> str:
+    from llm_scraper_spark.operators.robots import (
+        robots_allowed_rep_sql_expr)
+
+    expr = robots_allowed_rep_sql_expr("path", "allow_r", "disallow_r")
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         'h' || (doc_id % 9)::VARCHAR AS host,
+         CASE WHEN doc_id % 3 = 0
+              THEN '/cat' || (doc_id % 5)::VARCHAR || '/item'
+                   || doc_id::VARCHAR || '.php'
+              WHEN doc_id % 3 = 1
+              THEN '/p' || doc_id::VARCHAR || '/x?s='
+                   || (doc_id % 7)::VARCHAR
+              ELSE '/fish' || (doc_id % 11)::VARCHAR || '.html'
+         END AS path,
+         CASE ((doc_id % 9) % 3)
+           WHEN 0 THEN ['/cat1*', '/p*']
+           WHEN 1 THEN ['/fish*']
+           ELSE [] END AS allow_r,
+         CASE ((doc_id % 9) % 3)
+           WHEN 0 THEN ['/*.php$', '/fish*', '/cat*']
+           WHEN 1 THEN ['/*.html$', '/p*']
+           ELSE ['/'] END AS disallow_r
+  FROM documents)
+SELECT doc_id, host, path, {expr} AS allowed
+FROM f ORDER BY doc_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4145,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "wilson_success": q_wilson_success,
         "containment_pairs": q_containment_pairs,
+        "robots_wildcards": q_robots_wildcards,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -4543,6 +4615,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": _reciprocity_oracle_sql(),
         "wilson_success": _wilson_success_oracle_sql(),
         "containment_pairs": _containment_pairs_oracle_sql(),
+        "robots_wildcards": _robots_wildcards_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

@@ -118,3 +118,79 @@ def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
         F.when(path == "", "/").otherwise(path), F.col("_r_allow"), F.col("_r_disallow")
     )
     return joined.filter(allowed).drop("_r_host", "_r_allow", "_r_disallow")
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 wildcard matching (*, $)
+# ---------------------------------------------------------------------------
+
+_RE_META = r"([\\.\^\$\|\(\)\[\]\{\}\+\?\*\\\\])"
+
+
+def _rule_regex(rule_col):
+    """Compile one REP rule into an anchored regex, natively: a trailing
+    ``$`` becomes the end anchor, every ``*`` becomes ``.*``, every other
+    regex metacharacter is escaped. Pure string expressions — evaluated
+    inside HOF lambdas over the (tiny, broadcast) per-host rule arrays."""
+    ends = rule_col.endswith("$")
+    core = F.when(
+        ends, rule_col.substr(F.lit(1), F.length(rule_col) - 1)
+    ).otherwise(rule_col)
+    escaped = F.regexp_replace(core, _RE_META, r"\\$1")
+    # our '*' was escaped to '\*' above; now turn it into '.*'
+    wild = F.regexp_replace(escaped, r"\\\*", ".*")
+    return F.concat(F.lit("^"), wild, F.when(ends, F.lit("$"))
+                    .otherwise(F.lit("")))
+
+
+def robots_allowed_rep(path_col, allow_col, disallow_col):
+    """Full RFC 9309 (Google REP) rule matching — the wildcard upgrade of
+    :func:`robots_allowed`: ``*`` matches any char run, a trailing ``$``
+    anchors the rule to the path end, and the most-specific (LONGEST, in
+    rule octets — RFC 9309 §2.2.2) matching rule wins, Allow beating
+    Disallow on ties. Rules without metacharacters degrade to exactly
+    the prefix semantics of the base matcher (``^literal``), so this is
+    a strict superset.
+
+    All native: each rule compiles to an anchored regex inside a
+    transform() lambda (escape metachars, ``*`` -> ``.*``) and matches
+    with per-row RLIKE; specificity is array_max over matched rule
+    lengths. Rule arrays are per-host and tiny (they ride the broadcast
+    robots join), so the per-row regex compilation cost is bounded by
+    rules-per-host, not corpus size.
+    """
+    def longest(rules):
+        scored = F.transform(
+            rules,
+            lambda r: F.when(F.regexp_like(path_col, _rule_regex(r)),
+                             F.length(r))
+            .otherwise(F.lit(-1)))
+        return F.coalesce(F.array_max(scored), F.lit(-1))
+
+    la = longest(F.coalesce(allow_col, F.array().cast("array<string>")))
+    ld = longest(F.coalesce(disallow_col, F.array().cast("array<string>")))
+    return (ld == -1) | (la >= ld)
+
+
+def robots_allowed_rep_sql_expr(path_sql: str, allow_sql: str,
+                                disallow_sql: str) -> str:
+    """DuckDB scalar twin of :func:`robots_allowed_rep` — identical
+    escape chain, ``.*`` substitution, anchors, longest-octets pick."""
+    def longest(rules_sql: str) -> str:
+        rx = (
+            "'^' || replace(regexp_replace("
+            "  CASE WHEN r LIKE '%$' THEN substr(r, 1, length(r) - 1)"
+            "       ELSE r END,"
+            r"  '([\\.\^\$\|\(\)\[\]\{{\}}\+\?\*\\\\])', '\\\1', 'g'),"
+            "  '\\*', '.*')"
+            " || CASE WHEN r LIKE '%$' THEN '$' ELSE '' END"
+        )
+        return (
+            f"coalesce(list_max(list_transform(coalesce({rules_sql}, []),"
+            f" r -> CASE WHEN regexp_matches({path_sql}, {rx})"
+            " THEN length(r) ELSE -1 END)), -1)"
+        )
+
+    la = longest(allow_sql)
+    ld = longest(disallow_sql)
+    return f"(({ld}) = -1 OR ({la}) >= ({ld}))"

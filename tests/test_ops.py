@@ -2935,3 +2935,73 @@ def test_ngram_containment_pairs(spark):
     assert r["containment_a_ppm"] == 1_000_000
     assert r["containment_b_ppm"] < 1_000_000
     assert all(k == (1, 2) for k in out)
+
+
+def test_robots_rep_wildcards(spark):
+    from llm_scraper_spark.operators.robots import robots_allowed_rep
+
+    # RFC 9309 §2.2.3-style vectors
+    cases = [
+        # (path, allow, disallow, expect)
+        ("/fish/salmon.html", [], ["/fish*"], False),
+        ("/fishing", [], ["/fish*"], False),
+        ("/catfish", [], ["/fish*"], True),          # anchored at start
+        ("/filename.php", [], ["/*.php"], False),
+        ("/folder/any.php.file.html", [], ["/*.php"], False),
+        ("/windows.PHP", [], ["/*.php"], True),      # case sensitive
+        ("/filename.php", [], ["/*.php$"], False),
+        ("/filename.php?params", [], ["/*.php$"], True),  # $ anchors end
+        ("/fish.php", [], ["/fish*.php$"], False),
+        ("/fishheads/catfish.php", [], ["/fish*.php$"], False),
+        ("/fish.php?id=2", [], ["/fish*.php$"], True),
+        # longest-match: allow /p beats disallow /, allow wins ties
+        ("/page", ["/p"], ["/"], True),
+        ("/page", ["/folder"], ["/"], False),
+        # literal regex metachars in paths must not act as regex
+        ("/a(1).html", [], ["/a(1)*"], False),
+        ("/a11.html", [], ["/a(1)*"], True),
+        # plain prefix rules degrade to the base semantics
+        ("/private/x", ["/private/ok"], ["/private"], False),
+        ("/private/ok/x", ["/private/ok"], ["/private"], True),
+    ]
+    df = spark.createDataFrame(
+        [(p, a, d, e) for p, a, d, e in cases],
+        "path string, allow array<string>, disallow array<string>, "
+        "expect boolean")
+    out = df.select(
+        "path", "expect",
+        robots_allowed_rep(F.col("path"), F.col("allow"),
+                           F.col("disallow")).alias("got"))
+    bad = [(r["path"], r["expect"], r["got"])
+           for r in out.collect() if r["got"] != r["expect"]]
+    assert not bad, bad
+
+
+def test_robots_rep_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.robots import (
+        robots_allowed_rep, robots_allowed_rep_sql_expr)
+
+    paths = [f"/cat{i % 5}/item{i}.php" if i % 3 == 0
+             else f"/p{i}/x?s={i}" if i % 3 == 1
+             else f"/fish{i}.html" for i in range(120)]
+    allow = ["/cat1*", "/p*"]
+    disallow = ["/*.php$", "/fish*", "/cat*"]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = sorted(
+        (r["path"], r["ok"]) for r in df.select(
+            "path",
+            robots_allowed_rep(
+                F.col("path"),
+                F.array(*[F.lit(a) for a in allow]),
+                F.array(*[F.lit(d) for d in disallow])).alias("ok"))
+        .collect())
+    vals = ", ".join(f"('{p}')" for p in paths)
+    al = "[" + ", ".join(f"'{a}'" for a in allow) + "]"
+    dl = "[" + ", ".join(f"'{d}'" for d in disallow) + "]"
+    expr = robots_allowed_rep_sql_expr("path", al, dl)
+    want = sorted(duckdb.connect().execute(
+        f"SELECT path, {expr} FROM (VALUES {vals}) t(path)").fetchall())
+    assert got == want
+    assert {ok for _, ok in got} == {True, False}

@@ -638,3 +638,18 @@ def test_session6c_operators_plan_shapes(spark, sf_mid):
     p = _exec_plan(wilson_success(hist))
     assert p.count("Exchange") == 1, p
     assert "Window" not in p and "Python" not in p
+
+
+def test_robots_rep_plan_shape(spark):
+    """The wildcard REP matcher stays native: per-rule regex compile +
+    match run inside transform() lambdas — no Python stage, and gating a
+    frontier against a broadcast rules table keeps the broadcast join."""
+    from llm_scraper_spark.operators.robots import robots_allowed_rep
+
+    f = spark.createDataFrame(
+        [("/a/b.php", ["/a*"], ["/*.php$"])],
+        "path string, allow array<string>, disallow array<string>")
+    q = f.select(robots_allowed_rep(
+        F.col("path"), F.col("allow"), F.col("disallow")).alias("ok"))
+    p = _exec_plan(q)
+    assert "Python" not in p and "ArrowEval" not in p
