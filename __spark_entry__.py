@@ -4173,6 +4173,52 @@ SELECT doc_id, host, path, {expr} AS allowed
 FROM f ORDER BY doc_id"""
 
 
+def q_triangle_stats(spark, sf_dir):
+    """Per-host triangles + local clustering over the undirected host
+    graph via the degree-ordered node-iterator (Schank & Wagner 2005):
+    edges orient low-(degree,id) -> high, bounding the wedge join's
+    per-key fan-out by graph arboricity (~sqrt|E|) instead of
+    max-degree — the orientation trick that makes triangle counting
+    survive a 10^8-degree hub. Exact integers end-to-end; the oracle
+    replays normalization, orientation, wedge close, and the ppm."""
+    from llm_scraper_spark.operators.graph import triangle_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return triangle_stats(edges).orderBy("host")
+
+
+def _triangle_stats_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import triangle_stats_oracle_sql
+
+    return (triangle_stats_oracle_sql(_hyperball_edges_sql())
+            + "\nORDER BY 1")
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the undirected host graph —
+    the web's signature disassortative mixing, whose sudden shift in a
+    crawl snapshot flags link-farm wiring. Five exact-BIGINT sufficient
+    statistics from one degree join + one aggregate; the Pearson
+    read-out is a single fixed-order float expression floored to 1e6
+    fixed point."""
+    from llm_scraper_spark.operators.graph import assortativity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return assortativity(edges)
+
+
+def _assortativity_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import assortativity_oracle_sql
+
+    return assortativity_oracle_sql(_hyperball_edges_sql())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4217,6 +4263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_success": q_wilson_success,
         "containment_pairs": q_containment_pairs,
         "robots_wildcards": q_robots_wildcards,
+        "triangle_stats": q_triangle_stats,
+        "assortativity": q_assortativity,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -4616,6 +4664,8 @@ def oracle_sql() -> dict[str, str]:
         "wilson_success": _wilson_success_oracle_sql(),
         "containment_pairs": _containment_pairs_oracle_sql(),
         "robots_wildcards": _robots_wildcards_oracle_sql(),
+        "triangle_stats": _triangle_stats_oracle_sql(),
+        "assortativity": _assortativity_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

@@ -1532,3 +1532,218 @@ SELECT e.src AS host, count(*)::BIGINT AS outd,
                             0)) // count(*))::BIGINT AS recip_ppm
 FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
 GROUP BY e.src"""
+
+
+# ---------------------------------------------------------------------------
+# triangles / clustering coefficient / assortativity
+# ---------------------------------------------------------------------------
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-host triangle counts and local clustering coefficient over the
+    UNDIRECTED host graph — the community-density signal that separates
+    an organically interlinked topic cluster (high clustering) from a
+    star-shaped link farm (hub with near-zero closed wedges), classic
+    since Watts & Strogatz 1998; the scalable join shape is Schank &
+    Wagner 2005's degree-ordered node-iterator ("compact-forward").
+
+    The key 100 TB trick is the ORIENTATION: every undirected edge is
+    directed from its lower endpoint to its higher endpoint under the
+    total order (degree, id). The oriented out-degree of ANY node —
+    including a 10^8-degree hub — is bounded by O(sqrt(|E|)) (graph
+    arboricity), so the wedge self-join (the only quadratic-risk step)
+    has per-key fan-out sqrt(|E|) instead of max-degree: the hub's
+    wedges are generated at its LOW-degree neighbors, not at the hub.
+    Each triangle then exists exactly once as wedge (u->v, u->w) closed
+    by oriented edge (v, w).
+
+    Pipeline: distinct undirected edges -> degree table -> one join to
+    attach (deg, id) order -> oriented adjacency A -> wedge self-join on
+    the pivot -> one semi-join-shaped join against A to close -> explode
+    each triangle to its 3 corners -> groupBy count. All exact integers;
+    ``clustering_ppm = (2 * 1e6 * triangles) DIV (d * (d-1))`` (0 for
+    degree < 2).
+
+    Returns ``(host, degree, triangles, clustering_ppm)`` for every
+    node of the undirected graph.
+    """
+    raw = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        raw.select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionByName(und.select(F.col("b").alias("host")))
+        .groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .persist()
+    )
+    da = deg.select(F.col("host").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("host").alias("b"), F.col("degree").alias("_db"))
+    withd = und.join(da, "a").join(db, "b")
+    lower_is_a = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    orient = withd.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).persist()
+    w1 = orient.select(F.col("u").alias("p"), F.col("v").alias("x"))
+    w2 = orient.select(F.col("u").alias("p"), F.col("v").alias("y"))
+    wedges = (w1.join(w2, "p").filter(F.col("x") < F.col("y")))
+    closed = wedges.join(
+        orient.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionByName(
+            orient.select(F.col("v").alias("x"), F.col("u").alias("y"))),
+        ["x", "y"],
+    )
+    corners = (
+        closed.select(F.col("p").alias("host"))
+        .unionByName(closed.select(F.col("x").alias("host")))
+        .unionByName(closed.select(F.col("y").alias("host")))
+        .groupBy("host").agg(F.count(F.lit(1)).cast("long")
+                             .alias("triangles"))
+    )
+    out = (
+        deg.join(corners, "host", "left")
+        .select(
+            "host", "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long")
+            .alias("triangles"))
+        .withColumn(
+            "clustering_ppm",
+            F.when(F.col("degree") >= 2,
+                   F.expr("(2 * 1000000 * triangles)"
+                          " DIV (degree * (degree - 1))"))
+            .otherwise(F.lit(0)).cast("long"))
+    )
+    out = out.localCheckpoint()
+    und.unpersist()
+    deg.unpersist()
+    orient.unpersist()
+    return out
+
+
+def triangle_stats_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_stats` — identical normalization,
+    (degree, id) orientation, wedge close, and integer ppm."""
+    return f"""
+WITH raw_edges AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst),
+deg AS (
+  SELECT host, count(*)::BIGINT AS degree FROM (
+    SELECT a AS host FROM und UNION ALL SELECT b FROM und)
+  GROUP BY host),
+orient AS (
+  SELECT CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON da.host = u.a JOIN deg db ON db.host = u.b),
+wedges AS (
+  SELECT w1.u AS p, w1.v AS x, w2.v AS y
+  FROM orient w1 JOIN orient w2 ON w1.u = w2.u AND w1.v < w2.v),
+closed AS (
+  SELECT w.p, w.x, w.y
+  FROM wedges w JOIN (
+    SELECT u AS x, v AS y FROM orient
+    UNION ALL SELECT v, u FROM orient
+  ) o ON o.x = w.x AND o.y = w.y),
+corners AS (
+  SELECT host, count(*)::BIGINT AS triangles FROM (
+    SELECT p AS host FROM closed
+    UNION ALL SELECT x FROM closed
+    UNION ALL SELECT y FROM closed)
+  GROUP BY host)
+SELECT d.host, d.degree, coalesce(c.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN (2 * 1000000 * coalesce(c.triangles, 0))
+                 // (d.degree * (d.degree - 1))
+            ELSE 0 END::BIGINT AS clustering_ppm
+FROM deg d LEFT JOIN corners c ON c.host = d.host"""
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected host graph (Newman, PRL
+    2002): the Pearson correlation of endpoint degrees over edges —
+    social networks are assortative (hubs link hubs), the web is
+    famously DISassortative (hubs link leaves), and a sudden
+    assortativity shift in a crawl snapshot is a link-farm signature
+    (farms wire hubs to hubs).
+
+    Exactness: the five sufficient statistics (n, Sx, Sy, Sxy, Sxx) are
+    EXACT BIGINTs over the symmetrized edge list (each undirected edge
+    contributes both orientations, so Sx = Sy and Sxx = Syy — degrees
+    are bounded by node count, so the products fit comfortably);
+    ``r_fp`` is ONE fixed-order float expression over them, floored to
+    1e6 fixed point. One degree join + one aggregate; no windows.
+
+    Returns a single row ``(n_ends, sx, sxy, sxx, r_fp)`` (r_fp NULL
+    for degenerate variance).
+    """
+    raw = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (raw.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+           .distinct())
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionByName(und.select(F.col("b").alias("host")))
+        .groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("host").alias("a"), F.col("d").alias("_dx"))
+    db = deg.select(F.col("host").alias("b"), F.col("d").alias("_dy"))
+    both = (
+        und.join(da, "a").join(db, "b")
+        .select(F.col("_dx").alias("x"), F.col("_dy").alias("y"))
+    )
+    sym = both.unionByName(both.select(F.col("y").alias("x"),
+                                      F.col("x").alias("y")))
+    agg = sym.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ends"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n_ends").cast("double") * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    den = (F.col("n_ends").cast("double") * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    return agg.withColumn(
+        "r_fp",
+        F.when(den != 0.0, F.floor(F.lit(1e6) * (num / den)))
+        .cast("long"))
+
+
+def assortativity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`assortativity` — identical integer
+    sufficient statistics and the same fixed-order float read-out."""
+    return f"""
+WITH raw_edges AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst),
+deg AS (
+  SELECT host, count(*)::BIGINT AS d FROM (
+    SELECT a AS host FROM und UNION ALL SELECT b FROM und)
+  GROUP BY host),
+both_ AS (
+  SELECT da.d AS x, db.d AS y
+  FROM und u JOIN deg da ON da.host = u.a JOIN deg db ON db.host = u.b),
+sym AS (SELECT x, y FROM both_ UNION ALL SELECT y, x FROM both_),
+agg AS (
+  SELECT count(*)::BIGINT AS n_ends, sum(x)::BIGINT AS sx,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM sym)
+SELECT n_ends, sx, sxy, sxx,
+       CASE WHEN (n_ends::DOUBLE * sxx::DOUBLE
+                  - sx::DOUBLE * sx::DOUBLE) <> 0.0
+            THEN floor(1e6 * ((n_ends::DOUBLE * sxy::DOUBLE
+                               - sx::DOUBLE * sx::DOUBLE)
+                              / (n_ends::DOUBLE * sxx::DOUBLE
+                                 - sx::DOUBLE * sx::DOUBLE)))
+       END::BIGINT AS r_fp
+FROM agg"""

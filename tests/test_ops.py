@@ -3005,3 +3005,73 @@ def test_robots_rep_matches_duckdb(spark):
         f"SELECT path, {expr} FROM (VALUES {vals}) t(path)").fetchall())
     assert got == want
     assert {ok for _, ok in got} == {True, False}
+
+
+def test_triangle_stats_hand(spark):
+    from llm_scraper_spark.operators.graph import triangle_stats
+
+    # K4 on {a,b,c,d}: every node in 3 triangles, clustering 1.0;
+    # pendant e-a: e has degree 1, 0 triangles
+    k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    edges = spark.createDataFrame(k4 + [("e", "a"), ("a", "e")],
+                                  "src string, dst string")
+    out = {r["host"]: r for r in triangle_stats(edges).collect()}
+    for h in "bcd":
+        assert out[h]["triangles"] == 3
+        assert out[h]["clustering_ppm"] == 1_000_000
+    assert out["a"]["degree"] == 4 and out["a"]["triangles"] == 3
+    # a: 3 closed of C(4,2)=6 wedges -> 0.5
+    assert out["a"]["clustering_ppm"] == 500_000
+    assert out["e"]["triangles"] == 0 and out["e"]["clustering_ppm"] == 0
+    # total triangle count: sum/3 = 4 (K4 has 4 triangles)
+    assert sum(r["triangles"] for r in out.values()) == 12
+
+
+def test_triangle_stats_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        triangle_stats, triangle_stats_oracle_sql)
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"h{rng.randrange(24)}", f"h{rng.randrange(24)}")
+             for _ in range(220)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(tuple(r) for r in triangle_stats(e).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    sql = triangle_stats_oracle_sql(
+        f"SELECT * FROM (VALUES {ev}) AS t(src, dst)")
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    assert any(r[2] > 0 for r in got)  # some triangles exist
+
+
+def test_assortativity_hand_and_duckdb(spark):
+    import duckdb
+    import math
+
+    from llm_scraper_spark.operators.graph import (
+        assortativity, assortativity_oracle_sql)
+
+    # star: hub degree 4, leaves degree 1 -> perfectly disassortative -1
+    star = [("hub", f"l{i}") for i in range(4)]
+    e = spark.createDataFrame(star, "src string, dst string")
+    r = assortativity(e).collect()[0]
+    assert r["r_fp"] == -1_000_000
+    # cycle: all degrees equal -> zero variance -> NULL
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    r2 = assortativity(
+        spark.createDataFrame(cyc, "src string, dst string")).collect()[0]
+    assert r2["r_fp"] is None
+    # random graph: engine equality
+    edges = [(f"h{(i * 13) % 28}", f"h{(i * 5 + 2) % 28}")
+             for i in range(200)]
+    e3 = spark.createDataFrame(edges, "src string, dst string")
+    got = [tuple(x) for x in assortativity(e3).collect()]
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    want = [tuple(x) for x in duckdb.connect().execute(
+        assortativity_oracle_sql(
+            f"SELECT * FROM (VALUES {ev}) AS t(src, dst)")).fetchall()]
+    assert got == want

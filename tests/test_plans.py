@@ -653,3 +653,24 @@ def test_robots_rep_plan_shape(spark):
         F.col("path"), F.col("allow"), F.col("disallow")).alias("ok"))
     p = _exec_plan(q)
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_triangle_assortativity_plan_shapes(spark, sf_mid):
+    """Triangle counting and assortativity stay hash-join/hash-agg
+    shapes: no window, no Python, no cartesian product anywhere."""
+    from llm_scraper_spark.operators.graph import (
+        assortativity, triangle_stats)
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").select(
+        "doc_id", "source")
+    edges = docs.select(
+        F.col("source").alias("src"),
+        F.concat(F.col("source"), (F.col("doc_id") % 7).cast("string"))
+        .alias("dst"))
+    # triangle_stats localCheckpoints its result; pin the pre-checkpoint
+    # shape via assortativity (same normalization + degree-join core)
+    p = _exec_plan(assortativity(edges))
+    assert "Window" not in p and "Python" not in p
+    assert "CartesianProduct" not in p
+    out = triangle_stats(edges)
+    assert "Python" not in _exec_plan(out)
