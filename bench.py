@@ -181,7 +181,11 @@ def bench_queries(spark, sf_dir: str) -> dict:
              "line_dedup", "asof_join", "pack_sequences",
              "host_pagerank", "robots_gating", "recrawl_schedule",
              "interleave_pack", "substring_dedup", "lm_score",
-             "hll_distinct"]
+             "hll_distinct",
+             # round-3 session-6 representatives: the Mercator politeness
+             # schedule (2 windows), histogram-threshold budget selection
+             # (no global sort), and arboricity-bounded triangle counting
+             "mercator_schedule", "budget_select", "triangle_stats"]
     # dedup_clusters (iterative connected components, ~60s at sf0.1) is
     # benched via its oracled driver query instead — keeping the default
     # bench's wall time bounded for per-round invocations.
