@@ -4219,6 +4219,29 @@ def _assortativity_oracle_sql() -> str:
     return assortativity_oracle_sql(_hyperball_edges_sql())
 
 
+def q_canonical_election(spark, sf_dir):
+    """Canonical-URL election per content-duplicate group (the flip side
+    of DUST mining, same evidence table): param-free beats
+    parameterized, https beats http, shorter beats longer, lexicographic
+    total-order tie-break — resolved with one skew-safe
+    groupBy-min(struct) (the boilerplate fingerprint is a classic hot
+    key a window would single-partition) + a join back. The oracle
+    replays the identical composite order as a rank-1 window."""
+    from llm_scraper_spark.operators.dust import canonical_url_election
+
+    pages = _dust_pages(spark, sf_dir)
+    return (canonical_url_election(pages)
+            .orderBy("url"))
+
+
+def _canonical_election_oracle_sql() -> str:
+    from llm_scraper_spark.operators.dust import (
+        canonical_url_election_oracle_sql)
+
+    return (canonical_url_election_oracle_sql(_DUST_PAGES_SQL)
+            + "\nORDER BY url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4265,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcards": q_robots_wildcards,
         "triangle_stats": q_triangle_stats,
         "assortativity": q_assortativity,
+        "canonical_election": q_canonical_election,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -4666,6 +4690,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_wildcards": _robots_wildcards_oracle_sql(),
         "triangle_stats": _triangle_stats_oracle_sql(),
         "assortativity": _assortativity_oracle_sql(),
+        "canonical_election": _canonical_election_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

@@ -242,3 +242,66 @@ SELECT url,
             ELSE _base || '?' || array_to_string(_kept, '&')
        END AS rewritten_url
 FROM joined"""
+
+
+def canonical_url_election(
+    pages: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "content_fp",
+) -> DataFrame:
+    """Elect ONE canonical URL per content-duplicate group — the
+    flip side of the param-rule mining above: once a crawl knows several
+    URLs serve identical content (equal fingerprints), every index,
+    frontier and dedup table should carry a single representative, chosen
+    the way search engines break canonical ties (Google's documented
+    canonicalization signals, simplified to the deterministic core):
+
+      1. a URL WITHOUT query parameters beats one with them,
+      2. https beats other schemes,
+      3. shorter beats longer,
+      4. lexicographic as the final total-order tie-break.
+
+    Scale shape: ONE map-side-combined groupBy(fingerprint) taking
+    ``min(struct(rank..., url))`` — the skew-safe choice over a window
+    (the all-identical boilerplate fingerprint is a classic hot key, and
+    a window would pile it onto one partition; the line_dedup rationale)
+    — then a broadcast-eligible join back on the fingerprint. Integer
+    flags; fully engine-replayable.
+
+    Returns the input plus ``canonical_url`` and ``is_canonical``.
+    """
+    u = F.col(url_col)
+    key = F.struct(
+        (F.instr(u, "?") > 0).cast("int").alias("k1"),
+        (~u.startswith("https://")).cast("int").alias("k2"),
+        F.length(u).alias("k3"),
+        u.alias("k4"),
+    )
+    winners = (
+        pages.groupBy(F.col(fp_col).alias("_fp"))
+        .agg(F.min(key).alias("_w"))
+        .select("_fp", F.col("_w.k4").alias("canonical_url"))
+    )
+    return (
+        pages.join(winners, pages[fp_col] == winners["_fp"])
+        .drop("_fp")
+        .withColumn("is_canonical", F.col(url_col) == F.col("canonical_url"))
+    )
+
+
+def canonical_url_election_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`canonical_url_election` — same four-level
+    composite order, replayed as a rank-1 window (same winner as the
+    skew-safe min(struct) on the Spark side)."""
+    return f"""
+WITH p AS ({pages_sql}),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY content_fp
+           ORDER BY (instr(url, '?') > 0)::INT,
+                    (NOT starts_with(url, 'https://'))::INT,
+                    length(url), url) AS _rn
+  FROM p),
+w AS (SELECT content_fp, url AS canonical_url FROM r WHERE _rn = 1)
+SELECT p.*, w.canonical_url, p.url = w.canonical_url AS is_canonical
+FROM p JOIN w USING (content_fp)"""

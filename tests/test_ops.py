@@ -3075,3 +3075,39 @@ def test_assortativity_hand_and_duckdb(spark):
         assortativity_oracle_sql(
             f"SELECT * FROM (VALUES {ev}) AS t(src, dst)")).fetchall()]
     assert got == want
+
+
+def test_canonical_url_election(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.dust import (
+        canonical_url_election, canonical_url_election_oracle_sql)
+
+    pages = [
+        # group g1: param-free https shortest wins
+        ("https://a.com/page", "g1"),
+        ("https://a.com/page?utm=1", "g1"),
+        ("http://a.com/page", "g1"),
+        ("https://a.com/page/index.html", "g1"),
+        # group g2: only http with params -> shortest then lexicographic
+        ("http://b.com/x?p=2", "g2"),
+        ("http://b.com/x?p=1", "g2"),
+        # singleton
+        ("https://c.com/solo", "g3"),
+    ]
+    df = spark.createDataFrame(pages, "url string, content_fp string")
+    out = {r["url"]: r for r in canonical_url_election(df).collect()}
+    assert out["https://a.com/page"]["is_canonical"]
+    assert out["https://a.com/page?utm=1"]["canonical_url"] == \
+        "https://a.com/page"
+    assert out["http://b.com/x?p=1"]["is_canonical"]
+    assert not out["http://b.com/x?p=2"]["is_canonical"]
+    assert out["https://c.com/solo"]["is_canonical"]
+    # engine equality
+    got = sorted(tuple(r) for r in canonical_url_election(df).collect())
+    vals = ", ".join(f"('{u}', '{fp}')" for u, fp in pages)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        canonical_url_election_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(url, content_fp)"))
+        .fetchall())
+    assert got == want
