@@ -96,12 +96,17 @@ def robots_allowed(path_col, allow_col, disallow_col):
     return (ld == -1) | (la >= ld)
 
 
-def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+def gate_frontier(frontier: DataFrame, robots: DataFrame,
+                  rep_wildcards: bool = False) -> DataFrame:
     """Filter frontier rows whose canonical path robots rules forbid.
 
     ``robots(host, allow_prefixes, disallow_prefixes, ...)`` is broadcast;
     hosts with no robots row are allowed (reference behavior: missing
-    robots.txt ⇒ crawl, discovery.py:154-155).
+    robots.txt ⇒ crawl, discovery.py:154-155). ``rep_wildcards=True``
+    matches rules with the full RFC 9309 language (:func:`robots_allowed_rep`
+    — ``*`` runs, ``$`` anchors, longest-octets wins) instead of the prefix
+    rule; it is opt-in because the crawl-equality goldens pin the prefix
+    semantics the single-node simulator implements.
     """
     path = F.regexp_replace(
         F.col("canonical_url"), r"^[a-z][a-z0-9+.-]*://[^/]*", ""
@@ -114,7 +119,8 @@ def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     joined = frontier.join(
         F.broadcast(rules), frontier["host"] == rules["_r_host"], "left"
     )
-    allowed = F.col("_r_host").isNull() | robots_allowed(
+    matcher = robots_allowed_rep if rep_wildcards else robots_allowed
+    allowed = F.col("_r_host").isNull() | matcher(
         F.when(path == "", "/").otherwise(path), F.col("_r_allow"), F.col("_r_disallow")
     )
     return joined.filter(allowed).drop("_r_host", "_r_allow", "_r_disallow")

@@ -3111,3 +3111,22 @@ def test_canonical_url_election(spark):
             f"SELECT * FROM (VALUES {vals}) AS t(url, content_fp)"))
         .fetchall())
     assert got == want
+
+
+def test_gate_frontier_rep_wildcards(spark):
+    from llm_scraper_spark.operators.robots import gate_frontier
+
+    frontier = spark.createDataFrame(
+        [(f"u{i}", f"https://h.com/f{i}.php" if i % 2 == 0
+          else f"https://h.com/ok{i}", "h.com") for i in range(10)],
+        "url string, canonical_url string, host string")
+    robots = spark.createDataFrame(
+        [("h.com", [], ["/*.php$"])],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>")
+    # prefix semantics: '/*.php$' is a literal prefix no path starts with
+    assert gate_frontier(frontier, robots).count() == 10
+    # REP semantics: the wildcard rule blocks the .php half
+    kept = gate_frontier(frontier, robots, rep_wildcards=True)
+    urls = {r["canonical_url"] for r in kept.collect()}
+    assert len(urls) == 5 and all(".php" not in u for u in urls)
