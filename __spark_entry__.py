@@ -4242,6 +4242,30 @@ def _canonical_election_oracle_sql() -> str:
             + "\nORDER BY url")
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (Rabin/LBFS applied to text):
+    chunk boundaries fall after tokens whose md5 ≡ 0 (mod 16), so
+    boundaries track CONTENT and a mid-document edit invalidates only the
+    chunks it touches — the insertion-robust unit between line dedup and
+    whole-doc near-dup. One per-doc cumulative window + two groupBys;
+    per-doc dup_token_ppm is the token-weighted share of chunks shared
+    with other docs. The oracle replays tokenization, the boundary rule,
+    the strictly-before chunk ordinal, the ordered chunk rebuild, and
+    the ppm."""
+    from llm_scraper_spark.operators.dedup import cdc_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (cdc_dedup_stats(docs, modulus=16, hash_family="md5")
+            .orderBy("doc_id"))
+
+
+def _cdc_dedup_oracle_sql() -> str:
+    from llm_scraper_spark.operators.dedup import cdc_dedup_oracle_sql
+
+    return (cdc_dedup_oracle_sql("SELECT doc_id, text FROM documents",
+                                 modulus=16) + "\nORDER BY doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4289,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "assortativity": q_assortativity,
         "canonical_election": q_canonical_election,
+        "cdc_dedup": q_cdc_dedup,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -4691,6 +4716,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_stats": _triangle_stats_oracle_sql(),
         "assortativity": _assortativity_oracle_sql(),
         "canonical_election": _canonical_election_oracle_sql(),
+        "cdc_dedup": _cdc_dedup_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

@@ -1261,3 +1261,138 @@ def ngram_containment_pairs(
             .alias("containment_b_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", modulus: int = 16,
+               hash_family: str = "xxhash64") -> DataFrame:
+    """Word-level content-defined chunking — the storage-dedup idea
+    (Rabin/LBFS, Muthitacharoen et al. SOSP'01) applied to text: a chunk
+    boundary falls AFTER every token whose hash ≡ 0 (mod ``modulus``),
+    so boundaries are determined by CONTENT, not position — insert a
+    paragraph into a 100-page document and only the chunks overlapping
+    the edit change, where fixed-size chunking would shift-invalidate
+    everything downstream. This is the mechanism that makes chunk-level
+    dedup robust to boilerplate injection and partial edits, and the
+    natural unit between line-dedup (too fine for prose) and whole-doc
+    near-dup (too coarse for long docs).
+
+    Fully native: tokens posexplode, a boundary flag, ONE per-doc
+    cumulative window (the count of boundaries strictly BEFORE each
+    token is its chunk ordinal), then a groupBy rebuilding each chunk's
+    text in token order via sort_array(collect_list(struct(pos, tok)))
+    and hashing it in the selected family. Expected chunk length =
+    ``modulus`` tokens.
+
+    Returns ``(doc_id, chunk_idx, n_tokens, chunk_hash)``.
+    """
+    if hash_family == "xxhash64":
+        th = F.xxhash64("tok")
+        ch = F.xxhash64("chunk_text")
+    elif hash_family == "md5":
+        th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+            .cast("long")
+        ch = F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 15), 16, 10) \
+            .cast("long")
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family}")
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    ).withColumn("bnd", (F.pmod(th, F.lit(int(modulus))) == 0).cast("long"))
+    w = (W.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(W.unboundedPreceding, -1))
+    chunked = toks.withColumn(
+        "chunk_idx", F.coalesce(F.sum("bnd").over(w), F.lit(0))
+        .cast("long"))
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("pos"), F.col("tok")))),
+                     lambda s: s["tok"]), " ").alias("chunk_text"))
+        .select(F.col(id_col), "chunk_idx", "n_tokens",
+                ch.alias("chunk_hash"))
+    )
+
+
+def cdc_dedup_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", modulus: int = 16,
+                    hash_family: str = "xxhash64") -> DataFrame:
+    """Per-doc CDC dedup statistics: how much of each document is made of
+    chunks that also occur in OTHER documents? ``shared_chunks`` counts
+    this doc's chunks whose hash appears in >= 2 distinct docs,
+    ``dup_token_ppm`` is the token-weighted share. The chunk-hash global
+    table is one map-side-combined groupBy (slim (hash, n_docs) rows);
+    rejoining it is a hash join on the 64-bit chunk hash.
+
+    Returns ``(doc_id, n_chunks, n_tokens, shared_chunks, dup_token_ppm)``.
+    """
+    chunks = cdc_chunks(df, text_col, id_col, modulus, hash_family)
+    global_ = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+    )
+    j = chunks.join(global_, "chunk_hash")
+    return (
+        j.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+             F.sum("n_tokens").cast("long").alias("n_tokens"),
+             F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0))
+             .cast("long").alias("shared_chunks"),
+             F.sum(F.when(F.col("_docs") >= 2, F.col("n_tokens"))
+                   .otherwise(0)).cast("long").alias("_duptok"))
+        .withColumn("dup_token_ppm",
+                    F.expr("(1000000 * _duptok) DIV n_tokens").cast("long"))
+        .drop("_duptok")
+    )
+
+
+def cdc_dedup_oracle_sql(docs_sql: str, modulus: int = 16) -> str:
+    """DuckDB twin of :func:`cdc_dedup_stats` (md5 family) — identical
+    tokenization, boundary rule, strictly-before cumulative chunk
+    ordinal, ordered chunk-text rebuild, and integer ppm."""
+    m = int(modulus)
+    return rf"""
+WITH warr AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM ({docs_sql})),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM warr),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS tok FROM idx),
+flags AS (
+  SELECT *, CASE WHEN ('0x' || substring(md5(tok), 1, 15))::BIGINT
+                      % {m} = 0 THEN 1 ELSE 0 END AS bnd
+  FROM toks),
+chunked AS (
+  SELECT *, coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS chunk_idx
+  FROM flags),
+chunks AS (
+  SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
+         ('0x' || substring(md5(string_agg(tok, ' ' ORDER BY pos)),
+                            1, 15))::BIGINT AS chunk_hash
+  FROM chunked GROUP BY doc_id, chunk_idx),
+g AS (
+  SELECT chunk_hash, count(DISTINCT doc_id) AS _docs
+  FROM chunks GROUP BY chunk_hash)
+SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+       sum(c.n_tokens)::BIGINT AS n_tokens,
+       sum(CASE WHEN g._docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+         AS shared_chunks,
+       ((1000000 * sum(CASE WHEN g._docs >= 2 THEN c.n_tokens
+                            ELSE 0 END)) // sum(c.n_tokens))::BIGINT
+         AS dup_token_ppm
+FROM chunks c JOIN g USING (chunk_hash)
+GROUP BY c.doc_id"""

@@ -3130,3 +3130,58 @@ def test_gate_frontier_rep_wildcards(spark):
     kept = gate_frontier(frontier, robots, rep_wildcards=True)
     urls = {r["canonical_url"] for r in kept.collect()}
     assert len(urls) == 5 and all(".php" not in u for u in urls)
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    from llm_scraper_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"w{i}" for i in range(120))
+    edited = " ".join(f"w{i}" for i in range(60)) + " INSERTED TEXT HERE " \
+        + " ".join(f"w{i}" for i in range(60, 120))
+    df = spark.createDataFrame([(1, base), (2, edited)],
+                               "doc_id long, text string")
+    ch = cdc_chunks(df, modulus=8).collect()
+    h1 = {r["chunk_hash"] for r in ch if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in ch if r["doc_id"] == 2}
+    # the defining CDC property: a mid-document insertion leaves most
+    # chunks identical (fixed-size chunking would shift-invalidate all)
+    shared = len(h1 & h2)
+    assert shared >= len(h1) // 2, (shared, len(h1))
+    assert h1 != h2  # but the edit did change something
+
+
+def test_cdc_chunks_reconstruct(spark):
+    from llm_scraper_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    ch = sorted(cdc_chunks(df, modulus=4).collect(),
+                key=lambda r: r["chunk_idx"])
+    # chunk ordinals are contiguous from 0 and token counts sum up
+    assert [r["chunk_idx"] for r in ch] == list(range(len(ch)))
+    assert sum(r["n_tokens"] for r in ch) == 8
+
+
+def test_cdc_dedup_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.dedup import (
+        cdc_dedup_stats, cdc_dedup_oracle_sql)
+
+    docs = []
+    for i in range(40):
+        words = [f"t{(i * 5 + j) % 60}" for j in range(30)]
+        if i % 4 == 0:   # every 4th doc repeats doc (i-1)'s text
+            words = [f"t{((i - 1) * 5 + j) % 60}" for j in range(30)]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 cdc_dedup_stats(df, modulus=6,
+                                 hash_family="md5").collect())
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    sql = cdc_dedup_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)", modulus=6)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    assert any(r[4] > 0 for r in got)  # duplicated chunks detected
