@@ -4266,6 +4266,67 @@ def _cdc_dedup_oracle_sql() -> str:
                                  modulus=16) + "\nORDER BY doc_id")
 
 
+def q_cache_policy(spark, sf_dir):
+    """RFC 9111 freshness over a synthesized fetch log — the header-aware
+    upgrade of the reference's single global result TTL
+    (/root/reference/cache.py): no-cache/no-store beat max-age beat
+    Expires beat the 10%-of-age heuristic, all integer arithmetic; the
+    revalidable flag marks the cheap conditional-request (304) path a
+    crawl's bandwidth budget lives on. Zero shuffles — one narrow
+    projection the oracle replays expression-for-expression."""
+    from llm_scraper_spark.operators.frontier import cache_policy
+
+    docs = _t(spark, sf_dir, "documents")
+    h = lambda tag: _md5_60bit(F.col("doc_id"), tag)  # noqa: E731
+    log = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.lit(1_000_000) + (F.col("doc_id") % 5000)).cast("long")
+        .alias("fetched_at"),
+        F.when(h(":cc") % 5 == 0, F.lit("max-age=600"))
+        .when(h(":cc") % 5 == 1, F.lit("no-store"))
+        .when(h(":cc") % 5 == 2, F.lit("public, max-age=60, immutable"))
+        .otherwise(F.lit(None).cast("string")).alias("cache_control"),
+        F.when(h(":ex") % 3 == 0,
+               (F.lit(1_002_000) + (F.col("doc_id") % 700)).cast("long"))
+        .alias("expires_s"),
+        F.when(h(":lm") % 4 == 0,
+               (F.lit(990_000) + (F.col("doc_id") % 900)).cast("long"))
+        .alias("last_modified_s"),
+        F.when(h(":et") % 6 == 0,
+               F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8))
+        .alias("etag"),
+    )
+    return cache_policy(log, now_s=1_003_000).orderBy("url")
+
+
+def _cache_policy_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import cache_policy_oracle_sql
+
+    def h(tag):
+        return (f"('0x' || substring(md5(doc_id::VARCHAR || '{tag}'), 1, "
+                "15))::BIGINT")
+
+    log_sql = f"""
+      SELECT 'https://' || source || '/d/' || doc_id::VARCHAR AS url,
+             (1000000 + doc_id % 5000)::BIGINT AS fetched_at,
+             CASE WHEN {h(':cc')} % 5 = 0 THEN 'max-age=600'
+                  WHEN {h(':cc')} % 5 = 1 THEN 'no-store'
+                  WHEN {h(':cc')} % 5 = 2
+                    THEN 'public, max-age=60, immutable'
+             END AS cache_control,
+             CASE WHEN {h(':ex')} % 3 = 0
+                  THEN (1002000 + doc_id % 700)::BIGINT END AS expires_s,
+             CASE WHEN {h(':lm')} % 4 = 0
+                  THEN (990000 + doc_id % 900)::BIGINT
+             END AS last_modified_s,
+             CASE WHEN {h(':et')} % 6 = 0
+                  THEN substring(md5(doc_id::VARCHAR), 1, 8) END AS etag
+      FROM documents"""
+    return cache_policy_oracle_sql(log_sql, now_s=1_003_000) \
+        + "\nORDER BY url"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4314,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "canonical_election": q_canonical_election,
         "cdc_dedup": q_cdc_dedup,
+        "cache_policy": q_cache_policy,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -4717,6 +4779,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _assortativity_oracle_sql(),
         "canonical_election": _canonical_election_oracle_sql(),
         "cdc_dedup": _cdc_dedup_oracle_sql(),
+        "cache_policy": _cache_policy_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

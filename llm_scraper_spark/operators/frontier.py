@@ -1270,3 +1270,95 @@ SELECT host, n, s,
                                   / n::DOUBLE + 1.0))
                     / (n::DOUBLE + 4.0)))::BIGINT AS wilson_fp
 FROM agg"""
+
+
+# ---------------------------------------------------------------------------
+# HTTP cache-policy revisit decisions
+# ---------------------------------------------------------------------------
+
+def cache_policy(fetch_log: DataFrame, now_s: int,
+                 url_col: str = "url") -> DataFrame:
+    """RFC 9111 freshness arithmetic over a fetch log — the header-aware
+    upgrade of the reference's fixed-TTL result cache
+    (/root/reference/cache.py: every result expires after one global
+    TTL): each URL's OWN ``Cache-Control``/``Expires``/validator headers
+    decide when a revisit is due and whether it can be a cheap
+    conditional request. Semantics (the deterministic core of §4.2):
+
+    - ``no-store``/``no-cache`` -> always stale (revisit now);
+    - ``max-age=N`` (first occurrence in the header) wins over
+      ``Expires``; fresh until ``fetched_at + N``;
+    - ``Expires`` (already parsed to epoch seconds by the fetch layer,
+      NULL if absent/malformed) used otherwise;
+    - neither -> heuristic freshness = ``(fetched_at - last_modified)
+      DIV 10`` (the RFC's 10% rule), 0 without a validator;
+    - ``revalidable`` = an ETag or Last-Modified exists, so the due
+      fetch can be conditional (If-None-Match / If-Modified-Since) —
+      at crawl scale the 304 path is the bandwidth budget.
+
+    Input columns: ``url, fetched_at (epoch s), cache_control (string,
+    nullable), expires_s (epoch s, nullable), last_modified_s (epoch s,
+    nullable), etag (string, nullable)``. All arithmetic is integer;
+    one narrow projection, no shuffle, no Python.
+
+    Returns the input plus ``fresh_until_s, stale (as of now_s),
+    revalidable``.
+    """
+    cc = F.coalesce(F.lower(F.col("cache_control")), F.lit(""))
+    no_cache = cc.contains("no-store") | cc.contains("no-cache")
+    max_age = F.regexp_extract(cc, r"max-age=(\d+)", 1)
+    has_ma = max_age != ""
+    heur = F.when(
+        F.col("last_modified_s").isNotNull()
+        & (F.col("fetched_at") > F.col("last_modified_s")),
+        F.expr("(fetched_at - last_modified_s) DIV 10")).otherwise(F.lit(0))
+    fresh_until = (
+        F.when(no_cache, F.col("fetched_at"))
+        .when(has_ma, F.col("fetched_at") + max_age.cast("long"))
+        .when(F.col("expires_s").isNotNull(), F.col("expires_s"))
+        .otherwise(F.col("fetched_at") + heur)
+        .cast("long")
+    )
+    return (
+        fetch_log.withColumn("fresh_until_s", fresh_until)
+        .withColumn("stale", F.col("fresh_until_s") <= F.lit(int(now_s)))
+        .withColumn(
+            "revalidable",
+            F.col("etag").isNotNull() | F.col("last_modified_s").isNotNull())
+    )
+
+
+def cache_policy_oracle_sql(fetch_log_sql: str, now_s: int) -> str:
+    """DuckDB twin of :func:`cache_policy` — identical precedence chain
+    and integer heuristic."""
+    return f"""
+WITH f AS ({fetch_log_sql}),
+base AS (
+  SELECT *,
+         coalesce(lower(cache_control), '') AS _cc,
+         regexp_extract(coalesce(lower(cache_control), ''),
+                        'max-age=(\\d+)', 1) AS _ma
+  FROM f)
+SELECT * EXCLUDE (_cc, _ma),
+       (CASE WHEN _cc LIKE '%no-store%' OR _cc LIKE '%no-cache%'
+             THEN fetched_at
+             WHEN _ma <> '' THEN fetched_at + _ma::BIGINT
+             WHEN expires_s IS NOT NULL THEN expires_s
+             ELSE fetched_at + (CASE WHEN last_modified_s IS NOT NULL
+                                      AND fetched_at > last_modified_s
+                                     THEN (fetched_at - last_modified_s)
+                                          // 10
+                                     ELSE 0 END)
+        END)::BIGINT AS fresh_until_s,
+       (CASE WHEN _cc LIKE '%no-store%' OR _cc LIKE '%no-cache%'
+             THEN fetched_at
+             WHEN _ma <> '' THEN fetched_at + _ma::BIGINT
+             WHEN expires_s IS NOT NULL THEN expires_s
+             ELSE fetched_at + (CASE WHEN last_modified_s IS NOT NULL
+                                      AND fetched_at > last_modified_s
+                                     THEN (fetched_at - last_modified_s)
+                                          // 10
+                                     ELSE 0 END)
+        END) <= {int(now_s)} AS stale,
+       (etag IS NOT NULL OR last_modified_s IS NOT NULL) AS revalidable
+FROM base"""

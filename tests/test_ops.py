@@ -3185,3 +3185,63 @@ def test_cdc_dedup_matches_duckdb(spark):
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
     assert any(r[4] > 0 for r in got)  # duplicated chunks detected
+
+
+def test_cache_policy_hand(spark):
+    from llm_scraper_spark.operators.frontier import cache_policy
+
+    rows = [
+        # url, fetched_at, cache_control, expires_s, last_modified_s, etag
+        ("a", 1000, "public, max-age=600", 9999, None, None),
+        ("b", 1000, "no-store", 9999, 500, "W/1"),
+        ("c", 1000, None, 1800, None, None),
+        ("d", 1000, None, None, 600, None),    # heuristic (1000-600)/10=40
+        ("e", 1000, None, None, None, None),   # nothing -> stale at fetch
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetched_at long, cache_control string, "
+              "expires_s long, last_modified_s long, etag string")
+    out = {r["url"]: r for r in cache_policy(df, now_s=1500).collect()}
+    assert out["a"]["fresh_until_s"] == 1600 and not out["a"]["stale"]
+    assert out["b"]["fresh_until_s"] == 1000 and out["b"]["stale"]
+    assert out["b"]["revalidable"]
+    assert out["c"]["fresh_until_s"] == 1800 and not out["c"]["stale"]
+    assert out["d"]["fresh_until_s"] == 1040 and out["d"]["stale"]
+    assert out["d"]["revalidable"] and not out["e"]["revalidable"]
+    assert out["e"]["stale"]
+
+
+def test_cache_policy_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        cache_policy, cache_policy_oracle_sql)
+
+    rows = []
+    for i in range(200):
+        cc = [None, "max-age=300", "no-cache", "public, max-age=60",
+              "private"][i % 5]
+        exp = 2000 + i if i % 3 == 0 else None
+        lm = 900 - i if i % 4 == 0 else None
+        et = f"e{i}" if i % 6 == 0 else None
+        rows.append((f"u{i}", 1000 + i, cc, exp, lm, et))
+    df = spark.createDataFrame(
+        rows, "url string, fetched_at long, cache_control string, "
+              "expires_s long, last_modified_s long, etag string")
+    got = sorted(tuple(r) for r in cache_policy(df, now_s=1700).collect())
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        return f"'{v}'" if isinstance(v, str) else str(v)
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+    sql = cache_policy_oracle_sql(
+        "SELECT url, fetched_at::BIGINT AS fetched_at, "
+        "cache_control, expires_s::BIGINT AS expires_s, "
+        "last_modified_s::BIGINT AS last_modified_s, etag "
+        f"FROM (VALUES {vals}) AS t(url, fetched_at, cache_control, "
+        "expires_s, last_modified_s, etag)", now_s=1700)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
