@@ -4327,6 +4327,25 @@ def _cache_policy_oracle_sql() -> str:
         + "\nORDER BY url"
 
 
+def q_zipf_terms(spark, sf_dir):
+    """Zipf term-frequency tail of the corpus: the frequency histogram
+    plus the Hill MLE exponent over terms with count >= 5 — the corpus
+    health invariant (natural text's tail vs template/spam floods), on
+    the same exact-fixed-point machinery as the host-graph degree fit.
+    Two map-side-combined groupBys + a broadcast 2-value summary."""
+    from llm_scraper_spark.operators.corpus import zipf_terms
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return zipf_terms(docs, k_min=5).orderBy("count")
+
+
+def _zipf_terms_oracle_sql() -> str:
+    from llm_scraper_spark.operators.corpus import zipf_terms_oracle_sql
+
+    return (zipf_terms_oracle_sql("SELECT text FROM documents", k_min=5)
+            + "\nORDER BY count")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4376,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_election": q_canonical_election,
         "cdc_dedup": q_cdc_dedup,
         "cache_policy": q_cache_policy,
+        "zipf_terms": q_zipf_terms,
         "authority_budgets": q_authority_budgets,
         "robots_gating": q_robots_gating,
         "interleave_pack": q_interleave_pack,
@@ -4780,6 +4800,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_election": _canonical_election_oracle_sql(),
         "cdc_dedup": _cdc_dedup_oracle_sql(),
         "cache_policy": _cache_policy_oracle_sql(),
+        "zipf_terms": _zipf_terms_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "opic_scores": _opic_scores_oracle_sql(),
         "dust_rules": _dust_rules_oracle_sql(),

@@ -526,3 +526,75 @@ SELECT * EXCLUDE (_cumq, _above),
             WHEN tier = 'boundary' THEN _cumq <= {B} - _above
             ELSE FALSE END AS keep
 FROM cumq"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf term-frequency tail (Hill estimator)
+# ---------------------------------------------------------------------------
+
+def zipf_terms(df: DataFrame, text_col: str = "text",
+               k_min: int = 5) -> DataFrame:
+    """Term-frequency distribution with the Hill MLE power-law exponent
+    over the tail (count >= ``k_min``) — Zipf's law is the oldest
+    corpus-scale invariant, and the fitted alpha is a cheap corpus
+    HEALTH check: natural text sits near the Zipf-Mandelbrot regime,
+    while template/boilerplate floods or synthetic spam shift the tail
+    visibly (the same Clauset-Shalizi-Newman machinery as the host-graph
+    degree fit, applied to the token space).
+
+    Same exactness discipline as graph.degree_powerlaw: per-term
+    ``floor(1e6 * ln(c / k_min))`` BIGINTs sum exactly, then
+    ``alpha_fp = 1e6 + (n_tail * 1e12) DIV S``. Scale shape: one
+    explode + one map-side-combined groupBy to term counts, one groupBy
+    to the (count, n_terms) histogram (rows = distinct counts, tiny),
+    one 2-value broadcast summary.
+
+    Returns ``(count, n_terms)`` histogram rows with ``(k_min, n_tail,
+    sum_ln_fp, alpha_fp)`` repeated on each.
+    """
+    if k_min < 1:
+        raise ValueError("k_min must be >= 1")
+    toks = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    hist = (counts.groupBy("c").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("n_terms"))
+            .withColumnRenamed("c", "count"))
+    term = F.floor(F.lit(1e6) * F.log(F.col("c").cast("double")
+                                      / F.lit(float(k_min)))).cast("long")
+    summ = (counts.filter(F.col("c") >= int(k_min))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tail"),
+                 F.coalesce(F.sum(term), F.lit(0)).cast("long")
+                 .alias("sum_ln_fp")))
+    summ = summ.select(
+        F.lit(int(k_min)).alias("k_min"), "n_tail", "sum_ln_fp",
+        F.when(F.col("sum_ln_fp") > 0,
+               F.lit(1_000_000)
+               + F.expr("(n_tail * 1000000000000) DIV sum_ln_fp"))
+        .cast("long").alias("alpha_fp"))
+    return hist.crossJoin(F.broadcast(summ))
+
+
+def zipf_terms_oracle_sql(docs_sql: str, k_min: int = 5) -> str:
+    """DuckDB twin of :func:`zipf_terms` — identical tokenization,
+    counts, floored log terms, and integer alpha."""
+    k = int(k_min)
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM ({docs_sql})),
+counts AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+hist AS (SELECT c AS count, count(*)::BIGINT AS n_terms
+         FROM counts GROUP BY c),
+summ AS (
+  SELECT count(*)::BIGINT AS n_tail,
+         coalesce(sum(floor(1e6 * ln(c::DOUBLE / {k}.0))::BIGINT),
+                  0)::BIGINT AS sum_ln_fp
+  FROM counts WHERE c >= {k})
+SELECT h.count, h.n_terms, {k} AS k_min, s.n_tail, s.sum_ln_fp,
+       CASE WHEN s.sum_ln_fp > 0
+            THEN 1000000 + (s.n_tail * 1000000000000) // s.sum_ln_fp
+       END::BIGINT AS alpha_fp
+FROM hist h, summ s"""

@@ -3245,3 +3245,35 @@ def test_cache_policy_matches_duckdb(spark):
         "expires_s, last_modified_s, etag)", now_s=1700)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_zipf_terms_hand_and_duckdb(spark):
+    import duckdb
+    import math
+
+    from llm_scraper_spark.operators.corpus import (
+        zipf_terms, zipf_terms_oracle_sql)
+
+    docs = [(i, " ".join(
+        ["the"] * 6 + ["of"] * 3 + [f"rare{i}"] + ["mid"] * 2))
+        for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = zipf_terms(df, k_min=10).collect()
+    hist = {r["count"]: r["n_terms"] for r in out}
+    assert hist[60] == 1 and hist[30] == 1 and hist[20] == 1
+    assert hist[1] == 10  # the ten rare terms
+    r = out[0]
+    assert r["n_tail"] == 3  # the/of/mid have counts >= 10
+    want_s = (math.floor(1e6 * math.log(60 / 10.0))
+              + math.floor(1e6 * math.log(30 / 10.0))
+              + math.floor(1e6 * math.log(20 / 10.0)))
+    assert r["sum_ln_fp"] == want_s
+    assert r["alpha_fp"] == 1_000_000 + 3 * 10**12 // want_s
+    # engine equality
+    got = sorted(tuple(x) for x in out)
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    want = sorted(tuple(x) for x in duckdb.connect().execute(
+        zipf_terms_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)",
+            k_min=10)).fetchall())
+    assert got == want
