@@ -4050,10 +4050,12 @@ def _wilson_success_oracle_sql() -> str:
     return wilson_success_oracle_sql(history_sql) + "\nORDER BY host"
 
 
+# excerpt ids are NEGATIVE (-doc_id - 1): disjoint from real doc_ids at
+# EVERY scale factor (doc_id + K collides once the table exceeds K rows)
 _CONTAINMENT_DOCS_SQL = r"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000,
+  SELECT -doc_id - 1,
          array_to_string(
            list_slice(regexp_split_to_array(lower(trim(text)), '\s+'),
                       1, 15), ' ')
@@ -4063,7 +4065,8 @@ _CONTAINMENT_DOCS_SQL = r"""
 def q_containment_pairs(spark, sf_dir):
     """Exact n-gram CONTAINMENT over LSH candidates (Broder's
     resemblance-vs-containment split): every 20th doc also exists as a
-    15-token excerpt, so quotation/inclusion pairs score containment
+    15-token excerpt under a collision-proof negative id, so
+    quotation/inclusion pairs score containment
     1e6 ppm from the excerpt side while Jaccard stays low — the case
     Jaccard-only verification misses. Permissive banding (16x2 over the
     same 32 md5-carved hashes) favors recall; all counts and both ppm
@@ -4072,7 +4075,7 @@ def q_containment_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     excerpts = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 100_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat_ws(
             " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
                          1, 15)).alias("text"))

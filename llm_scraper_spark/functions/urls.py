@@ -427,55 +427,38 @@ def registrable_domain(col) -> Column:
 # registered-domain (pay-level-domain) extraction
 # ---------------------------------------------------------------------------
 
-# The multipart public suffixes this engine recognises (a deliberately
-# small, embedded subset of the Mozilla Public Suffix List — the full PSL
-# is a data file a deployment ships as a broadcast table; these cover the
-# common ccTLD second-level registries so the operator's shape is real).
-MULTIPART_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp",
-    "co.in", "co.kr", "com.br", "com.cn", "com.mx", "com.tr",
-)
+# Single source of truth for multipart registry suffixes: the embedded
+# PSL subset above (``PSL_TWO_LABEL``). ``registered_domain`` is the
+# PLD-rollup-facing name; it delegates to :func:`registrable_domain` so
+# politeness grouping and authority/budget rollups can NEVER disagree on
+# what a site's registered domain is.
+MULTIPART_SUFFIXES = PSL_TWO_LABEL
 
 
 def registered_domain(host_col) -> Column:
     """The registered domain (pay-level domain, PLD) of a hostname —
-    ``a.b.example.co.uk -> example.co.uk``, ``www.example.com ->
-    example.com``. The aggregation level web-scale link analysis actually
-    uses: Common Crawl's webgraph ships host- AND PLD-level editions
-    because host-level graphs overcount sites that shard across
-    subdomains (blogspot, github.io tenants) — authority/budget/spam
-    signals roll up to the PLD.
+    ``a.b.example.co.uk -> example.co.uk``. The aggregation level
+    web-scale link analysis uses (Common Crawl ships host- AND PLD-level
+    webgraphs); authority/budget/spam signals roll up to the PLD.
 
-    Pure native expression (split + element_at + CASE over the embedded
-    multipart-suffix set): the last TWO labels, or the last THREE when
-    the final two form a recognised multipart registry suffix. Hosts
-    with fewer labels pass through unchanged. Zero shuffle by
-    construction.
+    Delegates to :func:`registrable_domain` (identical lowercasing and
+    the shared ``PSL_TWO_LABEL`` suffix set), so this is the same
+    grouping key the politeness tier uses — one definition, two names.
     """
-    h = F.col(host_col) if isinstance(host_col, str) else host_col
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2),
-                        F.element_at(labels, -1))
-    last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
-    is_multi = last2.isin(*MULTIPART_SUFFIXES)
-    return (
-        F.when(n <= 2, h)
-        .when(is_multi & (n >= 3), last3)
-        .otherwise(last2)
-    )
+    return registrable_domain(host_col)
 
 
 def registered_domain_sql_expr(host_sql: str) -> str:
-    """DuckDB scalar twin of :func:`registered_domain` (1-based list
-    indexing; identical label logic and suffix set)."""
-    suf = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
-    ls = f"string_split({host_sql}, '.')"
+    """DuckDB scalar twin of :func:`registered_domain` /
+    :func:`registrable_domain` (1-based list indexing; identical
+    lowercasing, label logic, and the shared PSL_TWO_LABEL set)."""
+    suf = ", ".join(f"'{s}'" for s in PSL_TWO_LABEL)
+    h = f"lower({host_sql})"
+    ls = f"string_split({h}, '.')"
     last2 = f"({ls}[-2] || '.' || {ls}[-1])"
     last3 = f"({ls}[-3] || '.' || {ls}[-2] || '.' || {ls}[-1])"
     return f"""(CASE
-      WHEN len({ls}) <= 2 THEN {host_sql}
-      WHEN {last2} IN ({suf}) AND len({ls}) >= 3 THEN {last3}
+      WHEN {last2} IN ({suf})
+        THEN (CASE WHEN len({ls}) <= 3 THEN {h} ELSE {last3} END)
+      WHEN len({ls}) <= 2 THEN {h}
       ELSE {last2} END)"""

@@ -463,17 +463,27 @@ def budget_select(
         .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = (
+    tiered = (
         binned.crossJoin(F.broadcast(thr))
         .withColumn(
             "tier",
             F.when(F.col("_thr").isNull() | (F.col("bin") > F.col("_thr")),
                    F.lit("full"))
             .when(F.col("bin") == F.col("_thr"), F.lit("boundary")))
-        .withColumn(
-            "_cumq",
-            F.when(F.col("tier") == "boundary",
-                   F.sum(tokens_col).over(wq)).cast("long"))
+    )
+    # FILTER to the boundary bin BEFORE the window: the ordered exchange
+    # then moves only ~corpus/n_bins rows — masking the window's output
+    # with a CASE would still shuffle+sort the whole corpus
+    boundary = (
+        tiered.filter(F.col("tier") == F.lit("boundary"))
+        .withColumn("_cumq", F.sum(tokens_col).over(wq).cast("long"))
+    )
+    rest = (
+        tiered.filter(F.coalesce(F.col("tier"), F.lit("")) != "boundary")
+        .withColumn("_cumq", F.lit(None).cast("long"))
+    )
+    out = (
+        rest.unionByName(boundary)
         .withColumn(
             "keep",
             F.when(F.col("tier") == "full", F.lit(True))
@@ -568,11 +578,16 @@ def zipf_terms(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast("long").alias("n_tail"),
                  F.coalesce(F.sum(term), F.lit(0)).cast("long")
                  .alias("sum_ln_fp")))
+    # DOUBLE read-out (not n_tail*1e12 DIV s): a web-scale vocabulary
+    # easily exceeds 9.2M tail terms, overflowing the BIGINT product;
+    # exact-int operands make the float division IEEE-identical on both
+    # engines
     summ = summ.select(
         F.lit(int(k_min)).alias("k_min"), "n_tail", "sum_ln_fp",
         F.when(F.col("sum_ln_fp") > 0,
                F.lit(1_000_000)
-               + F.expr("(n_tail * 1000000000000) DIV sum_ln_fp"))
+               + F.floor((F.lit(1e12) * F.col("n_tail").cast("double"))
+                         / F.col("sum_ln_fp").cast("double")))
         .cast("long").alias("alpha_fp"))
     return hist.crossJoin(F.broadcast(summ))
 
@@ -595,6 +610,7 @@ summ AS (
   FROM counts WHERE c >= {k})
 SELECT h.count, h.n_terms, {k} AS k_min, s.n_tail, s.sum_ln_fp,
        CASE WHEN s.sum_ln_fp > 0
-            THEN 1000000 + (s.n_tail * 1000000000000) // s.sum_ln_fp
+            THEN 1000000 + floor((1e12 * s.n_tail::DOUBLE)
+                                 / s.sum_ln_fp::DOUBLE)
        END::BIGINT AS alpha_fp
 FROM hist h, summ s"""

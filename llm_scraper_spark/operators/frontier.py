@@ -988,7 +988,10 @@ def mercator_oracle_sql(frontier_sql: str, n_queues: int,
     """DuckDB twin of :func:`mercator_schedule` (md5 family): identical
     mod-hash queue pin, host FIFO window, and (ready_ms, seq) drain
     order."""
-    delay = delay_sql or str(int(default_delay_ms))
+    # mirror the Spark twin's NULL fallback: a host with no delay row
+    # gets default_delay_ms, never a NULL ready time
+    delay = (f"coalesce({delay_sql}, {int(default_delay_ms)})"
+             if delay_sql else str(int(default_delay_ms)))
     return f"""
 WITH f AS ({frontier_sql}),
 pinned AS (

@@ -1325,9 +1325,14 @@ def relevance_propagation(
         .distinct()
         .persist()
     )
+    # node universe = graph endpoints UNION seed hosts: a freshly added
+    # topical seed with no links yet must still keep (and propagate from)
+    # its score — dropping it would silently violate the 'seeds keep at
+    # least their seed score' contract
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
+        .unionByName(seeds.select("host"))
         .distinct()
         .persist()
     )
@@ -1386,9 +1391,10 @@ def relevance_propagation_oracle_sql(
     parts = [
         f"""WITH raw_edges AS ({edges_sql}),
 edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
-nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
 seedset AS (SELECT host, max(rel_fp) AS rel_fp FROM ({seeds_sql})
             GROUP BY host),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges
+          UNION SELECT host FROM seedset),
 base AS (
   SELECT n.host,
          greatest(coalesce(s.rel_fp, 0), 0)::BIGINT AS rel_fp
@@ -1457,11 +1463,16 @@ def degree_powerlaw(edges: DataFrame, k_min: int = 2) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_tail"),
                  F.coalesce(F.sum(term), F.lit(0)).cast("long")
                  .alias("sum_ln_fp")))
+    # read-out in DOUBLE: n_tail * 1e12 overflows BIGINT past ~9.2M tail
+    # hosts (real at web scale); both operands are exact ints whose
+    # double conversion + division + floor are IEEE-identical across
+    # engines, so the fixed-point value stays bit-reproducible
     summ = summ.select(
         F.lit(int(k_min)).alias("k_min"), "n_tail", "sum_ln_fp",
         F.when(F.col("sum_ln_fp") > 0,
                F.lit(1_000_000)
-               + F.expr("(n_tail * 1000000000000) DIV sum_ln_fp"))
+               + F.floor((F.lit(1e12) * F.col("n_tail").cast("double"))
+                         / F.col("sum_ln_fp").cast("double")))
         .cast("long").alias("alpha_fp"))
     return hist.crossJoin(F.broadcast(summ))
 
@@ -1483,7 +1494,8 @@ summ AS (
   FROM deg WHERE d >= {k})
 SELECT h.degree, h.n_hosts, {k} AS k_min, s.n_tail, s.sum_ln_fp,
        CASE WHEN s.sum_ln_fp > 0
-            THEN 1000000 + (s.n_tail * 1000000000000) // s.sum_ln_fp
+            THEN 1000000 + floor((1e12 * s.n_tail::DOUBLE)
+                                 / s.sum_ln_fp::DOUBLE)
        END::BIGINT AS alpha_fp
 FROM hist h, summ s"""
 

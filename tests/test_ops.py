@@ -2830,7 +2830,7 @@ def test_degree_powerlaw_hand(spark):
     want_s = (math.floor(1e6 * math.log(4 / 2.0))
               + 2 * math.floor(1e6 * math.log(2 / 2.0)))
     assert r["sum_ln_fp"] == want_s
-    assert r["alpha_fp"] == 1_000_000 + (3 * 10**12) // want_s
+    assert r["alpha_fp"] == 1_000_000 + math.floor(1e12 * 3 / want_s)
 
 
 def test_degree_powerlaw_matches_duckdb(spark):
@@ -3268,7 +3268,7 @@ def test_zipf_terms_hand_and_duckdb(spark):
               + math.floor(1e6 * math.log(30 / 10.0))
               + math.floor(1e6 * math.log(20 / 10.0)))
     assert r["sum_ln_fp"] == want_s
-    assert r["alpha_fp"] == 1_000_000 + 3 * 10**12 // want_s
+    assert r["alpha_fp"] == 1_000_000 + math.floor(1e12 * 3 / want_s)
     # engine equality
     got = sorted(tuple(x) for x in out)
     vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
@@ -3277,3 +3277,50 @@ def test_zipf_terms_hand_and_duckdb(spark):
             f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)",
             k_min=10)).fetchall())
     assert got == want
+
+
+def test_relevance_propagation_keeps_edgeless_seeds(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.graph import (
+        relevance_propagation, relevance_propagation_oracle_sql)
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a", 1_000_000), ("island", 700_000)], "host string, rel_fp long")
+    out = {r["host"]: r["rel_fp"]
+           for r in relevance_propagation(edges, seeds, rounds=2).collect()}
+    assert out["island"] == 700_000  # edge-less seed survives
+    assert out == {"a": 1_000_000, "b": 500_000, "island": 700_000}
+    want = dict(duckdb.connect().execute(
+        relevance_propagation_oracle_sql(
+            "SELECT * FROM (VALUES ('a', 'b')) t(src, dst)",
+            "SELECT * FROM (VALUES ('a', 1000000), ('island', 700000)) "
+            "t(host, rel_fp)", rounds=2)).fetchall())
+    assert out == want
+
+
+def test_mercator_null_delay_matches_duckdb(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.frontier import (
+        mercator_oracle_sql, mercator_schedule)
+
+    rows = [("u0", "a.com", 0, 200), ("u1", "a.com", 1, 200),
+            ("u2", "b.com", 2, None), ("u3", "b.com", 3, None)]
+    f = spark.createDataFrame(
+        rows, "url string, host string, seq long, delay_ms long")
+    got = sorted(tuple(r) for r in mercator_schedule(
+        f, 2, delay_col="delay_ms", default_delay_ms=750).collect())
+    vals = ", ".join(
+        f"('{u}', '{h}', {s}, {d if d is not None else 'NULL'})"
+        for u, h, s, d in rows)
+    sql = mercator_oracle_sql(
+        "SELECT url, host, seq::BIGINT AS seq, delay_ms::BIGINT AS "
+        f"delay_ms FROM (VALUES {vals}) AS t(url, host, seq, delay_ms)",
+        2, default_delay_ms=750, delay_sql="delay_ms")
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    # the NULL-delay host fell back to 750ms spacing
+    by_url = {r[0]: r for r in got}
+    assert by_url["u3"][6] == 750  # ready_ms of host_pos 1

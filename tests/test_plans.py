@@ -592,8 +592,13 @@ def test_session6b_operators_plan_shapes(spark, sf_mid):
     assert "Python" not in p
 
     p = _exec_plan(budget_select(cur, 30_000))
-    # two windows total: the tiny per-bin cumulative + the boundary bin's
-    assert p.count("Window") == 2, p
+    # three Window nodes: the tiny per-bin cumulative summary is
+    # re-planned once per union branch (bounded rows — harmless), and the
+    # ONE per-doc window runs on the boundary-bin subset only: its input
+    # is the tier='boundary' Filter, so the ordered exchange moves
+    # ~corpus/n_bins rows, never the full corpus
+    assert p.count("Window") == 3, p
+    assert "boundary" in p, p
     assert "Python" not in p
 
     clusters = docs.select("doc_id",
