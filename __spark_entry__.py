@@ -4349,6 +4349,184 @@ def _zipf_terms_oracle_sql() -> str:
             + "\nORDER BY count")
 
 
+def q_salsa_scores(spark, sf_dir):
+    """SALSA (Lempel & Moran, WWW 2000) over the synthetic host graph —
+    the spam-resistant sibling of HITS: every contribution is divided by
+    the degree of the node it flows through, so a k-page link farm
+    carries the weight of one honest link (the TKC-effect fix). Integer
+    DIV fixed point end-to-end; the DuckDB oracle unrolls all 3 rounds
+    as CTEs and matches bit-for-bit."""
+    from llm_scraper_spark.operators.graph import salsa_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return salsa_scores(edges, iterations=3).orderBy("host")
+
+
+def _salsa_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import salsa_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    return salsa_oracle_sql(edges_sql, iterations=3) + "\nORDER BY host"
+
+
+COCITE_MAX_DEGREE = 16
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation + bibliographic coupling (Small 1973 / Kessler 1963)
+    over the host graph: shared-in-neighbor and shared-out-neighbor pair
+    counts, with wedge centers above degree COCITE_MAX_DEGREE dropped
+    BEFORE the self-join (the documented quadratic-fan-out cap — a
+    10^6-degree aggregator would alone emit 5*10^11 pairs). The oracle
+    replays the identical cap and wedge joins."""
+    from llm_scraper_spark.operators.graph import cocitation_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return (
+        cocitation_pairs(edges, max_degree=COCITE_MAX_DEGREE, min_count=1)
+        .orderBy("host_a", "host_b")
+    )
+
+
+def _cocitation_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import cocitation_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    return (
+        cocitation_oracle_sql(edges_sql, max_degree=COCITE_MAX_DEGREE,
+                              min_count=1)
+        + "\nORDER BY host_a, host_b"
+    )
+
+
+REDIRECT_URLS = 400
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (4 self-joins
+    resolve a 16-hop budget): the frontier must schedule chain TERMINALS
+    or the seen-set fills with aliases and politeness charges the wrong
+    host. The synthetic functional graph (60% of 400 URLs redirect,
+    md5-chosen targets, natural cycles) is rebuilt identically in the
+    oracle, which walks it SEQUENTIALLY with a recursive CTE — agreement
+    proves the log-round composition lands on the exact same node, hop
+    count, and cycle verdict as the step-by-step walk."""
+    from llm_scraper_spark.operators.redirects import resolve_redirects
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    urls = ev.select((F.col("event_id") % REDIRECT_URLS).alias("u")).distinct()
+    edges = (
+        urls.filter(_md5_60bit(F.col("u"), ":r") % 10 < 6)
+        .select(
+            F.concat(F.lit("u"), F.col("u").cast("string")).alias("src"),
+            F.concat(
+                F.lit("u"),
+                (_md5_60bit(F.col("u"), ":t") % REDIRECT_URLS).cast("string"),
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return resolve_redirects(edges, max_hops=16).orderBy("url")
+
+
+def _redirect_resolve_oracle_sql() -> str:
+    from llm_scraper_spark.operators.redirects import (
+        resolve_redirects_oracle_sql,
+    )
+
+    edges_sql = f"""
+        SELECT src, dst FROM (
+          SELECT 'u' || u::VARCHAR AS src,
+                 'u' || (('0x' || substring(md5(u::VARCHAR || ':t'), 1, 15))
+                         ::BIGINT % {REDIRECT_URLS})::VARCHAR AS dst
+          FROM (SELECT DISTINCT event_id % {REDIRECT_URLS} AS u FROM events)
+          WHERE ('0x' || substring(md5(u::VARCHAR || ':r'), 1, 15))::BIGINT
+                % 10 < 6
+        ) WHERE src <> dst"""
+    return (resolve_redirects_oracle_sql(edges_sql, max_hops=16)
+            + "\nORDER BY url")
+
+
+ZORDER_BOX = (0, 16383, 0, 1024)  # host-hash first quarter x short docs
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout keys + data-skipping stats: 16-bit host
+    hash interleaved with a 16-bit length dimension via the native
+    shift-or-mask ladder (no UDF), files cut by fixed key-space ranges,
+    and a 2-D box predicate's per-file scan/skip decision computed from
+    min/max stats exactly as a parquet reader would — the
+    fastest-file-is-the-one-you-never-open operator for 100 TB layout.
+    The oracle replays the identical bit ladder in BIGINT SQL."""
+    from llm_scraper_spark.operators.layout import layout_pruning_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.select(
+        (_md5_60bit(F.col("doc_id"), ":zx") % 65536).alias("x"),
+        F.least(F.length("text"), F.lit(65535)).cast("long").alias("y"),
+    )
+    return (
+        layout_pruning_stats(rows, "x", "y", n_files=64, box=ZORDER_BOX)
+        .orderBy("file_id")
+    )
+
+
+def _zorder_layout_oracle_sql() -> str:
+    from llm_scraper_spark.operators.layout import layout_pruning_oracle_sql
+
+    rows_sql = """
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':zx'), 1, 15))
+                 ::BIGINT % 65536 AS x,
+               LEAST(length(text), 65535)::BIGINT AS y
+        FROM documents"""
+    return (layout_pruning_oracle_sql(rows_sql, n_files=64, box=ZORDER_BOX)
+            + "\nORDER BY file_id")
+
+
+def q_span_integrity(spark, sf_dir):
+    """Corpus-wide audit of the north rule's per-row invariant
+    (kind, text, media_ref, order): offset ordering, struct shape,
+    interleaving run geometry, and media density per document — all
+    native array HOFs over the LIVE chunker UDF output, recomputed by
+    the oracle from the flat committed golden spans with windows and
+    GROUP BY. Agreement certifies chunker output AND the HOF arithmetic
+    through two structurally different dataflows."""
+    from llm_scraper_spark.operators.corpus import span_integrity
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    return (
+        span_integrity(docs)
+        .filter(F.col("n_spans") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _span_integrity_oracle_sql() -> str:
+    from llm_scraper_spark.operators.corpus import span_integrity_oracle_sql
+
+    flat = ("SELECT * FROM "
+            "read_parquet('/root/repo/goldens/spans_sf0.01.parquet')")
+    return span_integrity_oracle_sql(flat) + "\nORDER BY doc_id"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4476,6 +4654,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules": q_dust_rules,
         "ewma_delay": q_ewma_delay,
         "host_communities": q_host_communities,
+        "salsa_scores": q_salsa_scores,
+        "cocitation": q_cocitation,
+        "redirect_resolve": q_redirect_resolve,
+        "zorder_layout": q_zorder_layout,
+        "span_integrity": q_span_integrity,
     }
 
 
@@ -4809,6 +4992,11 @@ def oracle_sql() -> dict[str, str]:
         "dust_rules": _dust_rules_oracle_sql(),
         "ewma_delay": _ewma_delay_oracle_sql(),
         "host_communities": _host_communities_oracle_sql(),
+        "salsa_scores": _salsa_oracle_sql(),
+        "cocitation": _cocitation_oracle_sql(),
+        "redirect_resolve": _redirect_resolve_oracle_sql(),
+        "zorder_layout": _zorder_layout_oracle_sql(),
+        "span_integrity": _span_integrity_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

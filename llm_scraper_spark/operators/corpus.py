@@ -614,3 +614,97 @@ SELECT h.count, h.n_terms, {k} AS k_min, s.n_tail, s.sum_ln_fp,
                                  / s.sum_ln_fp::DOUBLE)
        END::BIGINT AS alpha_fp
 FROM hist h, summ s"""
+
+
+def span_integrity(docs: DataFrame, doc_id_col: str = "doc_id",
+                   spans_col: str = "spans") -> DataFrame:
+    """Per-document integrity + shape metrics for the north-rule
+    interleaved spans table — the invariant the whole graft hangs on is
+    span-sequence equality (kind, text, media_ref, order), so this is
+    the operator that AUDITS it corpus-wide: a writer bug, a shuffle
+    that drops array order, or a media_ref mixup shows up here as a
+    non-zero violation count long before a downstream consumer decodes
+    garbage.
+
+    Checks, all NATIVE array higher-order functions over the nested
+    column (zip_with/filter/aggregate — one codegen'd projection, no
+    explode, no shuffle, no Python):
+
+    - ``order_ok``     — span offsets are exactly 0..n-1 in array order
+      (the chunker contract, chunker.py interleave_spans).
+    - ``shape_ok``     — every media span carries a non-empty media_ref
+      and empty text; every text span an empty media_ref (the writer
+      contract for the struct).
+    - ``kind_runs``    — number of maximal same-kind runs (1 + count of
+      kind transitions): the interleaving geometry a packing consumer
+      (interleave_pack) sees.
+    - ``text_chars``   — total text payload bytes-as-chars.
+    - ``media_ppm``    — media spans per million spans, integer DIV.
+
+    The DuckDB oracle recomputes every metric from the FLAT golden spans
+    parquet with windows/GROUP BY — a structurally different dataflow
+    over independently validated rows (goldens are pinned against the
+    actual reference chunking module), so agreement certifies both the
+    live chunker UDF and the HOF arithmetic.
+    """
+    s = F.col(spans_col)
+    n = F.size(s)
+    idx = F.sequence(F.lit(0), n - 1)
+    order_ok = F.when(n == 0, F.lit(True)).otherwise(
+        F.forall(F.zip_with(s, idx, lambda sp, i: sp["offset"] == i),
+                 lambda x: x))
+    shape_ok = F.forall(
+        s,
+        lambda sp: ((sp["kind"] == "media") & (sp["media_ref"] != "")
+                    & (sp["text"] == ""))
+        | ((sp["kind"] == "text") & (sp["media_ref"] == "")))
+    transitions = F.when(n <= 1, F.lit(0)).otherwise(F.size(F.filter(
+        F.zip_with(F.slice(s, 1, n - 1), F.slice(s, 2, n - 1),
+                   lambda a, b: a["kind"] != b["kind"]),
+        lambda x: x)))
+    n_media = F.size(F.filter(s, lambda sp: sp["kind"] == "media"))
+    return docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        n.cast("long").alias("n_spans"),
+        n_media.cast("long").alias("n_media"),
+        order_ok.alias("order_ok"),
+        shape_ok.alias("shape_ok"),
+        F.when(n == 0, F.lit(0)).otherwise(transitions + 1)
+        .cast("long").alias("kind_runs"),
+        F.aggregate(s, F.lit(0).cast("long"),
+                    lambda acc, sp: acc + F.length(sp["text"]))
+        .alias("text_chars"),
+        F.when(n == 0, F.lit(0)).otherwise(
+            F.expr(f"(size(filter({spans_col}, "
+                   f"sp -> sp.kind = 'media')) * 1000000) "
+                   f"DIV size({spans_col})"))
+        .cast("long").alias("media_ppm"),
+    )
+
+
+def span_integrity_oracle_sql(flat_spans_sql: str) -> str:
+    """DuckDB twin of :func:`span_integrity` over FLAT rows
+    (doc_id, span_idx, kind, text, media_ref, offset) — windows +
+    GROUP BY instead of array HOFs."""
+    return f"""
+WITH sp AS ({flat_spans_sql}),
+t AS (
+  SELECT doc_id, span_idx, kind, text, media_ref, "offset",
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_idx) - 1
+             AS arr_pos,
+         LAG(kind) OVER (PARTITION BY doc_id ORDER BY span_idx)
+             AS prev_kind
+  FROM sp
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       sum((kind = 'media')::BIGINT)::BIGINT AS n_media,
+       bool_and("offset" = arr_pos) AS order_ok,
+       bool_and((kind = 'media' AND media_ref <> '' AND text = '')
+                OR (kind = 'text' AND media_ref = '')) AS shape_ok,
+       (1 + sum((prev_kind IS NOT NULL AND kind <> prev_kind)::BIGINT)
+       )::BIGINT AS kind_runs,
+       sum(length(text))::BIGINT AS text_chars,
+       (sum((kind = 'media')::BIGINT) * 1000000 // count(*))::BIGINT
+           AS media_ppm
+FROM t GROUP BY doc_id"""

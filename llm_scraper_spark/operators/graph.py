@@ -1759,3 +1759,231 @@ SELECT n_ends, sx, sxy, sxx,
                                  - sx::DOUBLE * sx::DOUBLE)))
        END::BIGINT AS r_fp
 FROM agg"""
+
+
+def salsa_scores(edges: DataFrame, iterations: int = 3,
+                 rank_one: int = RANK_ONE,
+                 checkpoint_interval: int = 4) -> DataFrame:
+    """SALSA — Stochastic Approach for Link-Structure Analysis (Lempel &
+    Moran, WWW 2000): HITS with the mutual-reinforcement sums replaced by
+    RANDOM-WALK averages. Where HITS lets one dense link farm inflate
+    every score it touches (its Achilles heel — the TKC effect), SALSA
+    divides each contribution by the degree of the node it passes
+    through, so a farm of k pages pointing at each other carries no more
+    total weight than a single honest link. That makes it the
+    spam-resistant authority signal of choice for frontier budgeting on
+    an adversarial web crawl (it is what WebGraph-era engines actually
+    shipped).
+
+    Update (authority chain, starting a_0 = rank_one on every node):
+        h_k(i) = sum over out-edges i->j of  a_{k-1}(j) DIV indeg(j)
+        a_k(j) = sum over in-edges  i->j of  h_k(i)     DIV outdeg(i)
+    i.e. one backward then one forward step of the bipartite random
+    walk, in INTEGER fixed point (rank_one = 1.0). DIV floor division
+    makes the distributed result bit-reproducible; magnitudes only
+    shrink (each step averages), so no overflow for any K.
+
+    Scale shape (same discipline as host_pagerank / host_hits): the
+    deduped edge list and the two degree tables are computed once and
+    persisted; each half-step is one equi-join of the edge table against
+    the tiny per-host score table plus a map-side-combined groupBy —
+    shuffle volume is O(E) slim (host, score) rows per round, no
+    windows, no driver collect. Lineage is cut every
+    ``checkpoint_interval`` rounds via tracked localCheckpoint, prior
+    checkpoints released (ADVICE r2).
+
+    Returns (host, hub, authority) for every node.
+    Reference spec: the reference ranks hosts only by result recency
+    (cache.py TTL); this is the 100 TB crawl-prioritization extension.
+    """
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    outd = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("outd")).persist()
+    ind = e.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind")).persist()
+    auth = nodes.select("host", F.lit(rank_one).cast("long").alias("authority"))
+    hub = nodes.select("host", F.lit(0).cast("long").alias("hub"))
+    prev_ck_ids: set[int] = set()
+    for i in range(iterations):
+        # h(i) = sum_{i->j} a(j) DIV ind(j)  (backward step of the walk)
+        contrib_a = (
+            auth.join(ind, "host")
+            .select(F.col("host").alias("dst"),
+                    F.expr("authority DIV ind").alias("_c"))
+        )
+        hub2 = (
+            e.join(contrib_a, "dst")
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum("_c").alias("hub"))
+        )
+        hub = nodes.join(hub2, "host", "left").select(
+            "host", F.coalesce("hub", F.lit(0)).cast("long").alias("hub"))
+        # a(j) = sum_{i->j} h(i) DIV outd(i)  (forward step)
+        contrib_h = (
+            hub.join(outd, "host")
+            .select(F.col("host").alias("src"),
+                    F.expr("hub DIV outd").alias("_c"))
+        )
+        auth2 = (
+            e.join(contrib_h, "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("_c").alias("authority"))
+        )
+        auth = nodes.join(auth2, "host", "left").select(
+            "host",
+            F.coalesce("authority", F.lit(0)).cast("long").alias("authority"))
+        if (i + 1) % checkpoint_interval == 0:
+            auth, ck_a = local_checkpoint_tracked(auth)
+            hub, ck_h = local_checkpoint_tracked(hub)
+            release_checkpoint(spark, prev_ck_ids)
+            prev_ck_ids = ck_a | ck_h
+    out = (
+        nodes.join(hub, "host", "left")
+        .join(auth, "host", "left")
+        .select("host",
+                F.coalesce("hub", F.lit(0)).alias("hub"),
+                F.coalesce("authority", F.lit(0)).alias("authority"))
+    )
+    for df in (e, nodes, outd, ind):
+        df.unpersist()
+    return out
+
+
+def salsa_oracle_sql(edges_sql: str, iterations: int = 3,
+                     rank_one: int = RANK_ONE) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`salsa_scores` — a_0 = rank_one;
+    each round one backward (DIV indeg) then one forward (DIV outdeg)
+    averaging step, integer end-to-end (SUM over BIGINT is HUGEINT in
+    DuckDB — cast back before reuse)."""
+    parts = [
+        f"""WITH raw_edges AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+outd AS (SELECT src AS host, count(*)::BIGINT AS outd FROM e GROUP BY src),
+ind AS (SELECT dst AS host, count(*)::BIGINT AS ind FROM e GROUP BY dst),
+auth0 AS (SELECT host, CAST({rank_one} AS BIGINT) AS authority FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+hub{k} AS (
+  SELECT n.host, CAST(coalesce(s.h, 0) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS host, SUM(a.authority // i.ind) AS h
+    FROM e JOIN auth{k-1} a ON a.host = e.dst JOIN ind i ON i.host = e.dst
+    GROUP BY e.src) s ON s.host = n.host)"""
+        )
+        parts.append(
+            f""",
+auth{k} AS (
+  SELECT n.host, CAST(coalesce(s.a, 0) AS BIGINT) AS authority
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS host, SUM(h.hub // o.outd) AS a
+    FROM e JOIN hub{k} h ON h.host = e.src JOIN outd o ON o.host = e.src
+    GROUP BY e.dst) s ON s.host = n.host)"""
+        )
+    k = iterations
+    parts.append(
+        f"\nSELECT h.host, h.hub, a.authority"
+        f" FROM hub{k} h JOIN auth{k} a USING (host)"
+    )
+    return "".join(parts)
+
+
+def cocitation_pairs(edges: DataFrame, max_degree: int = 64,
+                     min_count: int = 2) -> DataFrame:
+    """Co-citation and bibliographic coupling over the host graph
+    (Small 1973 / Kessler 1963 — the similarity signals under SALSA and
+    'related pages'): two hosts are CO-CITED when a third host links to
+    both (shared in-neighbor), and COUPLED when they link to the same
+    third host (shared out-neighbor). High co-citation with near-zero
+    coupling is the mirror-farm signature; both together indicate true
+    topical siblings worth co-scheduling in the frontier.
+
+    Scale shape: the naive wedge self-join explodes quadratically on
+    hubs — a host with in-degree d contributes d*(d-1)/2 co-cited
+    pairs, so one 10^6-degree aggregator host alone would emit 5*10^11
+    rows. Wedge centers with degree > ``max_degree`` are dropped BEFORE
+    the self-join (an explicit, documented coverage cap — the same
+    discipline as the MinHash bucket cap: a 10^6-degree center carries
+    ~zero similarity information per pair anyway, exactly as an
+    every-doc stopword carries none). The surviving self-join fan-out is
+    bounded by max_degree per center. Pairs are oriented a < b so each
+    pair appears once; the two wedge counts meet in one full outer join.
+
+    Returns (host_a, host_b, cocited, coupled) for pairs where
+    cocited + coupled >= min_count.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    def _wedges(center: str, leaf: str) -> DataFrame:
+        deg = (
+            e.groupBy(center).agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") <= max_degree)
+            .drop("_d")
+        )
+        slim = e.join(deg, center)  # only low-degree centers survive
+        l = slim.select(F.col(center).alias("c"), F.col(leaf).alias("a"))
+        r = slim.select(F.col(center).alias("c"), F.col(leaf).alias("b"))
+        return (
+            l.join(r, "c")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    cocite = _wedges("src", "dst").withColumnRenamed("n", "cocited")
+    couple = _wedges("dst", "src").withColumnRenamed("n", "coupled")
+    return (
+        cocite.join(couple, ["a", "b"], "full_outer")
+        .select(
+            F.col("a").alias("host_a"), F.col("b").alias("host_b"),
+            F.coalesce("cocited", F.lit(0)).cast("long").alias("cocited"),
+            F.coalesce("coupled", F.lit(0)).cast("long").alias("coupled"),
+        )
+        .filter(F.col("cocited") + F.col("coupled") >= min_count)
+    )
+
+
+def cocitation_oracle_sql(edges_sql: str, max_degree: int = 64,
+                          min_count: int = 2) -> str:
+    """DuckDB twin of :func:`cocitation_pairs` — identical degree cap,
+    wedge joins, and pair orientation."""
+    return f"""
+WITH raw_edges AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+src_ok AS (SELECT src FROM e GROUP BY src HAVING count(*) <= {max_degree}),
+dst_ok AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= {max_degree}),
+cocite AS (
+  SELECT l.dst AS a, r.dst AS b, count(*)::BIGINT AS cocited
+  FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+  WHERE l.src IN (SELECT src FROM src_ok)
+  GROUP BY l.dst, r.dst),
+couple AS (
+  SELECT l.src AS a, r.src AS b, count(*)::BIGINT AS coupled
+  FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src
+  WHERE l.dst IN (SELECT dst FROM dst_ok)
+  GROUP BY l.src, r.src)
+SELECT coalesce(c.a, k.a) AS host_a, coalesce(c.b, k.b) AS host_b,
+       coalesce(c.cocited, 0)::BIGINT AS cocited,
+       coalesce(k.coupled, 0)::BIGINT AS coupled
+FROM cocite c FULL OUTER JOIN couple k ON c.a = k.a AND c.b = k.b
+WHERE coalesce(c.cocited, 0) + coalesce(k.coupled, 0) >= {min_count}"""

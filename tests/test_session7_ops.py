@@ -1,0 +1,241 @@
+"""Session-7 operators: SALSA, co-citation, redirect resolution,
+Z-order layout, span integrity — edge-case and property tests beyond
+the driver's oracle gate."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+# ---------------------------------------------------------------------------
+# redirect resolution
+# ---------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_redirects_basic_chain_and_cycle(spark):
+    from llm_scraper_spark.operators.redirects import resolve_redirects
+
+    pairs = [("a", "b"), ("b", "c"),          # chain -> c terminal
+             ("x", "y"), ("y", "x"),          # 2-cycle
+             ("solo", "c")]                   # 1 hop to terminal
+    out = {r["url"]: r for r in
+           resolve_redirects(_edges(spark, pairs), max_hops=16).collect()}
+    assert out["a"]["final_url"] == "c" and out["a"]["hops"] == 2
+    assert out["a"]["resolved"] is True
+    assert out["b"]["final_url"] == "c" and out["b"]["hops"] == 1
+    assert out["c"]["final_url"] == "c" and out["c"]["hops"] == 0
+    assert out["c"]["resolved"] is True
+    assert out["solo"]["resolved"] is True and out["solo"]["hops"] == 1
+    # cycle: unresolved, exactly max_hops hops, landing back on itself
+    assert out["x"]["resolved"] is False and out["x"]["hops"] == 16
+    assert out["x"]["final_url"] == "x"     # 16 is even -> back at x
+    assert out["y"]["final_url"] == "y"
+
+
+def test_redirects_exact_budget_chain_is_resolved(spark):
+    """A chain terminating exactly at max_hops must read resolved=True
+    (the lookahead fix — the doubling's internal flag lags a round)."""
+    from llm_scraper_spark.operators.redirects import resolve_redirects
+
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(16)]   # n0 -> ... -> n16
+    out = {r["url"]: r for r in
+           resolve_redirects(_edges(spark, pairs), max_hops=16).collect()}
+    assert out["n0"]["final_url"] == "n16" and out["n0"]["hops"] == 16
+    assert out["n0"]["resolved"] is True
+    # one past the budget: unresolved, parked at the budget node
+    pairs21 = [(f"m{i}", f"m{i+1}") for i in range(20)]
+    out21 = {r["url"]: r for r in
+             resolve_redirects(_edges(spark, pairs21), max_hops=16).collect()}
+    assert out21["m0"]["final_url"] == "m16" and out21["m0"]["hops"] == 16
+    assert out21["m0"]["resolved"] is False
+
+
+def test_redirects_matches_sequential_oracle(spark):
+    """Doubling == step-by-step walk on a messy deterministic graph."""
+    from llm_scraper_spark.operators.redirects import (
+        resolve_redirects, resolve_redirects_oracle_sql,
+    )
+
+    # functional graph on 60 nodes: node i -> (i*7+3) % 60 for i % 3 != 0
+    pairs = [(f"u{i}", f"u{(i * 7 + 3) % 60}")
+             for i in range(60) if i % 3 and i != (i * 7 + 3) % 60]
+    got = {(r["url"], r["final_url"], r["hops"], r["resolved"])
+           for r in resolve_redirects(_edges(spark, pairs),
+                                      max_hops=16).collect()}
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    sql = resolve_redirects_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", max_hops=16)
+    want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_redirects_rejects_non_power_of_two():
+    from llm_scraper_spark.operators.redirects import resolve_redirects
+
+    with pytest.raises(ValueError):
+        resolve_redirects(None, max_hops=12)
+
+
+# ---------------------------------------------------------------------------
+# SALSA
+# ---------------------------------------------------------------------------
+
+def test_salsa_degree_normalization_beats_link_farm(spark):
+    """The TKC fix, on the canonical adversarial shape: a 10-page clique
+    farm (every page links every other) vs an honest authority fed by 20
+    dedicated hubs. Under HITS the clique's mutual reinforcement
+    compounds multiplicatively per round (9^(2k)) and OVERTAKES the
+    honest authority; under SALSA every hop divides by the degree it
+    passes through, so the clique's mass stays bounded at ~1.0 and the
+    honest authority stays on top."""
+    from llm_scraper_spark.operators.graph import host_hits, salsa_scores
+
+    farm = [(i, j) for i in range(10) for j in range(10) if i != j]
+    honest = [(100 + h, 99) for h in range(20)]
+    df = spark.createDataFrame(farm + honest, "src long, dst long")
+
+    hits = {r["host"]: r for r in host_hits(df, iterations=2).collect()}
+    assert hits[0]["authority"] > hits[99]["authority"]   # TKC: farm wins
+
+    salsa = {r["host"]: r for r in salsa_scores(df, iterations=2).collect()}
+    assert salsa[99]["authority"] > salsa[0]["authority"]  # SALSA: honest
+    # clique mass bounded at ~rank_one, not compounding
+    assert salsa[0]["authority"] <= 1_000_000_000
+
+
+def test_salsa_matches_unrolled_oracle(spark):
+    from llm_scraper_spark.operators.graph import (
+        salsa_scores, salsa_oracle_sql,
+    )
+
+    pairs = [(i, (i * i + 1) % 13) for i in range(40)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {(r["host"], r["hub"], r["authority"])
+           for r in salsa_scores(df, iterations=3).collect()}
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = salsa_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", iterations=3)
+    want = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# co-citation / coupling
+# ---------------------------------------------------------------------------
+
+def test_cocitation_counts_and_degree_cap(spark):
+    from llm_scraper_spark.operators.graph import cocitation_pairs
+
+    pairs = [(1, 10), (1, 11),               # 10,11 co-cited via 1
+             (2, 10), (2, 11),               # and again via 2
+             (10, 50), (11, 50)]             # 10,11 coupled via 50
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = {(r["host_a"], r["host_b"]): r
+           for r in cocitation_pairs(df, max_degree=64,
+                                     min_count=1).collect()}
+    assert out[(10, 11)]["cocited"] == 2
+    assert out[(10, 11)]["coupled"] == 1
+    # hub cap: a center with out-degree > cap contributes no wedges
+    hub = [(9, 100 + i) for i in range(10)]
+    df2 = spark.createDataFrame(hub, "src long, dst long")
+    assert cocitation_pairs(df2, max_degree=4, min_count=1).count() == 0
+    assert cocitation_pairs(df2, max_degree=16, min_count=1).count() == 45
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for b in range(16):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_bits(spark):
+    from llm_scraper_spark.operators.layout import zorder_key
+
+    cases = [(0, 0), (3, 0), (0, 3), (65535, 65535), (0x1234, 0xABCD),
+             (1, 2), (32768, 1)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = df.select("x", "y",
+                    zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == _morton_ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_pruning_skips_far_files(spark):
+    """Rows clustered in two opposite corners of the (x, y) space must
+    land in different files, and a box over one corner must not scan the
+    other corner's file."""
+    from llm_scraper_spark.operators.layout import layout_pruning_stats
+
+    low = [(i, i % 50) for i in range(100)]              # near origin
+    high = [(65000 + i % 100, 65000 + i % 70) for i in range(100)]
+    df = spark.createDataFrame(low + high, "x long, y long")
+    out = layout_pruning_stats(df, "x", "y", n_files=16,
+                               box=(0, 200, 0, 200)).collect()
+    scanned = [r for r in out if r["scanned"]]
+    skipped = [r for r in out if not r["scanned"]]
+    assert len(skipped) >= 1                  # far corner pruned
+    assert sum(r["match_rows"] for r in scanned) == 100
+    assert all(r["match_rows"] == 0 for r in skipped)
+
+
+# ---------------------------------------------------------------------------
+# span integrity
+# ---------------------------------------------------------------------------
+
+def _span(kind, text, ref, off):
+    return Row(kind=kind, text=text, media_ref=ref, offset=off)
+
+
+def test_span_integrity_flags_violations(spark):
+    from llm_scraper_spark.operators.corpus import span_integrity
+
+    rows = [
+        Row(doc_id="good", spans=[
+            _span("text", "hello world", "", 0),
+            _span("media", "", "img://1", 1),
+            _span("text", "bye", "", 2),
+        ]),
+        Row(doc_id="bad_order", spans=[
+            _span("text", "a", "", 1),        # offset 1 at position 0
+            _span("text", "b", "", 0),
+        ]),
+        Row(doc_id="bad_shape", spans=[
+            _span("media", "", "", 0),        # media span, empty ref
+        ]),
+        Row(doc_id="empty", spans=[]),
+    ]
+    out = {r["doc_id"]: r
+           for r in span_integrity(spark.createDataFrame(rows)).collect()}
+    g = out["good"]
+    assert g["order_ok"] and g["shape_ok"]
+    assert g["n_spans"] == 3 and g["n_media"] == 1
+    assert g["kind_runs"] == 3                # text | media | text
+    assert g["text_chars"] == len("hello world") + len("bye")
+    assert g["media_ppm"] == 1_000_000 // 3
+    assert out["bad_order"]["order_ok"] is False
+    assert out["bad_order"]["shape_ok"] is True
+    assert out["bad_shape"]["shape_ok"] is False
+    e = out["empty"]
+    assert e["n_spans"] == 0 and e["order_ok"] and e["kind_runs"] == 0
+    assert e["media_ppm"] == 0 and e["text_chars"] == 0
+
+
+def test_span_integrity_plan_is_native(spark):
+    """All-HOF projection: no Python eval stage, no exchange."""
+    from llm_scraper_spark.operators.corpus import span_integrity
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    rows = [Row(doc_id="d", spans=[_span("text", "x", "", 0)])]
+    q = span_integrity(spark.createDataFrame(rows))
+    p = physical_plan(q, "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
