@@ -4527,6 +4527,153 @@ def _span_integrity_oracle_sql() -> str:
     return span_integrity_oracle_sql(flat) + "\nORDER BY doc_id"
 
 
+UCB_HOSTS = 60
+
+
+def q_ucb_schedule(spark, sf_dir):
+    """UCB1 explore/exploit host budgeting over synthetic fetch history
+    (hosts get deterministically different attempt counts and success
+    rates, so thin-history hosts earn real exploration bonuses). The ln
+    is replaced by the engine-exact binary-string ilog2 and the division
+    under the sqrt is integer, so the IEEE-correctly-rounded sqrt makes
+    every score bit-identical in the oracle."""
+    from llm_scraper_spark.operators.frontier import ucb_schedule
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    hist = (
+        ev.withColumn("host_n", (F.col("event_id") % UCB_HOSTS))
+        .filter(F.expr(f"(event_id DIV {UCB_HOSTS}) "
+                       f"% (1 + host_n % 7) = 0"))
+        .select(
+            F.concat(F.lit("h"), F.col("host_n").cast("string"))
+            .alias("host"),
+            (_md5_60bit(F.col("event_id"), ":ok") % 100
+             < 30 + F.col("host_n")).alias("ok"),
+        )
+    )
+    return ucb_schedule(hist, top_k=20).orderBy("host")
+
+
+def _ucb_schedule_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import ucb_schedule_oracle_sql
+
+    history_sql = f"""
+      SELECT 'h' || (event_id % {UCB_HOSTS})::VARCHAR AS host,
+             ('0x' || substring(md5(event_id::VARCHAR || ':ok'), 1, 15))
+               ::BIGINT % 100 < 30 + (event_id % {UCB_HOSTS}) AS ok
+      FROM events
+      WHERE (event_id // {UCB_HOSTS})
+            % (1 + (event_id % {UCB_HOSTS}) % 7) = 0"""
+    return (ucb_schedule_oracle_sql(history_sql, top_k=20)
+            + "\nORDER BY host")
+
+
+def _c4_line(words, i, length, suffix):
+    return F.concat(F.array_join(F.slice(words, i * 12 + 1, length), " "),
+                    F.lit(suffix))
+
+
+def _c4_pages(spark, sf_dir):
+    """Deterministic C4 test pages from documents: the word stream is
+    cut into 12-word lines; a per-line md5 tag picks the line's fate
+    (terminal '.', '?', '!', a 2-word short line, a 'javascript' line,
+    or no terminal punctuation), and doc-level md5 tags inject 'lorem
+    ipsum' / curly-brace lines into a deterministic subset of pages.
+    Same derivation in the DuckDB oracle, byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+
+    def line(i):
+        t = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":l"), i.cast("string"))),
+                    1, 15),
+                16, 10,
+            ).cast("long") % 10
+        )
+        return (
+            F.when(t == 5, _c4_line(w, i, 2, "."))
+            .when(t == 6, _c4_line(w, i, 12, "?"))
+            .when(t == 7, _c4_line(w, i, 12, " javascript."))
+            .when(t == 8, _c4_line(w, i, 12, ""))
+            .when(t == 9, _c4_line(w, i, 12, "!"))
+            .otherwise(_c4_line(w, i, 12, "."))
+        )
+
+    nlines = F.expr("(size(split(text, ' ')) + 11) DIV 12")
+    lines = F.transform(F.sequence(F.lit(0), nlines - 1), line)
+    lorem = F.when(
+        _md5_60bit(F.col("doc_id"), ":lorem") % 20 == 0,
+        F.array(F.lit("lorem ipsum dolor sit amet.")),
+    ).otherwise(F.array().cast("array<string>"))
+    brace = F.when(
+        _md5_60bit(F.col("doc_id"), ":brace") % 15 == 0,
+        F.array(F.lit("function f() { return 1; }")),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.concat(lines, lorem, brace), "\n").alias("text"),
+    )
+
+
+def _c4_pages_sql() -> str:
+    line_tag = ("(('0x' || substring(md5(doc_id::VARCHAR || ':l' "
+                "|| i::VARCHAR), 1, 15))::BIGINT % 10)")
+
+    def seg(length, suffix):
+        return (f"array_to_string(list_slice(w, i*12+1, i*12+{length}), "
+                f"' ') || '{suffix}'")
+
+    doc_tag = ("(('0x' || substring(md5(doc_id::VARCHAR || '{t}'), 1, 15))"
+               "::BIGINT % {m})")
+    return f"""
+  SELECT doc_id,
+         array_to_string(
+           list_concat(
+             list_transform(generate_series(0, (len(w)+11)//12 - 1), i ->
+               CASE {line_tag}
+                 WHEN 5 THEN {seg(2, '.')}
+                 WHEN 6 THEN {seg(12, '?')}
+                 WHEN 7 THEN {seg(12, ' javascript.')}
+                 WHEN 8 THEN array_to_string(
+                     list_slice(w, i*12+1, i*12+12), ' ')
+                 WHEN 9 THEN {seg(12, '!')}
+                 ELSE {seg(12, '.')}
+               END),
+             list_concat(
+               CASE WHEN {doc_tag.format(t=':lorem', m=20)} = 0
+                    THEN ['lorem ipsum dolor sit amet.']
+                    ELSE [] END,
+               CASE WHEN {doc_tag.format(t=':brace', m=15)} = 0
+                    THEN ['function f() {{ return 1; }}']
+                    ELSE [] END)),
+           chr(10)) AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)"""
+
+
+def q_c4_filters(spark, sf_dir):
+    """The C4 cleaning heuristics (Raffel et al. 2020) over
+    deterministic synthetic pages: line-level terminal-punctuation /
+    min-words / javascript rules, page-level sentence floor + lorem
+    ipsum + curly-brace rejection — the canonical first-pass filter of
+    every web-scale training corpus. Pages AND verdicts are recomputed
+    byte-identically in the oracle."""
+    from llm_scraper_spark.operators.text_analysis import c4_filters
+
+    return c4_filters(_c4_pages(spark, sf_dir)).orderBy("doc_id")
+
+
+def _c4_filters_oracle_sql() -> str:
+    from llm_scraper_spark.operators.text_analysis import (
+        c4_filters_oracle_sql,
+    )
+
+    return (c4_filters_oracle_sql(_c4_pages_sql())
+            + "\nORDER BY doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4659,6 +4806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "zorder_layout": q_zorder_layout,
         "span_integrity": q_span_integrity,
+        "ucb_schedule": q_ucb_schedule,
+        "c4_filters": q_c4_filters,
     }
 
 
@@ -4997,6 +5146,8 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": _redirect_resolve_oracle_sql(),
         "zorder_layout": _zorder_layout_oracle_sql(),
         "span_integrity": _span_integrity_oracle_sql(),
+        "ucb_schedule": _ucb_schedule_oracle_sql(),
+        "c4_filters": _c4_filters_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

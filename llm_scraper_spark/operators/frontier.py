@@ -1365,3 +1365,78 @@ SELECT * EXCLUDE (_cc, _ma),
         END) <= {int(now_s)} AS stale,
        (etag IS NOT NULL OR last_modified_s IS NOT NULL) AS revalidable
 FROM base"""
+
+
+def ucb_schedule(history: DataFrame, host_col: str = "host",
+                 ok_col: str = "ok", top_k: int = 20) -> DataFrame:
+    """UCB1 bandit scheduling over fetch-success history (Auer et al.,
+    Machine Learning 2002): the next crawl wave's host budget should
+    EXPLOIT hosts that served well AND EXPLORE hosts with thin history —
+    a host that failed its only probe must not be written off the way a
+    0/100 host is. The score is the classic
+
+        mean + sqrt(2 ln N / n)
+
+    with the ln made engine-exact: ``ilog2(N)`` — the binary-string
+    length of the total pull count, an exact string/integer op on both
+    engines — replaces ln N (same growth, deterministic), the division
+    is integer, and the final ``sqrt`` of that integer is IEEE
+    correctly-rounded, hence bit-identical across JVM and DuckDB. All
+    fixed point at 1e6: mean_fp = ok*1e6 DIV n; bonus_fp =
+    floor(sqrt((2*ilog2(N)*1e12) DIV n)).
+
+    Complements the adaptive-politeness tier: AIMD reacts to failures,
+    EWMA tracks latency, Wilson ranks confidence — UCB allocates the
+    explore/exploit budget. One map-side-combined groupBy + a broadcast
+    1-row total + one top-k window (WindowGroupLimit prunes map-side).
+
+    Returns (host, n, ok_n, mean_fp, bonus_fp, score_fp, picked),
+    ``picked`` marking the top_k hosts by (score_fp desc, host asc).
+    """
+    per_host = history.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(ok_col).cast("long")).cast("long").alias("ok_n"),
+    )
+    total = per_host.agg(F.sum("n").cast("long").alias("_N"))
+    scored = (
+        per_host.crossJoin(F.broadcast(total))
+        # ilog2 via base-2 string length: exact on any engine
+        .withColumn("_ilog2", F.length(F.conv(F.col("_N"), 10, 2)) - 1)
+        .withColumn("mean_fp", F.expr("(ok_n * 1000000) DIV n"))
+        .withColumn(
+            "bonus_fp",
+            F.floor(F.sqrt(
+                F.expr("(2 * _ilog2 * 1000000000000) DIV n")
+                .cast("double"))).cast("long"))
+        .withColumn("score_fp", F.col("mean_fp") + F.col("bonus_fp"))
+    )
+    w = W.orderBy(F.col("score_fp").desc(), F.col("host").asc())
+    return (
+        scored.withColumn("picked", F.row_number().over(w) <= top_k)
+        .select("host", "n", "ok_n", "mean_fp", "bonus_fp", "score_fp",
+                "picked")
+    )
+
+
+def ucb_schedule_oracle_sql(history_sql: str, top_k: int = 20) -> str:
+    """DuckDB twin of :func:`ucb_schedule` — identical integer counts,
+    the same printf('%b') ilog2, integer DIV under the sqrt, and the
+    same deterministic tie order."""
+    return f"""
+WITH h AS ({history_sql}),
+per_host AS (
+  SELECT host, count(*)::BIGINT AS n, sum(ok::BIGINT)::BIGINT AS ok_n
+  FROM h GROUP BY host),
+tot AS (SELECT sum(n)::BIGINT AS N FROM per_host),
+scored AS (
+  SELECT p.host, p.n, p.ok_n,
+         (p.ok_n * 1000000) // p.n AS mean_fp,
+         floor(sqrt(((2 * (length(printf('%b', t.N)) - 1)
+                      * 1000000000000) // p.n)::DOUBLE))::BIGINT
+             AS bonus_fp
+  FROM per_host p, tot t)
+SELECT host, n, ok_n, mean_fp, bonus_fp,
+       (mean_fp + bonus_fp)::BIGINT AS score_fp,
+       ROW_NUMBER() OVER (ORDER BY mean_fp + bonus_fp DESC, host ASC)
+           <= {top_k} AS picked
+FROM scored"""

@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
@@ -228,3 +228,86 @@ def redact_pii(col) -> Column:
     for _name, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def c4_filters(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_words: int = 3,
+               min_sentences: int = 5) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al., JMLR 2020 §2.2) as one
+    native projection — the canonical first-pass page filter every
+    web-scale training corpus applies before dedup and quality scoring:
+
+    - line KEPT iff it ends in terminal punctuation (. ! ? \"), has at
+      least ``min_words`` words, and does not contain 'javascript';
+    - page KEPT iff its kept lines carry at least ``min_sentences``
+      sentence terminators, and the raw page contains neither the
+      phrase 'lorem ipsum' nor a curly bracket.
+
+    (C4's bad-words list is a licensing-encumbered external artifact —
+    callers wanting it chain an extra rlike on the raw text; the core
+    structural rules are what this operator owns.)
+
+    All array higher-order functions and regexes over the split line
+    list — no explode, no shuffle, no Python; the regexes are simple
+    character classes, identical under Java regex and DuckDB RE2, and
+    word counting is the repo-standard \\w+ extraction, so the oracle
+    reproduces every count exactly.
+
+    Returns (doc_id, n_lines, n_kept, n_sentences, has_lorem,
+    has_brace, keep).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    is_kept = lambda l: (
+        l.rlike('[.!?"]$')
+        & (F.size(F.regexp_extract_all(l, F.lit(r"\w+"), 0)) >= min_words)
+        & ~l.contains("javascript")
+    )
+    kept = F.filter(lines, is_kept)
+    n_sent = F.aggregate(
+        kept, F.lit(0).cast("long"),
+        lambda acc, l: acc + F.size(
+            F.regexp_extract_all(l, F.lit("[.!?]"), 0)))
+    has_lorem = F.instr(F.col(text_col), "lorem ipsum") > 0
+    has_brace = F.instr(F.col(text_col), "{") > 0
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_sent >= min_sentences) & ~has_lorem & ~has_brace)
+        .alias("keep"),
+    )
+
+
+def c4_filters_oracle_sql(docs_sql: str, min_words: int = 3,
+                          min_sentences: int = 5) -> str:
+    """DuckDB twin of :func:`c4_filters` over (doc_id, text) —
+    unnest + GROUP BY instead of array HOFs."""
+    return rf"""
+WITH d AS ({docs_sql}),
+l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+flt AS (
+  SELECT doc_id, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(regexp_extract_all(line, '\w+')) >= {min_words}
+          AND NOT contains(line, 'javascript')) AS kept
+  FROM l),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+         sum(kept::BIGINT)::BIGINT AS n_kept,
+         sum(CASE WHEN kept
+             THEN len(regexp_extract_all(line, '[.!?]')) ELSE 0
+             END)::BIGINT AS n_sentences
+  FROM flt GROUP BY doc_id),
+page AS (
+  SELECT doc_id, contains(text, 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace
+  FROM d)
+SELECT a.doc_id, a.n_lines, a.n_kept, a.n_sentences,
+       p.has_lorem, p.has_brace,
+       (a.n_sentences >= {min_sentences}
+        AND NOT p.has_lorem AND NOT p.has_brace) AS keep
+FROM agg a JOIN page p USING (doc_id)"""

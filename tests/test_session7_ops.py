@@ -239,3 +239,83 @@ def test_span_integrity_plan_is_native(spark):
     p = physical_plan(q, "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Exchange" not in p
+
+
+# ---------------------------------------------------------------------------
+# UCB1 scheduling
+# ---------------------------------------------------------------------------
+
+def test_ucb_exploration_bonus_favors_thin_history(spark):
+    """A 1/1 host must outscore a 60/100 host: UCB1's whole point is
+    that one success over one pull carries a huge confidence bonus."""
+    from llm_scraper_spark.operators.frontier import ucb_schedule
+
+    rows = ([("fresh", True)]
+            + [("veteran", i < 60) for i in range(100)])
+    df = spark.createDataFrame(rows, "host string, ok boolean")
+    out = {r["host"]: r for r in ucb_schedule(df, top_k=1).collect()}
+    assert out["fresh"]["score_fp"] > out["veteran"]["score_fp"]
+    assert out["fresh"]["picked"] and not out["veteran"]["picked"]
+    # exact fixed-point arithmetic: mean=1e6, bonus=floor(sqrt(2*6*1e12))
+    assert out["fresh"]["mean_fp"] == 1_000_000
+    assert out["fresh"]["bonus_fp"] == int((2 * 6 * 10**12) ** 0.5)
+
+
+def test_ucb_matches_oracle(spark):
+    import duckdb as _dd
+    from llm_scraper_spark.operators.frontier import (
+        ucb_schedule, ucb_schedule_oracle_sql,
+    )
+
+    rows = [(f"h{i % 7}", (i * 13) % 5 != 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "host string, ok boolean")
+    got = {tuple(r) for r in ucb_schedule(df, top_k=3).collect()}
+    vals = ", ".join(f"('{h}', {str(o).lower()})" for h, o in rows)
+    sql = ucb_schedule_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(host, ok)", top_k=3)
+    want = {tuple(r) for r in _dd.sql(sql).fetchall()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C4 filters
+# ---------------------------------------------------------------------------
+
+def test_c4_rules_line_and_page_level(spark):
+    from llm_scraper_spark.operators.text_analysis import c4_filters
+
+    good = "\n".join(
+        [f"this line number {i} is a proper sentence." for i in range(5)])
+    rows = [
+        Row(doc_id="keep", text=good),
+        # only 4 sentences -> page dropped by the sentence floor
+        Row(doc_id="thin", text="\n".join(
+            [f"sentence number {i} sits right here." for i in range(4)])),
+        # lines: no punct / short / javascript -> all dropped
+        Row(doc_id="nolines", text="\n".join([
+            "no terminal punctuation on this line",
+            "too short.",
+            "this line mentions javascript explicitly.",
+        ])),
+        Row(doc_id="lorem", text=good + "\nlorem ipsum dolor sit amet."),
+        Row(doc_id="brace", text=good + "\nfunction f() { return 1; }"),
+    ]
+    out = {r["doc_id"]: r
+           for r in c4_filters(spark.createDataFrame(rows)).collect()}
+    assert out["keep"]["keep"] is True
+    assert out["keep"]["n_kept"] == 5 and out["keep"]["n_sentences"] == 5
+    assert out["thin"]["keep"] is False
+    n = out["nolines"]
+    assert n["n_lines"] == 3 and n["n_kept"] == 0 and n["keep"] is False
+    assert out["lorem"]["has_lorem"] and out["lorem"]["keep"] is False
+    assert out["brace"]["has_brace"] and out["brace"]["keep"] is False
+
+
+def test_c4_plan_is_native_no_shuffle(spark):
+    from llm_scraper_spark.operators.text_analysis import c4_filters
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    df = spark.createDataFrame([Row(doc_id="d", text="a line here.")])
+    p = physical_plan(c4_filters(df), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
