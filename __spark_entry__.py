@@ -4674,6 +4674,81 @@ def _c4_filters_oracle_sql() -> str:
             + "\nORDER BY doc_id")
 
 
+CRAWL_VALUE_NOW = 50
+CRAWL_VALUE_HOSTS = 40
+
+
+def q_crawl_value(spark, sf_dir):
+    """Value-of-refresh scheduling end-to-end: the REAL change_rate
+    chain (Cho & Garcia-Molina consistent lambda over the synthetic
+    revisit history) joined with md5-derived host importance, staleness
+    = 1 - exp(-lambda*age) in the one-fixed-float-order discipline,
+    value = rank x staleness in integers. The oracle replays the entire
+    chain — change-rate window, ages, ranks, exp — value-for-value."""
+    from llm_scraper_spark.operators.frontier import (
+        change_rate, crawl_value_schedule,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    history = ev.select(
+        F.concat(F.lit("u"), (F.col("event_id") % RECRAWL_URLS)
+                 .cast("string")).alias("url"),
+        F.expr(f"event_id DIV {RECRAWL_URLS}").alias("wave"),
+        (_md5_60bit(F.col("event_id"), ":fp") % 3)
+        .cast("string").alias("fingerprint"),
+    )
+    rates = change_rate(history).select("url", "lambda_fp")
+    ages = history.groupBy("url").agg(
+        (F.lit(CRAWL_VALUE_NOW) - F.max("wave")).cast("long").alias("age"))
+    pages = rates.join(ages, "url").withColumn(
+        "host",
+        F.concat(
+            F.lit("h"),
+            (F.expr("CAST(substring(url, 2, 10) AS BIGINT)")
+             % CRAWL_VALUE_HOSTS).cast("string")),
+    )
+    hosts = pages.select("host").distinct()
+    ranks = hosts.select(
+        "host",
+        (F.lit(1_000_000)
+         + _md5_60bit(F.col("host"), ":rank") % 1_000_000)
+        .cast("long").alias("rank"),
+    )
+    return crawl_value_schedule(pages, ranks, top_k=50).orderBy("url")
+
+
+def _crawl_value_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import (
+        change_rate_oracle_sql, crawl_value_oracle_sql,
+    )
+
+    history_sql = f"""
+      SELECT 'u' || (event_id % {RECRAWL_URLS})::VARCHAR AS url,
+             event_id // {RECRAWL_URLS} AS wave,
+             (('0x' || substring(md5(event_id::VARCHAR || ':fp'), 1,
+                                 15))::BIGINT % 3)::VARCHAR AS fingerprint
+      FROM events"""
+    rates_sql = change_rate_oracle_sql(history_sql)
+    pages_sql = f"""
+      SELECT r.url, r.lambda_fp, a.age,
+             'h' || (substring(r.url, 2)::BIGINT
+                     % {CRAWL_VALUE_HOSTS})::VARCHAR AS host
+      FROM (SELECT url, lambda_fp FROM ({rates_sql})) r
+      JOIN (SELECT url, ({CRAWL_VALUE_NOW} - max(wave))::BIGINT AS age
+            FROM ({history_sql}) GROUP BY url) a USING (url)"""
+    ranks_sql = f"""
+      SELECT DISTINCT
+             'h' || (substring(url, 2)::BIGINT
+                     % {CRAWL_VALUE_HOSTS})::VARCHAR AS host,
+             1000000 + ('0x' || substring(
+                 md5('h' || (substring(url, 2)::BIGINT
+                             % {CRAWL_VALUE_HOSTS})::VARCHAR || ':rank'),
+                 1, 15))::BIGINT % 1000000 AS rank
+      FROM ({history_sql})"""
+    return (crawl_value_oracle_sql(pages_sql, ranks_sql, top_k=50)
+            + "\nORDER BY url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4808,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_integrity": q_span_integrity,
         "ucb_schedule": q_ucb_schedule,
         "c4_filters": q_c4_filters,
+        "crawl_value": q_crawl_value,
     }
 
 
@@ -5148,6 +5224,7 @@ def oracle_sql() -> dict[str, str]:
         "span_integrity": _span_integrity_oracle_sql(),
         "ucb_schedule": _ucb_schedule_oracle_sql(),
         "c4_filters": _c4_filters_oracle_sql(),
+        "crawl_value": _crawl_value_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

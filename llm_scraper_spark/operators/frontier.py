@@ -1440,3 +1440,79 @@ SELECT host, n, ok_n, mean_fp, bonus_fp,
        ROW_NUMBER() OVER (ORDER BY mean_fp + bonus_fp DESC, host ASC)
            <= {top_k} AS picked
 FROM scored"""
+
+
+def crawl_value_schedule(pages: DataFrame, ranks: DataFrame,
+                         top_k: int = 50) -> DataFrame:
+    """Value-of-refresh scheduling — the composition the whole
+    crawl-intelligence tier exists for: the expected value of
+    re-fetching a page NOW is (how much the page matters) x (how likely
+    it changed since we last saw it), i.e. Cho & Garcia-Molina's
+    freshness objective with PageRank-style importance as the weight
+    (the policy production schedulers actually run; see also Olston &
+    Najork, "Web Crawling", §5).
+
+    Inputs: ``pages`` (url, host, lambda_fp, age) — the per-URL Poisson
+    change rate from :func:`change_rate` (1e6 fixed point, NULL when a
+    URL has a single observation) and the waves elapsed since the last
+    visit; ``ranks`` (host, rank) — any BIGINT importance score
+    (host_pagerank / trust_rank / salsa all qualify).
+
+    Arithmetic: staleness = P(changed by now) = 1 - exp(-lambda * age).
+    ``lambda_fp * age`` is an exact BIGINT, the conversion and the
+    single exp/multiply/floor sequence is ONE fixed float order (the
+    change_rate ln discipline), and everything after is integer:
+    ``value = rank * staleness_fp DIV 1e6``. NULL lambda (never
+    revisited — nothing known) gets staleness 1e6: full exploration
+    weight, mirroring UCB's thin-history optimism.
+
+    Scale shape: one broadcast join (the host-rank table is hosts-sized,
+    tiny next to the URL table) + one top-k window (WindowGroupLimit
+    prunes map-side). No URL-table shuffle beyond the window.
+
+    Returns (url, host, rank, lambda_fp, age, staleness_fp, value,
+    picked).
+    """
+    j = pages.join(F.broadcast(ranks), "host")
+    lam_age = F.col("lambda_fp") * F.col("age")
+    staleness = F.when(
+        F.col("lambda_fp").isNull(), F.lit(1_000_000).cast("long")
+    ).otherwise(
+        F.lit(1_000_000)
+        - F.floor(F.lit(1e6) * F.exp(-(lam_age.cast("double") / F.lit(1e6))))
+        .cast("long")
+    )
+    scored = (
+        j.withColumn("staleness_fp", staleness)
+        .withColumn("value", F.expr("(rank * staleness_fp) DIV 1000000"))
+    )
+    w = W.orderBy(F.col("value").desc(), F.col("url").asc())
+    return (
+        scored.withColumn("picked", F.row_number().over(w) <= top_k)
+        .select("url", "host", "rank", "lambda_fp", "age", "staleness_fp",
+                "value", "picked")
+    )
+
+
+def crawl_value_oracle_sql(pages_sql: str, ranks_sql: str,
+                           top_k: int = 50) -> str:
+    """DuckDB twin of :func:`crawl_value_schedule` — identical join,
+    the same single-exp fixed float order, integer value arithmetic,
+    and deterministic tie order."""
+    return f"""
+WITH pages AS ({pages_sql}),
+ranks AS ({ranks_sql}),
+j AS (SELECT p.*, r.rank FROM pages p JOIN ranks r USING (host)),
+scored AS (
+  SELECT url, host, rank, lambda_fp, age,
+         CASE WHEN lambda_fp IS NULL THEN 1000000::BIGINT
+              ELSE 1000000 - floor(
+                  1e6 * exp(-((lambda_fp * age)::DOUBLE / 1e6)))::BIGINT
+         END AS staleness_fp
+  FROM j)
+SELECT url, host, rank, lambda_fp, age, staleness_fp,
+       (rank * staleness_fp) // 1000000 AS value,
+       ROW_NUMBER() OVER (
+           ORDER BY (rank * staleness_fp) // 1000000 DESC, url ASC)
+           <= {top_k} AS picked
+FROM scored"""

@@ -319,3 +319,36 @@ def test_c4_plan_is_native_no_shuffle(spark):
     p = physical_plan(c4_filters(df), "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Exchange" not in p
+
+
+# ---------------------------------------------------------------------------
+# crawl-value scheduling
+# ---------------------------------------------------------------------------
+
+def test_crawl_value_composition_semantics(spark):
+    """Importance x staleness: a high-rank host's stale page beats a
+    low-rank host's equally stale page; a never-revisited page (NULL
+    lambda) gets full exploration staleness; a fresh page (age 0)
+    scores zero regardless of rank."""
+    from llm_scraper_spark.operators.frontier import crawl_value_schedule
+
+    pages = spark.createDataFrame(
+        [("u1", "big", 500_000, 4),     # known-changing, stale, big host
+         ("u2", "small", 500_000, 4),   # same change profile, small host
+         ("u3", "big", None, 10),       # never revisited -> optimism
+         ("u4", "big", 2_000_000, 0)],  # just fetched -> zero value
+        "url string, host string, lambda_fp long, age long")
+    ranks = spark.createDataFrame(
+        [("big", 1_000_000), ("small", 10_000)], "host string, rank long")
+    out = {r["url"]: r
+           for r in crawl_value_schedule(pages, ranks, top_k=2).collect()}
+    assert out["u1"]["value"] > out["u2"]["value"]
+    assert out["u3"]["staleness_fp"] == 1_000_000
+    assert out["u3"]["value"] == 1_000_000         # full rank weight
+    assert out["u4"]["staleness_fp"] == 0 and out["u4"]["value"] == 0
+    assert out["u3"]["picked"] and out["u1"]["picked"]
+    assert not out["u4"]["picked"]
+    # staleness = 1e6 - floor(1e6*exp(-0.5*4)) for u1
+    import math
+    assert out["u1"]["staleness_fp"] == 1_000_000 - math.floor(
+        1e6 * math.exp(-2.0))
