@@ -4749,6 +4749,34 @@ def _crawl_value_oracle_sql() -> str:
             + "\nORDER BY url")
 
 
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition of the synthetic host graph: the
+    SCC core around the max-degree pivot, the IN set that reaches it,
+    the OUT set it reaches, and the remainder — the seed-list health
+    check of a crawl snapshot. Delta-frontier BFS both directions,
+    depth-capped at 8 as part of the contract; the oracle walks the
+    identical capped reachability with recursive CTEs."""
+    from llm_scraper_spark.operators.graph import bowtie_decomposition
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return bowtie_decomposition(edges, max_hops=8).orderBy("host")
+
+
+def _bowtie_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import bowtie_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    return bowtie_oracle_sql(edges_sql, max_hops=8) + "\nORDER BY host"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4884,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ucb_schedule": q_ucb_schedule,
         "c4_filters": q_c4_filters,
         "crawl_value": q_crawl_value,
+        "bowtie": q_bowtie,
     }
 
 
@@ -5225,6 +5254,7 @@ def oracle_sql() -> dict[str, str]:
         "ucb_schedule": _ucb_schedule_oracle_sql(),
         "c4_filters": _c4_filters_oracle_sql(),
         "crawl_value": _crawl_value_oracle_sql(),
+        "bowtie": _bowtie_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

@@ -1987,3 +1987,141 @@ SELECT coalesce(c.a, k.a) AS host_a, coalesce(c.b, k.b) AS host_b,
        coalesce(k.coupled, 0)::BIGINT AS coupled
 FROM cocite c FULL OUTER JOIN couple k ON c.a = k.a AND c.b = k.b
 WHERE coalesce(c.cocited, 0) + coalesce(k.coupled, 0) >= {min_count}"""
+
+
+def bowtie_decomposition(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Broder et al.'s bow-tie map of the web ("Graph structure in the
+    web", WWW 2000) over the host graph: the strongly-connected CORE,
+    the IN set that can reach it, the OUT set it reaches, and the rest —
+    the macro-shape a crawler needs to know because seeds in IN discover
+    the core for free, seeds in OUT never escape it backwards, and a
+    disproportionate OTHER share means the seed list is sampling
+    tendrils, not the web.
+
+    Method is Broder's own: pick a PIVOT inside the presumed core (the
+    max-degree host — deterministic tie-break on smallest id), run a
+    forward BFS over out-edges and a backward BFS over in-edges;
+    core = fwd ∩ bwd, in = bwd \\ core, out = fwd \\ core, other = the
+    remainder (tendrils + disconnected — separating those needs a third
+    sweep; documented out of scope). Both sweeps are DEPTH-CAPPED at
+    ``max_hops`` — the cap is part of the operator's contract (the
+    oracle walks the identical cap), and on web graphs the core's
+    effective diameter is far below any sane cap.
+
+    Scale shape: delta-frontier BFS — each round joins only the NEW
+    frontier against the edge table (one equi-join + one anti-join on
+    the visited set per round, AQE handles hub skew), lineage cut with
+    tracked localCheckpoints every 2 rounds, no driver-side collect
+    anywhere (the pivot is a 1-row DataFrame, never a Python value).
+
+    Returns (host, in_fwd, in_bwd, cls) for every node,
+    cls in {'core','in','out','other'}.
+    """
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .groupBy("host").agg(F.count(F.lit(1)).alias("_d"))
+    )
+    pivot = (
+        deg.orderBy(F.col("_d").desc(), F.col("host").asc())
+        .limit(1).select("host")
+    )
+
+    def _bfs(step_src: str, step_dst: str) -> DataFrame:
+        visited = pivot
+        frontier = pivot
+        prev_ck: set[int] = set()
+        for k in range(max_hops):
+            f, ej = frontier.alias("f"), e.alias("ej")
+            nxt = (
+                f.join(ej, F.col("f.host") == F.col(f"ej.{step_src}"))
+                .select(F.col(f"ej.{step_dst}").alias("host"))
+                .distinct()
+                .join(visited, "host", "left_anti")
+            )
+            visited = visited.union(nxt)
+            frontier = nxt
+            if (k + 1) % 2 == 0:
+                visited, ck_v = local_checkpoint_tracked(visited)
+                frontier, ck_f = local_checkpoint_tracked(frontier)
+                release_checkpoint(spark, prev_ck)
+                prev_ck = ck_v | ck_f
+        return visited
+
+    fwd = _bfs("src", "dst").withColumn("in_fwd", F.lit(True))
+    bwd = _bfs("dst", "src").withColumn("in_bwd", F.lit(True))
+    out = (
+        nodes.join(fwd, "host", "left").join(bwd, "host", "left")
+        .select(
+            "host",
+            F.coalesce("in_fwd", F.lit(False)).alias("in_fwd"),
+            F.coalesce("in_bwd", F.lit(False)).alias("in_bwd"),
+        )
+        .withColumn(
+            "cls",
+            F.when(F.col("in_fwd") & F.col("in_bwd"), "core")
+            .when(F.col("in_bwd"), "in")
+            .when(F.col("in_fwd"), "out")
+            .otherwise("other"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def bowtie_oracle_sql(edges_sql: str, max_hops: int = 8) -> str:
+    """DuckDB twin of :func:`bowtie_decomposition` — the same pivot
+    rule and two depth-capped recursive walks (a path of length <=
+    max_hops exists iff the BFS shortest path is <= max_hops, so the
+    (node, depth)-deduped recursion reaches exactly the frontier sets
+    the delta-BFS accumulates)."""
+    return f"""
+WITH RECURSIVE raw_edges AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT DISTINCT host FROM (
+  SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+deg AS (
+  SELECT host, count(*) AS d FROM (
+    SELECT src AS host FROM e UNION ALL SELECT dst FROM e)
+  GROUP BY host),
+pvt AS (SELECT host FROM deg ORDER BY d DESC, host ASC LIMIT 1),
+fwd(host, dp) AS (
+  SELECT host, 0 FROM pvt
+  UNION
+  SELECT e.dst, f.dp + 1 FROM fwd f JOIN e ON e.src = f.host
+  WHERE f.dp < {max_hops}),
+bwd(host, dp) AS (
+  SELECT host, 0 FROM pvt
+  UNION
+  SELECT e.src, b.dp + 1 FROM bwd b JOIN e ON e.dst = b.host
+  WHERE b.dp < {max_hops}),
+fs AS (SELECT DISTINCT host FROM fwd),
+bs AS (SELECT DISTINCT host FROM bwd),
+res AS (
+  SELECT n.host AS host,
+         fs.host IS NOT NULL AS in_fwd,
+         bs.host IS NOT NULL AS in_bwd,
+         CASE WHEN fs.host IS NOT NULL AND bs.host IS NOT NULL THEN 'core'
+              WHEN bs.host IS NOT NULL THEN 'in'
+              WHEN fs.host IS NOT NULL THEN 'out'
+              ELSE 'other' END AS cls
+  FROM nodes n
+  LEFT JOIN fs ON fs.host = n.host
+  LEFT JOIN bs ON bs.host = n.host)
+SELECT host, in_fwd, in_bwd, cls FROM res"""

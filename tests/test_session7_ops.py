@@ -352,3 +352,41 @@ def test_crawl_value_composition_semantics(spark):
     import math
     assert out["u1"]["staleness_fp"] == 1_000_000 - math.floor(
         1e6 * math.exp(-2.0))
+
+
+# ---------------------------------------------------------------------------
+# bow-tie decomposition
+# ---------------------------------------------------------------------------
+
+def test_bowtie_hand_graph(spark):
+    """Core cycle {1,2,3}, IN node 10 -> core, core -> OUT node 20,
+    isolated pair 30 -> 31 (other). Pivot = max-degree node in the
+    core."""
+    from llm_scraper_spark.operators.graph import bowtie_decomposition
+
+    pairs = [(1, 2), (2, 3), (3, 1),     # SCC core
+             (10, 1),                    # IN
+             (3, 20),                    # OUT
+             (30, 31)]                   # disconnected
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r["host"]: r["cls"]
+           for r in bowtie_decomposition(df, max_hops=8).collect()}
+    assert out[1] == out[2] == out[3] == "core"
+    assert out[10] == "in" and out[20] == "out"
+    assert out[30] == "other" and out[31] == "other"
+
+
+def test_bowtie_matches_capped_oracle(spark):
+    import duckdb as _dd
+    from llm_scraper_spark.operators.graph import (
+        bowtie_decomposition, bowtie_oracle_sql,
+    )
+
+    pairs = [(i, (i * 5 + 2) % 30) for i in range(30) if i % 4]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {tuple(r) for r in bowtie_decomposition(df, max_hops=4).collect()}
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = bowtie_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", max_hops=4)
+    want = {tuple(r) for r in _dd.sql(sql).fetchall()}
+    assert got == want
