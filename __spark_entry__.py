@@ -4777,6 +4777,64 @@ def _bowtie_oracle_sql() -> str:
     return bowtie_oracle_sql(edges_sql, max_hops=8) + "\nORDER BY host"
 
 
+def q_media_text_align(spark, sf_dir):
+    """MMC4-style media-to-text assignment over the live interleaved
+    spans: per-doc media x text pairs scored (md5 closed form standing
+    in for CLIP similarity — the assignment machinery is the shipped
+    artifact), per-media argmax with deterministic ties. The oracle
+    replays scores and assignment from the flat golden spans."""
+    from llm_scraper_spark.operators.multimodal import media_text_align
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    flat = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "_s")
+    ).select(
+        "doc_id", "span_idx",
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.media_ref").alias("media_ref"),
+    )
+
+    def score(media_ref, text_idx):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id"), F.lit("|"), media_ref,
+                               F.lit("|"), text_idx.cast("string"))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+
+    return (
+        media_text_align(flat, score)
+        .orderBy("doc_id", "media_idx")
+    )
+
+
+def _media_text_align_oracle_sql() -> str:
+    golden = "/root/repo/goldens/spans_sf0.01.parquet"
+    return f"""
+WITH sp AS (SELECT * FROM read_parquet('{golden}')),
+media AS (
+  SELECT doc_id, span_idx AS media_idx, media_ref
+  FROM sp WHERE kind = 'media'),
+txt AS (SELECT doc_id, span_idx AS text_idx FROM sp WHERE kind = 'text'),
+pairs AS (
+  SELECT m.doc_id, m.media_idx, m.media_ref, t.text_idx,
+         ('0x' || substring(md5(m.doc_id || '|' || m.media_ref || '|'
+                                || t.text_idx::VARCHAR), 1, 15))::BIGINT
+             AS score
+  FROM media m JOIN txt t USING (doc_id)),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id, media_idx
+      ORDER BY score DESC, text_idx ASC) AS rn
+  FROM pairs)
+SELECT doc_id, media_idx, media_ref, text_idx, score
+FROM r WHERE rn = 1
+ORDER BY doc_id, media_idx"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4913,6 +4971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "crawl_value": q_crawl_value,
         "bowtie": q_bowtie,
+        "media_text_align": q_media_text_align,
     }
 
 
@@ -5255,6 +5314,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _c4_filters_oracle_sql(),
         "crawl_value": _crawl_value_oracle_sql(),
         "bowtie": _bowtie_oracle_sql(),
+        "media_text_align": _media_text_align_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

@@ -58,7 +58,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 FEATURE_DIM = 64
@@ -1409,3 +1409,49 @@ def content_key_udf():
         return pd.DataFrame(rows)
 
     return _udf
+
+
+def media_text_align(flat_spans: DataFrame, score_col,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Assign every media span its best-matching text span within the
+    same document — the MMC4/OBELICS interleaving-refinement step
+    (Zhu et al. 2023 pair each image with a sentence by CLIP similarity
+    before packing): a media span whose neighbor text is boilerplate
+    should attach to the caption-like sentence two spans away, and the
+    (media, text) pairs are the contrastive-training table.
+
+    ``flat_spans`` is the exploded north-rule table (doc_id, span_idx,
+    kind, text, media_ref); ``score_col`` is a callable
+    (media_ref_col, text_idx_col) -> similarity Column. Real deployments
+    plug an embedding dot product; the driver query plugs the md5
+    closed form so the oracle replays the exact assignment — the
+    OPERATOR (per-doc media x text join, per-media argmax with
+    deterministic ties) is the shipped artifact, the score is data.
+
+    Scale shape: the join is WITHIN doc_id (equi-join on the id), so
+    fan-out is n_media x n_text per document — bounded by document
+    geometry, never corpus size; the argmax is one per-(doc, media)
+    window whose WindowGroupLimit prunes map-side. Ties break on
+    smallest text span_idx.
+
+    Returns (doc_id, media_idx, media_ref, text_idx, score, rank=1 row
+    per media span).
+    """
+    media = flat_spans.filter(F.col("kind") == "media").select(
+        F.col(id_col).alias("doc_id"),
+        F.col("span_idx").alias("media_idx"),
+        "media_ref",
+    )
+    text = flat_spans.filter(F.col("kind") == "text").select(
+        F.col(id_col).alias("doc_id"),
+        F.col("span_idx").alias("text_idx"),
+    )
+    pairs = media.join(text, "doc_id").withColumn(
+        "score", score_col(F.col("media_ref"), F.col("text_idx")))
+    w = Window.partitionBy("doc_id", "media_idx").orderBy(
+        F.col("score").desc(), F.col("text_idx").asc())
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "media_idx", "media_ref", "text_idx", "score")
+    )

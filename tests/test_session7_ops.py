@@ -390,3 +390,31 @@ def test_bowtie_matches_capped_oracle(spark):
         f"SELECT * FROM (VALUES {vals}) t(src, dst)", max_hops=4)
     want = {tuple(r) for r in _dd.sql(sql).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# media-text alignment
+# ---------------------------------------------------------------------------
+
+def test_media_text_align_argmax_and_ties(spark):
+    from llm_scraper_spark.operators.multimodal import media_text_align
+
+    flat = spark.createDataFrame(
+        [("d1", 0, "text", ""),
+         ("d1", 1, "media", "img://a"),
+         ("d1", 2, "text", ""),
+         ("d2", 0, "media", "img://b")],     # media-only doc: dropped
+        "doc_id string, span_idx int, kind string, media_ref string")
+
+    # deterministic score: text_idx 2 wins for img://a
+    def score(media_ref, text_idx):
+        return F.when(text_idx == 2, F.lit(100)).otherwise(F.lit(1))
+
+    out = media_text_align(flat, score).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["media_idx"], r["text_idx"]) == ("d1", 1, 2)
+
+    # equal scores -> smallest text_idx wins
+    tie = media_text_align(flat, lambda m, t: F.lit(7)).collect()
+    assert tie[0]["text_idx"] == 0
