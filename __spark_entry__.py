@@ -4835,6 +4835,29 @@ FROM r WHERE rn = 1
 ORDER BY doc_id, media_idx"""
 
 
+def q_embedding_pca(spark, sf_dir):
+    """Top principal component of the embeddings table by integer power
+    iteration (the all-but-the-top / whitening primitive): power-of-two
+    quantization, exact BIGINT covariance sufficient statistics,
+    abs-DIV rescale per round, integer Rayleigh eigenvalue. The oracle
+    unrolls quantization, covariance, all 4 rounds, and the read-out
+    bit-for-bit."""
+    from llm_scraper_spark.operators.similarity import embedding_pca
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_pca(emb, iterations=4).orderBy("dim")
+
+
+def _embedding_pca_oracle_sql() -> str:
+    from llm_scraper_spark.operators.similarity import (
+        embedding_pca_oracle_sql,
+    )
+
+    return (embedding_pca_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings", iterations=4)
+        + "\nORDER BY dim")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4972,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_value": q_crawl_value,
         "bowtie": q_bowtie,
         "media_text_align": q_media_text_align,
+        "embedding_pca": q_embedding_pca,
     }
 
 
@@ -5315,6 +5339,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_value": _crawl_value_oracle_sql(),
         "bowtie": _bowtie_oracle_sql(),
         "media_text_align": _media_text_align_oracle_sql(),
+        "embedding_pca": _embedding_pca_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

@@ -342,3 +342,139 @@ def ivf_topk(df: DataFrame, query_vec: list[float], centroids: np.ndarray,
     cand = ivf_assign(df, centroids, vec_col).filter(
         F.col("centroid_id").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def embedding_pca(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", iterations: int = 4,
+                  quant: int = 256, vscale: int = 1024) -> DataFrame:
+    """Top principal component of an embedding table by INTEGER power
+    iteration — the primitive under embedding hygiene at corpus scale:
+    Mu & Viswanath's all-but-the-top (ICLR 2018) removes the dominant
+    component to de-bias embeddings, whitening divides by it, and a
+    drifting top component between crawl snapshots flags an embedding
+    regression before any retrieval metric does.
+
+    Exactness: embeddings are quantized ``floor(x * quant)`` with quant
+    a POWER OF TWO (float32 -> double -> *2^k -> floor is exact IEEE on
+    any engine); the scaled covariance ``n*Sxy - Sx*Sy`` is exact
+    BIGINT sufficient statistics (same eigenvectors as covariance); each
+    power-iteration step is one integer mat-vec followed by a
+    rescale to ``vscale`` via ``sign(w) * (abs(w)*vscale DIV max|w|)``
+    — abs() keeps the operands non-negative so Spark's truncating DIV
+    and DuckDB's flooring // agree. The eigenvalue read-out is the
+    integer Rayleigh quotient (num*1000 DIV den, num >= 0 for a PSD
+    matrix). Bit-reproducible end-to-end; magnitudes bounded: |x| <=
+    quant, cov <= n^2*d*quant^2, matvec <= cov*vscale*d — safe in
+    int64 through sf 1 at d = 64 with the defaults.
+
+    Scale shape: the quantized explode is one projection; Sxy is ONE
+    self-equi-join on the row id (fan-out d per side — bounded by the
+    embedding dim, never corpus size) + a map-side-combined groupBy to
+    d^2 rows; everything after lives on d- and d^2-row tables — the
+    corpus is touched exactly twice regardless of iteration count.
+
+    Returns (dim, v_fp, lam_fp): the component at vscale fixed point
+    per dimension, and the Rayleigh eigenvalue estimate (identical on
+    every row).
+    """
+    x = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(vec_col).alias("i", "_e"),
+    ).select(
+        "_id", "i",
+        F.floor(F.col("_e").cast("double") * quant).cast("long").alias("x"),
+    )
+    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    si = x.groupBy("i").agg(F.sum("x").cast("long").alias("s"))
+    sij = (
+        x.alias("a").join(x.alias("b"), F.col("a._id") == F.col("b._id"))
+        .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"),
+                (F.col("a.x") * F.col("b.x")).alias("p"))
+        .groupBy("i", "j").agg(F.sum("p").cast("long").alias("sp"))
+    )
+    cov = (
+        sij.join(si.select("i", F.col("s").alias("_si")), "i")
+        .join(si.select(F.col("i").alias("j"), F.col("s").alias("_sj")), "j")
+        .crossJoin(F.broadcast(n_df))
+        .select("i", "j",
+                (F.col("_n") * F.col("sp") - F.col("_si") * F.col("_sj"))
+                .cast("long").alias("c"))
+        .persist()
+    )
+    v = cov.select("j").distinct().select(
+        "j", F.lit(vscale).cast("long").alias("v"))
+
+    def _matvec(vec):
+        return (
+            cov.join(vec, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).cast("long").alias("w"))
+        )
+
+    for _ in range(iterations):
+        w = _matvec(v)
+        m = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("_m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("j"),
+            (F.when(F.col("w") < 0, -1).otherwise(1).cast("long")
+             * F.expr(f"(abs(w) * {vscale}) DIV _m")).cast("long").alias("v"),
+        )
+    w = _matvec(v)
+    ray = (
+        v.select(F.col("j").alias("i"), "v").join(w, "i")
+        .agg(F.sum(F.col("v") * F.col("w")).cast("long").alias("_num"),
+             F.sum(F.col("v") * F.col("v")).cast("long").alias("_den"))
+        .select(F.expr("(_num * 1000) DIV _den").alias("lam_fp"))
+    )
+    out = (
+        v.select(F.col("j").alias("dim"), F.col("v").alias("v_fp"))
+        .crossJoin(F.broadcast(ray))
+    )
+    cov.unpersist()
+    return out
+
+
+def embedding_pca_oracle_sql(emb_sql: str, iterations: int = 4,
+                             quant: int = 256, vscale: int = 1024) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`embedding_pca` — identical
+    quantization, sufficient statistics, per-round mat-vec + abs-DIV
+    rescale, and Rayleigh read-out (SUM over BIGINT is HUGEINT — cast
+    back before reuse)."""
+    parts = [f"""WITH x AS (
+  SELECT id, i - 1 AS i, floor(x * {quant})::BIGINT AS x FROM (
+    SELECT vec_id AS id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM ({emb_sql}))),
+nn AS (SELECT count(DISTINCT id)::BIGINT AS n FROM x),
+si AS (SELECT i, sum(x)::BIGINT AS s FROM x GROUP BY i),
+sij AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x)::BIGINT AS sp
+  FROM x a JOIN x b ON a.id = b.id GROUP BY a.i, b.i),
+cov AS (
+  SELECT sij.i, sij.j,
+         (nn.n * sij.sp - s1.s * s2.s)::BIGINT AS c
+  FROM sij JOIN si s1 ON s1.i = sij.i JOIN si s2 ON s2.i = sij.j, nn),
+v0 AS (SELECT DISTINCT j, {vscale}::BIGINT AS v FROM cov)"""]
+    k = 0
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+w{k} AS (
+  SELECT cov.i, sum(cov.c * v{k-1}.v)::BIGINT AS w
+  FROM cov JOIN v{k-1} ON v{k-1}.j = cov.j GROUP BY cov.i),
+m{k} AS (SELECT max(abs(w))::BIGINT AS m FROM w{k}),
+v{k} AS (
+  SELECT w{k}.i AS j,
+         (CASE WHEN w < 0 THEN -1 ELSE 1 END
+          * ((abs(w) * {vscale}) // m{k}.m))::BIGINT AS v
+  FROM w{k}, m{k})""")
+    parts.append(f""",
+wf AS (
+  SELECT cov.i, sum(cov.c * v{k}.v)::BIGINT AS w
+  FROM cov JOIN v{k} ON v{k}.j = cov.j GROUP BY cov.i),
+ray AS (
+  SELECT ((sum(v{k}.v * wf.w)::BIGINT * 1000)
+          // sum(v{k}.v * v{k}.v)::BIGINT)::BIGINT AS lam_fp
+  FROM v{k} JOIN wf ON wf.i = v{k}.j)
+SELECT v{k}.j AS dim, v{k}.v AS v_fp, ray.lam_fp
+FROM v{k}, ray""")
+    return "".join(parts)

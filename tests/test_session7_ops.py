@@ -418,3 +418,40 @@ def test_media_text_align_argmax_and_ties(spark):
     # equal scores -> smallest text_idx wins
     tie = media_text_align(flat, lambda m, t: F.lit(7)).collect()
     assert tie[0]["text_idx"] == 0
+
+
+# ---------------------------------------------------------------------------
+# embedding PCA (integer power iteration)
+# ---------------------------------------------------------------------------
+
+def test_embedding_pca_finds_dominant_direction(spark):
+    """Vectors = spread along a planted axis + small noise: the
+    recovered component must align with the axis (|cos| > 0.95) and the
+    result must be invariant to partitioning (integer arithmetic has no
+    float summation order to leak)."""
+    import math
+    import random
+    from llm_scraper_spark.operators.similarity import embedding_pca
+
+    rng = random.Random(7)
+    d = 8
+    axis = [1.0 if i == 3 else 0.0 for i in range(d)]
+    rows = []
+    for k in range(200):
+        a = rng.uniform(-2, 2)
+        rows.append((k, [a * axis[i] + rng.uniform(-0.05, 0.05)
+                         for i in range(d)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(embedding_pca(df, iterations=4).collect(),
+                 key=lambda r: r["dim"])
+    v = [r["v_fp"] for r in out]
+    norm = math.sqrt(sum(c * c for c in v))
+    cos = abs(v[3]) / norm
+    assert cos > 0.95, v
+    assert out[0]["lam_fp"] > 0
+
+    # partition invariance: identical integers under a different layout
+    out2 = sorted(embedding_pca(df.repartition(13), iterations=4).collect(),
+                  key=lambda r: r["dim"])
+    assert [(r["dim"], r["v_fp"], r["lam_fp"]) for r in out] == \
+           [(r["dim"], r["v_fp"], r["lam_fp"]) for r in out2]
