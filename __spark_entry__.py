@@ -4858,6 +4858,147 @@ def _embedding_pca_oracle_sql() -> str:
         + "\nORDER BY dim")
 
 
+def q_pack_efficiency(spark, sf_dir):
+    """Batch-geometry audit over the interleaved packing: per stream
+    shard, the sequence count, capacity actually filled, waste ppm
+    (capacity bought minus tokens packed), and boundary-straddle count
+    — the numbers a mixture builder watches to size capacity and
+    media_cost. Pure aggregation over the interleave_pack columns;
+    the oracle wraps the full packing replay in the same rollup."""
+    from llm_scraper_spark.operators.corpus import interleave_pack
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    docs = build_documents_interleaved(spark, sf_dir)
+    flat = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "_s")
+    ).select(
+        "doc_id", "span_idx",
+        F.col("_s.kind").alias("kind"), F.col("_s.text").alias("text"),
+        F.substring("doc_id", 1, 1).alias("stream"),
+    )
+    packed = interleave_pack(
+        flat, capacity=INTERLEAVE_CAPACITY,
+        media_cost=INTERLEAVE_MEDIA_COST, stream_col="stream",
+    )
+    cap = INTERLEAVE_CAPACITY
+    agg = packed.groupBy("stream").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("cost").cast("long").alias("total_cost"),
+        (F.max("end_seq_id") + 1).cast("long").alias("n_seqs"),
+        F.sum(F.col("spans_boundary").cast("long")).cast("long")
+        .alias("straddles"),
+    )
+    return agg.select(
+        "stream", "n_spans", "total_cost", "n_seqs", "straddles",
+        F.expr(f"((n_seqs * {cap} - total_cost) * 1000000) "
+               f"DIV (n_seqs * {cap})").alias("waste_ppm"),
+    ).orderBy("stream")
+
+
+def _pack_efficiency_oracle_sql() -> str:
+    cap = INTERLEAVE_CAPACITY
+    inner = _interleave_pack_oracle_sql()
+    return f"""
+WITH packed AS ({inner})
+SELECT stream, count(*)::BIGINT AS n_spans,
+       sum(cost)::BIGINT AS total_cost,
+       (max(end_seq_id) + 1)::BIGINT AS n_seqs,
+       sum(spans_boundary::BIGINT)::BIGINT AS straddles,
+       (((max(end_seq_id) + 1) * {cap} - sum(cost)::BIGINT) * 1000000
+        // ((max(end_seq_id) + 1) * {cap}))::BIGINT AS waste_ppm
+FROM packed GROUP BY stream
+ORDER BY stream"""
+
+
+def q_stream_sessions(spark, sf_dir):
+    """Native session_window streaming under the driver gate: per-host
+    gap-15s sessions over 3 ascending micro-batches (ts = base +
+    doc_id % 97, host = source) + watermark-pushing sentinels; sessions
+    straddling micro-batch boundaries must merge in the state store and
+    emit exactly once closed. The oracle recomputes the identical gap
+    sessionization closed-form (lag + cumulative island ids) — no
+    timestamps, pure integer offsets."""
+    import os
+    import shutil
+    import uuid
+
+    from llm_scraper_spark.streaming.ingest import stream_sessions
+
+    tune_session(spark)
+    run_id = uuid.uuid4().hex[:8]
+    base = f"/tmp/spark_graft_stream_sess_{run_id}"
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    feed = _t(spark, sf_dir, "documents").select(
+        F.timestamp_seconds(F.lit(STREAM_WIN_BASE)
+                            + F.col("doc_id") % 97).alias("ts"),
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 97).alias("off"),
+    )
+    sentinel = spark.createDataFrame(
+        [(STREAM_WIN_BASE + 10_000,), (STREAM_WIN_BASE + 10_001,)],
+        "sec long",
+    ).select(F.timestamp_seconds(F.col("sec")).alias("ts"),
+             F.lit("zz_sentinel").alias("host"),
+             F.lit(-1).alias("off"))
+    out = stream_sessions(spark, in_dir)
+    qname = f"stream_sess_{run_id}"
+    query = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(base, "cp"))
+        .start()
+    )
+    try:
+        batches = [
+            feed.filter(F.col("off") <= 32),
+            feed.filter((F.col("off") > 32) & (F.col("off") <= 65)),
+            feed.filter(F.col("off") > 65),
+            sentinel.filter(F.col("sec") == STREAM_WIN_BASE + 10_000),
+            sentinel.filter(F.col("sec") == STREAM_WIN_BASE + 10_001),
+        ]
+        for part in batches:
+            (part.select("ts", "host").coalesce(1)
+             .write.mode("append").parquet(in_dir))
+            query.processAllAvailable()
+    finally:
+        query.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        spark.table(qname)
+        .filter(F.col("host") != "zz_sentinel")
+        .select(F.col("session_start").cast("long").alias("session_start"),
+                F.col("session_end").cast("long").alias("session_end"),
+                "host", "n_events")
+        .orderBy("host", "session_start")
+    )
+
+
+def _stream_sessions_oracle_sql() -> str:
+    return f"""
+WITH f AS (
+  SELECT source AS host, doc_id % 97 AS off FROM documents),
+o AS (
+  SELECT host, off,
+         CASE WHEN lag(off) OVER (PARTITION BY host ORDER BY off)
+                   IS NULL THEN 1
+              WHEN off - lag(off) OVER (PARTITION BY host ORDER BY off)
+                   >= 15 THEN 1
+              ELSE 0 END AS brk
+  FROM f),
+s AS (
+  SELECT host, off,
+         sum(brk) OVER (PARTITION BY host ORDER BY off
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT ({STREAM_WIN_BASE} + min(off))::BIGINT AS session_start,
+       ({STREAM_WIN_BASE} + max(off) + 15)::BIGINT AS session_end,
+       host, count(*)::BIGINT AS n_events
+FROM s GROUP BY host, sid
+ORDER BY host, session_start"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4996,6 +5137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "media_text_align": q_media_text_align,
         "embedding_pca": q_embedding_pca,
+        "pack_efficiency": q_pack_efficiency,
+        "stream_sessions": q_stream_sessions,
     }
 
 
@@ -5340,6 +5483,8 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": _bowtie_oracle_sql(),
         "media_text_align": _media_text_align_oracle_sql(),
         "embedding_pca": _embedding_pca_oracle_sql(),
+        "pack_efficiency": _pack_efficiency_oracle_sql(),
+        "stream_sessions": _stream_sessions_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

@@ -242,3 +242,42 @@ def stream_url_dedup(spark: SparkSession, input_dir: str,
     )
     return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["url"])
+
+
+def stream_sessions(spark: SparkSession, input_dir: str,
+                    gap: str = "15 seconds",
+                    watermark: str = "5 seconds") -> DataFrame:
+    """Event-time SESSION windows with a watermark: per-host activity
+    sessions over a landing feed ``(ts timestamp, host string)`` —
+    events closer than ``gap`` merge into one session, a quiet gap
+    closes it. This is the native Structured Streaming
+    ``session_window`` (dynamic-length, state-merging windows — the one
+    windowing mode tumbling counts can't express), and the natural
+    model for crawl burst detection: a session is one fetch burst
+    against a host, and its length/event-count feeds the politeness
+    tier.
+
+    Watermarking makes it safe unbounded: a session's state merges
+    while new events can still arrive (watermark < session end + gap)
+    and is finalized + EVICTED once the watermark passes, so state is
+    O(open sessions), not O(stream history). Emission (append mode) is
+    exactly once per closed session — the cumulative output equals the
+    batch gap-sessionization of the same rows, which is what the
+    driver's oracle recomputes closed-form.
+    """
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("host", T.StringType()),
+    ])
+    src = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "host")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("sess.start").alias("session_start"),
+                F.col("sess.end").alias("session_end"),
+                "host", "n_events")
+    )
