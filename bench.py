@@ -185,7 +185,12 @@ def bench_queries(spark, sf_dir: str) -> dict:
              # round-3 session-6 representatives: the Mercator politeness
              # schedule (2 windows), histogram-threshold budget selection
              # (no global sort), and arboricity-bounded triangle counting
-             "mercator_schedule", "budget_select", "triangle_stats"]
+             "mercator_schedule", "budget_select", "triangle_stats",
+             # round-3 session-7 representatives: log-round redirect
+             # resolution (pointer doubling), degree-normalized SALSA
+             # (iterative integer graph op), and the Morton-key
+             # data-skipping layout (pure codegen projection + 1 shuffle)
+             "redirect_resolve", "salsa_scores", "zorder_layout"]
     # dedup_clusters (iterative connected components, ~60s at sf0.1) is
     # benched via its oracled driver query instead — keeping the default
     # bench's wall time bounded for per-round invocations.
