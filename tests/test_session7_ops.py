@@ -455,3 +455,74 @@ def test_embedding_pca_finds_dominant_direction(spark):
                   key=lambda r: r["dim"])
     assert [(r["dim"], r["v_fp"], r["lam_fp"]) for r in out] == \
            [(r["dim"], r["v_fp"], r["lam_fp"]) for r in out2]
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: pointer doubling vs a pure-Python sequential walker
+# ---------------------------------------------------------------------------
+
+def _walk_py(edges: dict, node: str, max_hops: int):
+    cur, hops = node, 0
+    while hops < max_hops and cur in edges:
+        cur = edges[cur]
+        hops += 1
+    return cur, hops, cur not in edges
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_redirects_fuzz_vs_python_walker(spark, seed):
+    import random
+    from llm_scraper_spark.operators.redirects import resolve_redirects
+
+    rng = random.Random(seed)
+    n = 40
+    emap = {}
+    for i in range(n):
+        if rng.random() < 0.7:
+            t = rng.randrange(n)
+            if t != i:
+                emap[f"u{i}"] = f"u{t}"
+    pairs = list(emap.items())
+    got = {r["url"]: (r["final_url"], r["hops"], r["resolved"])
+           for r in resolve_redirects(_edges(spark, pairs),
+                                      max_hops=8).collect()}
+    nodes = set(emap) | set(emap.values())
+    for u in nodes:
+        assert got[u] == _walk_py(emap, u, 8), u
+
+
+def test_zorder_fuzz_vs_python_reference(spark):
+    import random
+    from llm_scraper_spark.operators.layout import zorder_key
+
+    rng = random.Random(42)
+    cases = [(rng.randrange(65536), rng.randrange(65536))
+             for _ in range(300)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"))
+                       .alias("z")).collect():
+        assert r["z"] == _morton_ref(r["x"], r["y"])
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------------
+
+def test_zorder_layout_single_exchange_no_python(spark):
+    from llm_scraper_spark.operators.layout import layout_pruning_stats
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    q = layout_pruning_stats(df, "x", "y", n_files=8, box=(0, 1, 0, 1))
+    p = physical_plan(q, "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") <= 2     # partial+final agg pair max
+
+
+def test_ucb_plan_no_python(spark):
+    from llm_scraper_spark.operators.frontier import ucb_schedule
+    from llm_scraper_spark.plans.explain import physical_plan
+
+    df = spark.createDataFrame([("h", True)], "host string, ok boolean")
+    p = physical_plan(ucb_schedule(df), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
