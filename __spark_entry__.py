@@ -4674,7 +4674,6 @@ def _c4_filters_oracle_sql() -> str:
             + "\nORDER BY doc_id")
 
 
-CRAWL_VALUE_NOW = 50
 CRAWL_VALUE_HOSTS = 40
 
 
@@ -4698,8 +4697,16 @@ def q_crawl_value(spark, sf_dir):
         .cast("string").alias("fingerprint"),
     )
     rates = change_rate(history).select("url", "lambda_fp")
-    ages = history.groupBy("url").agg(
-        (F.lit(CRAWL_VALUE_NOW) - F.max("wave")).cast("long").alias("age"))
+    # "now" = one wave past the global max observed wave, so age >= 1 at
+    # EVERY scale factor (a fixed constant would go negative once the
+    # event table grows past it, overflowing the exp)
+    gmax = history.agg(F.max("wave").alias("_gw"))
+    ages = (
+        history.groupBy("url").agg(F.max("wave").alias("_uw"))
+        .crossJoin(F.broadcast(gmax))
+        .select("url",
+                (F.col("_gw") + 1 - F.col("_uw")).cast("long").alias("age"))
+    )
     pages = rates.join(ages, "url").withColumn(
         "host",
         F.concat(
@@ -4734,7 +4741,9 @@ def _crawl_value_oracle_sql() -> str:
              'h' || (substring(r.url, 2)::BIGINT
                      % {CRAWL_VALUE_HOSTS})::VARCHAR AS host
       FROM (SELECT url, lambda_fp FROM ({rates_sql})) r
-      JOIN (SELECT url, ({CRAWL_VALUE_NOW} - max(wave))::BIGINT AS age
+      JOIN (SELECT url,
+                   ((SELECT max(wave) FROM ({history_sql})) + 1
+                    - max(wave))::BIGINT AS age
             FROM ({history_sql}) GROUP BY url) a USING (url)"""
     ranks_sql = f"""
       SELECT DISTINCT

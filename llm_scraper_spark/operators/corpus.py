@@ -650,19 +650,35 @@ def span_integrity(docs: DataFrame, doc_id_col: str = "doc_id",
     s = F.col(spans_col)
     n = F.size(s)
     idx = F.sequence(F.lit(0), n - 1)
+
+    # NULL fields are exactly the corruption this operator audits for, so
+    # every predicate coalesces first: a NULL text/media_ref/offset must
+    # read as a VIOLATION (False), never as SQL-NULL that forall/aggregate
+    # would swallow (Spark forall returns NULL, DuckDB bool_and skips —
+    # both would hide the one row that matters)
+    def _kind(sp):
+        return F.coalesce(sp["kind"], F.lit(""))
+
+    def _ref(sp):
+        return F.coalesce(sp["media_ref"], F.lit(""))
+
+    def _txt(sp):
+        return F.coalesce(sp["text"], F.lit(""))
+
     order_ok = F.when(n == 0, F.lit(True)).otherwise(
-        F.forall(F.zip_with(s, idx, lambda sp, i: sp["offset"] == i),
-                 lambda x: x))
+        F.forall(F.zip_with(
+            s, idx, lambda sp, i: F.coalesce(sp["offset"], F.lit(-1)) == i),
+            lambda x: x))
     shape_ok = F.forall(
         s,
-        lambda sp: ((sp["kind"] == "media") & (sp["media_ref"] != "")
-                    & (sp["text"] == ""))
-        | ((sp["kind"] == "text") & (sp["media_ref"] == "")))
+        lambda sp: ((_kind(sp) == "media") & (_ref(sp) != "")
+                    & (_txt(sp) == ""))
+        | ((_kind(sp) == "text") & (_ref(sp) == "")))
     transitions = F.when(n <= 1, F.lit(0)).otherwise(F.size(F.filter(
         F.zip_with(F.slice(s, 1, n - 1), F.slice(s, 2, n - 1),
-                   lambda a, b: a["kind"] != b["kind"]),
+                   lambda a, b: _kind(a) != _kind(b)),
         lambda x: x)))
-    n_media = F.size(F.filter(s, lambda sp: sp["kind"] == "media"))
+    n_media = F.size(F.filter(s, lambda sp: _kind(sp) == "media"))
     return docs.select(
         F.col(doc_id_col).alias("doc_id"),
         n.cast("long").alias("n_spans"),
@@ -672,11 +688,12 @@ def span_integrity(docs: DataFrame, doc_id_col: str = "doc_id",
         F.when(n == 0, F.lit(0)).otherwise(transitions + 1)
         .cast("long").alias("kind_runs"),
         F.aggregate(s, F.lit(0).cast("long"),
-                    lambda acc, sp: acc + F.length(sp["text"]))
+                    lambda acc, sp: acc + F.length(
+                        F.coalesce(sp["text"], F.lit(""))))
         .alias("text_chars"),
         F.when(n == 0, F.lit(0)).otherwise(
             F.expr(f"(size(filter({spans_col}, "
-                   f"sp -> sp.kind = 'media')) * 1000000) "
+                   f"sp -> coalesce(sp.kind, '') = 'media')) * 1000000) "
                    f"DIV size({spans_col})"))
         .cast("long").alias("media_ppm"),
     )
@@ -689,7 +706,10 @@ def span_integrity_oracle_sql(flat_spans_sql: str) -> str:
     return f"""
 WITH sp AS ({flat_spans_sql}),
 t AS (
-  SELECT doc_id, span_idx, kind, text, media_ref, "offset",
+  SELECT doc_id, span_idx,
+         coalesce(kind, '') AS kind, coalesce(text, '') AS text,
+         coalesce(media_ref, '') AS media_ref,
+         coalesce("offset", -1) AS "offset",
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_idx) - 1
              AS arr_pos,
          LAG(kind) OVER (PARTITION BY doc_id ORDER BY span_idx)

@@ -1473,7 +1473,13 @@ def crawl_value_schedule(pages: DataFrame, ranks: DataFrame,
     Returns (url, host, rank, lambda_fp, age, staleness_fp, value,
     picked).
     """
-    j = pages.join(F.broadcast(ranks), "host")
+    # LEFT join + rank floor 1: a URL on a newly-discovered host (absent
+    # from the rank table) must stay schedulable — unknown importance gets
+    # the floor weight, mirroring the NULL-lambda optimism below, never a
+    # silent drop
+    j = (pages.join(F.broadcast(ranks), "host", "left")
+         .withColumn("rank",
+                     F.coalesce(F.col("rank"), F.lit(1)).cast("long")))
     lam_age = F.col("lambda_fp") * F.col("age")
     staleness = F.when(
         F.col("lambda_fp").isNull(), F.lit(1_000_000).cast("long")
@@ -1502,7 +1508,8 @@ def crawl_value_oracle_sql(pages_sql: str, ranks_sql: str,
     return f"""
 WITH pages AS ({pages_sql}),
 ranks AS ({ranks_sql}),
-j AS (SELECT p.*, r.rank FROM pages p JOIN ranks r USING (host)),
+j AS (SELECT p.*, coalesce(r.rank, 1)::BIGINT AS rank
+      FROM pages p LEFT JOIN ranks r USING (host)),
 scored AS (
   SELECT url, host, rank, lambda_fp, age,
          CASE WHEN lambda_fp IS NULL THEN 1000000::BIGINT

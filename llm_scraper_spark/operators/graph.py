@@ -1851,13 +1851,16 @@ def salsa_scores(edges: DataFrame, iterations: int = 3,
             hub, ck_h = local_checkpoint_tracked(hub)
             release_checkpoint(spark, prev_ck_ids)
             prev_ck_ids = ck_a | ck_h
-    out = (
-        nodes.join(hub, "host", "left")
-        .join(auth, "host", "left")
-        .select("host",
-                F.coalesce("hub", F.lit(0)).alias("hub"),
-                F.coalesce("authority", F.lit(0)).alias("authority"))
-    )
+    # hub and auth are COMPLETE per-node tables (each round rebuilds them
+    # from `nodes` with coalesce-to-0), so the result is one equi-join —
+    # no left joins or coalesces needed here
+    out = hub.join(auth, "host").select("host", "hub", "authority")
+    # materialize the result, then drop every persist/checkpoint this call
+    # held (the host_pagerank discipline — without the eager checkpoint the
+    # persists above never populate for iteration counts below the
+    # checkpoint interval, and the unpersists would silently undo them)
+    out, _final = local_checkpoint_tracked(out)
+    release_checkpoint(spark, prev_ck_ids)
     for df in (e, nodes, outd, ind):
         df.unpersist()
     return out

@@ -66,7 +66,12 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 16,
     from .checkpoints import local_checkpoint_tracked, release_checkpoint
 
     spark = edges.sparkSession
-    e = edges.select(F.col(src_col).alias("url"), F.col(dst_col).alias("_d"))
+    # dedupe observations: a per-fetch redirect log legitimately records
+    # the same (src, dst) hop many times, and a duplicate state row would
+    # otherwise multiply through every doubling join (2^rounds copies)
+    e = (edges.select(F.col(src_col).alias("url"),
+                      F.col(dst_col).alias("_d"))
+         .distinct())
     nodes = (
         e.select("url")
         .union(e.select(F.col("_d").alias("url")))
@@ -117,7 +122,7 @@ def resolve_redirects_oracle_sql(edges_sql: str, max_hops: int = 16) -> str:
     count, so the two formulations agree bit-for-bit, including on
     cycles (both report the node after exactly ``max_hops`` hops)."""
     return f"""
-WITH RECURSIVE e AS (SELECT src, dst FROM ({edges_sql})),
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
 nodes AS (SELECT src AS url FROM e UNION SELECT dst FROM e),
 walk(url, cur, hops) AS (
   SELECT url, url, 0::BIGINT FROM nodes

@@ -392,6 +392,9 @@ def embedding_pca(emb: DataFrame, vec_col: str = "embedding",
                 (F.col("a.x") * F.col("b.x")).alias("p"))
         .groupBy("i", "j").agg(F.sum("p").cast("long").alias("sp"))
     )
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = emb.sparkSession
     cov = (
         sij.join(si.select("i", F.col("s").alias("_si")), "i")
         .join(si.select(F.col("i").alias("j"), F.col("s").alias("_sj")), "j")
@@ -399,8 +402,13 @@ def embedding_pca(emb: DataFrame, vec_col: str = "embedding",
         .select("i", "j",
                 (F.col("_n") * F.col("sp") - F.col("_si") * F.col("_sj"))
                 .cast("long").alias("c"))
-        .persist()
     )
+    # EAGER checkpoint, not persist: nothing inside this function runs an
+    # action, so a lazy persist would never populate and every one of the
+    # ~2^iterations references to cov in the nested mat-vec plan would
+    # recompute the corpus self-join. The checkpoint materializes the d^2
+    # table once; blocks are released after the result is materialized.
+    cov, cov_ids = local_checkpoint_tracked(cov)
     v = cov.select("j").distinct().select(
         "j", F.lit(vscale).cast("long").alias("v"))
 
@@ -411,6 +419,7 @@ def embedding_pca(emb: DataFrame, vec_col: str = "embedding",
             .agg(F.sum(F.col("c") * F.col("v")).cast("long").alias("w"))
         )
 
+    prev_v_ids: set[int] = set()
     for _ in range(iterations):
         w = _matvec(v)
         m = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("_m"))
@@ -419,6 +428,11 @@ def embedding_pca(emb: DataFrame, vec_col: str = "embedding",
             (F.when(F.col("w") < 0, -1).otherwise(1).cast("long")
              * F.expr(f"(abs(w) * {vscale}) DIV _m")).cast("long").alias("v"),
         )
+        # d-row table: checkpointing per round is free and stops the plan
+        # from doubling (each v references w twice — direct + the max agg)
+        v, v_ids = local_checkpoint_tracked(v)
+        release_checkpoint(spark, prev_v_ids)
+        prev_v_ids = v_ids
     w = _matvec(v)
     ray = (
         v.select(F.col("j").alias("i"), "v").join(w, "i")
@@ -430,7 +444,9 @@ def embedding_pca(emb: DataFrame, vec_col: str = "embedding",
         v.select(F.col("j").alias("dim"), F.col("v").alias("v_fp"))
         .crossJoin(F.broadcast(ray))
     )
-    cov.unpersist()
+    # materialize the d-row result, then free the cov and round blocks
+    out, _final = local_checkpoint_tracked(out)
+    release_checkpoint(spark, cov_ids | prev_v_ids)
     return out
 
 

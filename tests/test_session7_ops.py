@@ -526,3 +526,34 @@ def test_ucb_plan_no_python(spark):
     df = spark.createDataFrame([("h", True)], "host string, ok boolean")
     p = physical_plan(ucb_schedule(df), "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_span_integrity_null_fields_are_violations(spark):
+    """NULL text/media_ref/offset is the corruption class the audit
+    exists for — it must read as a violation, not SQL-NULL."""
+    from pyspark.sql import types as T
+    from llm_scraper_spark.operators.corpus import span_integrity
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]))),
+    ])
+    rows = [
+        ("null_text", [{"kind": "media", "text": None,
+                        "media_ref": "img://x", "offset": 0}]),
+        ("null_ref", [{"kind": "media", "text": "",
+                       "media_ref": None, "offset": 0}]),
+        ("null_offset", [{"kind": "text", "text": "ok",
+                          "media_ref": "", "offset": None}]),
+    ]
+    out = {r["doc_id"]: r for r in span_integrity(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert out["null_text"]["shape_ok"] is True      # None text reads ''
+    assert out["null_text"]["text_chars"] == 0
+    assert out["null_ref"]["shape_ok"] is False
+    assert out["null_offset"]["order_ok"] is False
