@@ -5008,6 +5008,51 @@ FROM s GROUP BY host, sid
 ORDER BY host, session_start"""
 
 
+def q_dot_segments(spark, sf_dir):
+    """RFC 3986 remove_dot_segments as a native array fold over
+    synthesized messy frontier paths ('..', '.', chained escapes,
+    directory-shaped tails) — the canonicalization step that stops
+    /a/b/../b/../b/ alias loops from multiplying the seen-set. The
+    oracle runs the identical fold via DuckDB list_reduce."""
+    from llm_scraper_spark.functions.urls import resolve_dot_segments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tag = _md5_60bit(F.col("doc_id"), ":dots") % 5
+    raw = F.concat(
+        F.lit("/sec"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("/sub/"),
+        F.when(tag == 0, F.lit("../up.html"))
+        .when(tag == 1, F.lit("./here.html"))
+        .when(tag == 2, F.lit("a/../../../esc.html"))
+        .when(tag == 3, F.lit("deep/"))
+        .otherwise(F.lit("leaf.html")),
+    )
+    return docs.select(
+        "doc_id", raw.alias("raw_path"),
+        resolve_dot_segments(raw).alias("resolved"),
+    ).orderBy("doc_id")
+
+
+def _dot_segments_oracle_sql() -> str:
+    from llm_scraper_spark.functions.urls import (
+        resolve_dot_segments_sql_expr,
+    )
+
+    raw = """('/sec' || (doc_id % 7)::VARCHAR || '/sub/' ||
+        CASE (('0x' || substring(md5(doc_id::VARCHAR || ':dots'), 1, 15))
+              ::BIGINT % 5)
+          WHEN 0 THEN '../up.html'
+          WHEN 1 THEN './here.html'
+          WHEN 2 THEN 'a/../../../esc.html'
+          WHEN 3 THEN 'deep/'
+          ELSE 'leaf.html' END)"""
+    return f"""
+SELECT doc_id, {raw} AS raw_path,
+       {resolve_dot_segments_sql_expr(raw)} AS resolved
+FROM documents
+ORDER BY doc_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5148,6 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "pack_efficiency": q_pack_efficiency,
         "stream_sessions": q_stream_sessions,
+        "dot_segments": q_dot_segments,
     }
 
 
@@ -5494,6 +5540,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": _embedding_pca_oracle_sql(),
         "pack_efficiency": _pack_efficiency_oracle_sql(),
         "stream_sessions": _stream_sessions_oracle_sql(),
+        "dot_segments": _dot_segments_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

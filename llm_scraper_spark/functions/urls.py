@@ -462,3 +462,56 @@ def registered_domain_sql_expr(host_sql: str) -> str:
         THEN (CASE WHEN len({ls}) <= 3 THEN {h} ELSE {last3} END)
       WHEN len({ls}) <= 2 THEN {h}
       ELSE {last2} END)"""
+
+
+def resolve_dot_segments(path):
+    """RFC 3986 §5.2.4 remove_dot_segments as ONE native array fold — no
+    UDF, no loop: '.' segments vanish, '..' pops the last real segment
+    (never above root), and duplicate slashes collapse (the standard
+    crawl-canonicalization extension; RFC resolution proper preserves
+    empty segments, which no sane frontier wants to keep distinct).
+    A trailing '/', '/.' or '/..' keeps the result directory-shaped.
+
+    Relative-path escapes ('/../x' at root) clamp to root — the behavior
+    browsers and urljoin share. The identical fold runs in DuckDB as
+    list_reduce over the same split (the oracle prepends the '' init the
+    engine takes from the first element).
+
+    Input: an absolute path column ('/a/b/../c'). Returns the resolved
+    path column, always starting with '/'.
+    """
+    from pyspark.sql import functions as F
+
+    segs = F.split(path, "/")
+    folded = F.aggregate(
+        segs, F.lit(""),
+        lambda acc, x: (
+            F.when((x == "") | (x == "."), acc)
+            .when(x == "..", F.regexp_replace(acc, r"(/[^/]+)$", ""))
+            .otherwise(F.concat(acc, F.lit("/"), x))
+        ),
+    )
+    trailing = F.when(path.rlike(r"/(\.|\.\.)?$"), F.lit("/")).otherwise(
+        F.lit(""))
+    out = F.concat(folded, trailing)
+    return F.when(out == "", F.lit("/")).otherwise(
+        F.when(~out.startswith("/"), F.concat(F.lit("/"), out))
+        .otherwise(out))
+
+
+def resolve_dot_segments_sql_expr(path_expr: str) -> str:
+    """DuckDB twin of :func:`resolve_dot_segments` — the same fold via
+    list_reduce (with '' prepended as the init element) and the same
+    trailing-slash rule."""
+    fold = (
+        f"list_reduce(list_prepend('', string_split({path_expr}, '/')), "
+        "(acc, x) -> CASE WHEN x = '' OR x = '.' THEN acc "
+        "WHEN x = '..' THEN regexp_replace(acc, '(/[^/]+)$', '') "
+        "ELSE acc || '/' || x END)"
+    )
+    trailing = (f"CASE WHEN regexp_matches({path_expr}, '/(\\.|\\.\\.)?$') "
+                "THEN '/' ELSE '' END")
+    out = f"({fold} || {trailing})"
+    return (f"CASE WHEN {out} = '' THEN '/' "
+            f"WHEN {out} NOT LIKE '/%' THEN '/' || {out} "
+            f"ELSE {out} END")

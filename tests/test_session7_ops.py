@@ -557,3 +557,24 @@ def test_span_integrity_null_fields_are_violations(spark):
     assert out["null_text"]["text_chars"] == 0
     assert out["null_ref"]["shape_ok"] is False
     assert out["null_offset"]["order_ok"] is False
+
+
+# ---------------------------------------------------------------------------
+# dot-segment resolution
+# ---------------------------------------------------------------------------
+
+def test_dot_segments_vs_urljoin(spark):
+    """Battery against urllib's RFC 3986 resolution (cases without
+    duplicate slashes, which we deliberately collapse)."""
+    from urllib.parse import urljoin, urlsplit
+    from llm_scraper_spark.functions.urls import resolve_dot_segments
+
+    cases = ["/a/b/c", "/a/b/../c", "/a/./b", "/../a", "/a/..", "/a/b/..",
+             "/a/b/.", "/a/b/", "/a/../../b/c/./d/../e", "/..", "/.",
+             "/a/b/c/../../../../x", "/x/y/../", "/"]
+    df = spark.createDataFrame([(c,) for c in cases], "p string")
+    got = {r["p"]: r["r"] for r in df.select(
+        "p", resolve_dot_segments(F.col("p")).alias("r")).collect()}
+    for c in cases:
+        want = urlsplit(urljoin("http://h", c)).path or "/"
+        assert got[c] == want, (c, got[c], want)
