@@ -5053,6 +5053,47 @@ FROM documents
 ORDER BY doc_id"""
 
 
+FAIRNESS_BUDGET = 120
+
+
+def q_fairness(spark, sf_dir):
+    """Jain's fairness index of per-host frontier load, before and
+    after the politeness budget cap — the scalar that PROVES the cap
+    does its job (capped J must exceed raw J on the skewed synthetic
+    load). Exact BIGINT sufficient statistics, one engine-identical
+    float read-out per stage."""
+    from llm_scraper_spark.operators.frontier import fairness_index
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    # skewed load: quadratic-ish host assignment concentrates events on
+    # low host ids
+    load = (
+        ev.select(((F.col("event_id") * F.col("event_id")) % 50)
+                  .alias("host"))
+        .groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    staged = load.select(F.lit("raw").alias("stage"), "host", "x").union(
+        load.select(F.lit("capped").alias("stage"), "host",
+                    F.least(F.col("x"), F.lit(FAIRNESS_BUDGET))
+                    .cast("long").alias("x")))
+    return fairness_index(staged, "x", stage_col="stage").orderBy("stage")
+
+
+def _fairness_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import fairness_oracle_sql
+
+    rows_sql = f"""
+      SELECT 'raw' AS stage, host, x FROM (
+        SELECT (event_id * event_id) % 50 AS host, count(*)::BIGINT AS x
+        FROM events GROUP BY 1)
+      UNION ALL
+      SELECT 'capped', host, LEAST(x, {FAIRNESS_BUDGET}) FROM (
+        SELECT (event_id * event_id) % 50 AS host, count(*)::BIGINT AS x
+        FROM events GROUP BY 1)"""
+    return (fairness_oracle_sql(rows_sql, "x", stage_col="stage")
+            + "\nORDER BY stage")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5194,6 +5235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": q_pack_efficiency,
         "stream_sessions": q_stream_sessions,
         "dot_segments": q_dot_segments,
+        "fairness": q_fairness,
     }
 
 
@@ -5541,6 +5583,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_efficiency": _pack_efficiency_oracle_sql(),
         "stream_sessions": _stream_sessions_oracle_sql(),
         "dot_segments": _dot_segments_oracle_sql(),
+        "fairness": _fairness_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

@@ -578,3 +578,15 @@ def test_dot_segments_vs_urljoin(spark):
     for c in cases:
         want = urlsplit(urljoin("http://h", c)).path or "/"
         assert got[c] == want, (c, got[c], want)
+
+
+def test_fairness_index_known_values(spark):
+    from llm_scraper_spark.operators.frontier import fairness_index
+
+    even = spark.createDataFrame([(h, 10) for h in range(4)],
+                                 "host int, x long")
+    assert fairness_index(even, "x").collect()[0]["jain_fp"] == 1_000_000
+    skew = spark.createDataFrame([(0, 40), (1, 0), (2, 0), (3, 0)],
+                                 "host int, x long")
+    # one host gets everything: J = 1/n = 0.25
+    assert fairness_index(skew, "x").collect()[0]["jain_fp"] == 250_000
