@@ -5094,6 +5094,38 @@ def _fairness_oracle_sql() -> str:
             + "\nORDER BY stage")
 
 
+def q_deepwalk(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the synthetic host graph:
+    md5-closed-form neighbor choices over dst-ranked adjacency, walks
+    from a quarter of the nodes, truncated at 8 steps with dead-end
+    stops — the skip-gram corpus for host embeddings, identical on any
+    engine/partitioning. The oracle replays every walk step-by-step
+    with a recursive CTE."""
+    from llm_scraper_spark.operators.graph import deepwalk_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    return (
+        deepwalk_corpus(edges, length=8, start_mod=4)
+        .orderBy("walk_id", "step")
+    )
+
+
+def _deepwalk_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import deepwalk_oracle_sql
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    return (deepwalk_oracle_sql(edges_sql, length=8, start_mod=4)
+            + "\nORDER BY walk_id, step")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5236,6 +5268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "dot_segments": q_dot_segments,
         "fairness": q_fairness,
+        "deepwalk": q_deepwalk,
     }
 
 
@@ -5584,6 +5617,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessions": _stream_sessions_oracle_sql(),
         "dot_segments": _dot_segments_oracle_sql(),
         "fairness": _fairness_oracle_sql(),
+        "deepwalk": _deepwalk_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

@@ -2128,3 +2128,136 @@ res AS (
   LEFT JOIN fs ON fs.host = n.host
   LEFT JOIN bs ON bs.host = n.host)
 SELECT host, in_fwd, in_bwd, cls FROM res"""
+
+
+def deepwalk_corpus(edges: DataFrame, length: int = 8,
+                    start_mod: int = 4,
+                    checkpoint_interval: int = 3) -> DataFrame:
+    """Deterministic DeepWalk corpus generation (Perozzi et al., KDD
+    2014): truncated random walks over the host graph whose (walk,
+    step, host) rows are the skip-gram training corpus for graph
+    embeddings — the standard prep step for "related hosts" retrieval
+    and link-spam detection by embedding distance.
+
+    Determinism: the walk's "random" neighbor choice is the md5 closed
+    form ``md5(start || ':' || step) % outdeg(cur)`` over the adjacency
+    ranked by (src, dst ASC) — every engine and every partitioning
+    replays the identical walks (and the DuckDB oracle does, step by
+    step). Walks start from the md5-chosen ``1/start_mod`` subset of
+    nodes and stop early at dead ends (no self-restart), exactly like
+    the truncated walks in the paper.
+
+    Scale shape: adjacency ranking is ONE window over the edge table
+    (computed once, persisted); each step is one equi-join of the
+    live walk frontier against the ranked adjacency on (cur, idx) —
+    frontier-sized shuffles, hub skew handled by AQE, lineage cut every
+    ``checkpoint_interval`` steps; dead walks leave the frontier, so
+    work only shrinks. The path accumulates as a native array column —
+    no Python, no driver state.
+
+    Returns (walk_id, step, host) exploded rows.
+    """
+    from pyspark.sql import Window as W
+
+    from .checkpoints import local_checkpoint_tracked, release_checkpoint
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    w = W.partitionBy("src").orderBy("dst")
+    adj = e.select(
+        "src", "dst", (F.row_number().over(w) - 1).alias("idx")).persist()
+    outd = adj.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outd")).persist()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    starts = nodes.filter(
+        F.conv(F.substring(F.md5(F.concat(F.col("host").cast("string"),
+                                          F.lit(":w"))), 1, 15), 16, 10)
+        .cast("long") % start_mod == 0)
+    # state: one row per LIVE walk; path = hosts visited so far
+    state = starts.select(
+        F.col("host").alias("walk_id"),
+        F.col("host").alias("cur"),
+        F.array(F.col("host")).alias("path"),
+    )
+    done_paths = []
+    held_cks: set[int] = set()   # dead-walk frames captured mid-loop keep
+    # referencing earlier checkpoints, so nothing is released until the
+    # final output is materialized
+    for step in range(1, length):
+        choice = (
+            F.conv(F.substring(
+                F.md5(F.concat(F.col("walk_id").cast("string"),
+                               F.lit(":"), F.lit(str(step)))), 1, 15),
+                16, 10).cast("long")
+        )
+        st = (
+            state.join(outd, state["cur"] == outd["src"], "left")
+            .select("walk_id", "cur", "path",
+                    (choice % F.col("outd")).alias("_pick"),
+                    F.col("outd"))
+        )
+        dead = st.filter(F.col("outd").isNull()).select("walk_id", "path")
+        done_paths.append(dead)
+        live = st.filter(F.col("outd").isNotNull())
+        state = (
+            live.join(adj, (live["cur"] == adj["src"])
+                      & (live["_pick"] == adj["idx"]))
+            .select("walk_id", F.col("dst").alias("cur"),
+                    F.concat(F.col("path"), F.array(F.col("dst")))
+                    .alias("path"))
+        )
+        if step % checkpoint_interval == 0:
+            state, ck = local_checkpoint_tracked(state)
+            held_cks |= ck
+    done_paths.append(state.select("walk_id", "path"))
+    all_paths = done_paths[0]
+    for d in done_paths[1:]:
+        all_paths = all_paths.unionByName(d)
+    out = all_paths.select(
+        "walk_id", F.posexplode("path").alias("step", "host"))
+    out, _final = local_checkpoint_tracked(out)
+    release_checkpoint(spark, held_cks)
+    adj.unpersist()
+    outd.unpersist()
+    return out
+
+
+def deepwalk_oracle_sql(edges_sql: str, length: int = 8,
+                        start_mod: int = 4) -> str:
+    """DuckDB twin of :func:`deepwalk_corpus` — ranked adjacency via the
+    same window, the same md5 neighbor choice, a depth-bounded recursive
+    walk emitting (walk_id, step, host) directly."""
+    return f"""
+WITH RECURSIVE raw_edges AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+adj AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM e),
+outd AS (SELECT src, count(*)::BIGINT AS outd FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT host FROM (
+  SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+starts AS (
+  SELECT host FROM nodes
+  WHERE ('0x' || substring(md5(host::VARCHAR || ':w'), 1, 15))::BIGINT
+        % {start_mod} = 0),
+walk(walk_id, step, host) AS (
+  SELECT host, 0, host FROM starts
+  UNION ALL
+  SELECT w.walk_id, w.step + 1, a.dst
+  FROM walk w
+  JOIN outd o ON o.src = w.host
+  JOIN adj a ON a.src = w.host
+   AND a.idx = ('0x' || substring(md5(w.walk_id::VARCHAR || ':'
+                                      || (w.step + 1)::VARCHAR), 1, 15))
+                ::BIGINT % o.outd
+  WHERE w.step + 1 < {length})
+SELECT walk_id, step, host FROM walk"""

@@ -590,3 +590,30 @@ def test_fairness_index_known_values(spark):
                                  "host int, x long")
     # one host gets everything: J = 1/n = 0.25
     assert fairness_index(skew, "x").collect()[0]["jain_fp"] == 250_000
+
+
+# ---------------------------------------------------------------------------
+# deepwalk
+# ---------------------------------------------------------------------------
+
+def test_deepwalk_walks_follow_edges_and_stop_at_dead_ends(spark):
+    from llm_scraper_spark.operators.graph import deepwalk_corpus
+
+    # path graph 1->2->3 (3 is a dead end), plus isolated-ish 7->8
+    pairs = [(1, 2), (2, 3), (7, 8)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    rows = deepwalk_corpus(df, length=8, start_mod=1).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["host"]
+    emap = dict(pairs)
+    for wid, steps in walks.items():
+        path = [steps[i] for i in sorted(steps)]
+        assert path[0] == wid
+        for a, b in zip(path, path[1:]):
+            assert emap[a] == b          # every hop is a real edge
+        assert path[-1] not in emap or len(path) == 8   # stopped at end
+    # walk from 1 must traverse to the dead end
+    p1 = [walks[1][i] for i in sorted(walks[1])]
+    assert p1 == [1, 2, 3]
+    assert [walks[8][i] for i in sorted(walks[8])] == [8]
