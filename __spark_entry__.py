@@ -5126,6 +5126,39 @@ def _deepwalk_oracle_sql() -> str:
             + "\nORDER BY walk_id, step")
 
 
+def q_skipgram(spark, sf_dir):
+    """Skip-gram (center, context) counts over the deterministic
+    DeepWalk corpus — the word2vec-style training table for host
+    embeddings, window 2. Composes the walk generator end-to-end; the
+    oracle replays walks (recursive CTE) AND the banded self-join."""
+    from llm_scraper_spark.operators.graph import (
+        deepwalk_corpus, skipgram_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    walks = deepwalk_corpus(edges, length=8, start_mod=4)
+    return skipgram_pairs(walks, window=2).orderBy("center", "context")
+
+
+def _skipgram_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import (
+        deepwalk_oracle_sql, skipgram_oracle_sql,
+    )
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    walks_sql = deepwalk_oracle_sql(edges_sql, length=8, start_mod=4)
+    return (skipgram_oracle_sql(walks_sql, window=2)
+            + "\nORDER BY center, context")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5269,6 +5302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dot_segments": q_dot_segments,
         "fairness": q_fairness,
         "deepwalk": q_deepwalk,
+        "skipgram": q_skipgram,
     }
 
 
@@ -5618,6 +5652,7 @@ def oracle_sql() -> dict[str, str]:
         "dot_segments": _dot_segments_oracle_sql(),
         "fairness": _fairness_oracle_sql(),
         "deepwalk": _deepwalk_oracle_sql(),
+        "skipgram": _skipgram_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

@@ -2261,3 +2261,40 @@ walk(walk_id, step, host) AS (
                 ::BIGINT % o.outd
   WHERE w.step + 1 < {length})
 SELECT walk_id, step, host FROM walk"""
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) co-occurrence counts from walk rows
+    (walk_id, step, host) — the actual training table word2vec-style
+    embedding trainers consume (Mikolov 2013 skip-gram over DeepWalk
+    corpora). One self-equi-join on walk_id with the |step delta| <=
+    window band (fan-out bounded by 2*window per row — walk length,
+    never corpus size) + one map-side-combined groupBy.
+
+    Returns (center, context, n) with the zero-delta diagonal excluded.
+    """
+    a = walks.select(F.col("walk_id").alias("w"),
+                     F.col("step").alias("sa"),
+                     F.col("host").alias("center"))
+    b = walks.select(F.col("walk_id").alias("w"),
+                     F.col("step").alias("sb"),
+                     F.col("host").alias("context"))
+    return (
+        a.join(b, "w")
+        .filter((F.abs(F.col("sa") - F.col("sb")) <= window)
+                & (F.col("sa") != F.col("sb")))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def skipgram_oracle_sql(walks_sql: str, window: int = 2) -> str:
+    """DuckDB twin of :func:`skipgram_pairs` over the same walk rows."""
+    return f"""
+WITH walks AS ({walks_sql})
+SELECT a.host AS center, b.host AS context, count(*)::BIGINT AS n
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND abs(a.step - b.step) <= {window}
+ AND a.step <> b.step
+GROUP BY a.host, b.host"""
