@@ -5159,6 +5159,51 @@ def _skipgram_oracle_sql() -> str:
             + "\nORDER BY center, context")
 
 
+RING_SHARDS = 12
+
+
+def q_ring_shards(spark, sf_dir):
+    """Consistent-hash ring sharding of frontier URLs (12 shards x 8
+    vnodes) side-by-side with the 13-shard ring plus a moved flag —
+    growing the ring must relocate ONLY keys that land on the new
+    shard. Zero shuffle on the key table (one broadcast sorted vnode
+    array, native successor lookup); the oracle rebuilds the identical
+    ring with correlated min-subqueries."""
+    from llm_scraper_spark.operators.frontier import ring_assign
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+        .alias("key"))
+    a = ring_assign(docs, RING_SHARDS).select(
+        "key", "key_hash", F.col("shard").alias("shard_n"))
+    b = ring_assign(docs, RING_SHARDS + 1).select(
+        "key", F.col("shard").alias("shard_n1"))
+    return (
+        a.join(b, "key")
+        .select("key", "key_hash", "shard_n", "shard_n1",
+                (F.col("shard_n") != F.col("shard_n1")).alias("moved"))
+        .orderBy("key")
+    )
+
+
+def _ring_shards_oracle_sql() -> str:
+    from llm_scraper_spark.operators.frontier import ring_assign_oracle_sql
+
+    keys_sql = """
+      SELECT 'https://h' || (doc_id % 97)::VARCHAR || '.example.com/p/'
+             || doc_id::VARCHAR AS key
+      FROM documents"""
+    a = ring_assign_oracle_sql(keys_sql, RING_SHARDS)
+    b = ring_assign_oracle_sql(keys_sql, RING_SHARDS + 1)
+    return f"""
+WITH a AS ({a}), b AS ({b})
+SELECT a.key, a.key_hash, a.shard AS shard_n, b.shard AS shard_n1,
+       a.shard <> b.shard AS moved
+FROM a JOIN b USING (key)
+ORDER BY key"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5303,6 +5348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fairness": q_fairness,
         "deepwalk": q_deepwalk,
         "skipgram": q_skipgram,
+        "ring_shards": q_ring_shards,
     }
 
 
@@ -5653,6 +5699,7 @@ def oracle_sql() -> dict[str, str]:
         "fairness": _fairness_oracle_sql(),
         "deepwalk": _deepwalk_oracle_sql(),
         "skipgram": _skipgram_oracle_sql(),
+        "ring_shards": _ring_shards_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

@@ -1575,3 +1575,73 @@ SELECT {key}n, sum_x, sum_x2,
                               / (n::DOUBLE * sum_x2::DOUBLE)))
        END::BIGINT AS jain_fp
 FROM agg"""
+
+
+def ring_assign(keys: DataFrame, n_shards: int, vnodes: int = 8,
+                key_col: str = "key") -> DataFrame:
+    """Consistent-hash ring sharding (Karger et al., STOC 1997) with
+    virtual nodes — the OTHER standard elastic partitioner next to
+    rendezvous/HRW (:func:`rendezvous_shard`): shard s places
+    ``vnodes`` points on a hash ring, each key goes to the first vnode
+    clockwise from its own hash. Growing the cluster moves ONLY the
+    keys whose ring successor lands on the new shard's vnodes
+    (~1/(n+1) of traffic), which is why frontier shards can be added
+    without re-shuffling the world.
+
+    Plan shape: the vnode table is tiny (n_shards * vnodes rows), so it
+    collapses into ONE sorted array<struct(h, shard)> via an aggregate,
+    broadcast to every key row; the successor lookup is a native
+    filter + element_at over that array (wrap to the first element) —
+    zero shuffle on the key table, no UDF. Hashes are the md5 closed
+    form, so any engine replays the ring bit-for-bit.
+
+    Returns keys + (key_hash, shard).
+    """
+    vn = None
+    rows = [(s, r) for s in range(n_shards) for r in range(vnodes)]
+    spark = keys.sparkSession
+    vn = spark.createDataFrame(rows, "shard int, replica int").select(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("vn:"), F.col("shard").cast("string"),
+                           F.lit(":"), F.col("replica").cast("string"))),
+            1, 15), 16, 10).cast("long").alias("h"),
+        "shard",
+    )
+    ring = vn.agg(F.array_sort(F.collect_list(F.struct("h", "shard")))
+                  .alias("_ring"))
+    kh = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+                16, 10).cast("long")
+    out = keys.crossJoin(F.broadcast(ring)).withColumn("key_hash", kh)
+    succ = F.filter(F.col("_ring"),
+                    lambda x: x["h"] >= F.col("key_hash"))
+    pick = F.when(F.size(succ) > 0, F.element_at(succ, 1)).otherwise(
+        F.element_at(F.col("_ring"), 1))
+    return (
+        out.withColumn("shard", pick["shard"])
+        .drop("_ring")
+    )
+
+
+def ring_assign_oracle_sql(keys_sql: str, n_shards: int,
+                           vnodes: int = 8) -> str:
+    """DuckDB twin of :func:`ring_assign` — the same md5 vnode ring,
+    successor via correlated min-subqueries with wraparound."""
+    return f"""
+WITH ks AS ({keys_sql}),
+vn AS (
+  SELECT ('0x' || substring(md5('vn:' || s::VARCHAR || ':'
+                                || r::VARCHAR), 1, 15))::BIGINT AS h,
+         s AS shard
+  FROM generate_series(0, {n_shards - 1}) t(s),
+       generate_series(0, {vnodes - 1}) u(r)),
+keyed AS (
+  SELECT ks.*,
+         ('0x' || substring(md5(key::VARCHAR), 1, 15))::BIGINT AS key_hash
+  FROM ks),
+picked AS (
+  SELECT k.*,
+         coalesce((SELECT min(h) FROM vn WHERE vn.h >= k.key_hash),
+                  (SELECT min(h) FROM vn)) AS _sh
+  FROM keyed k)
+SELECT picked.* EXCLUDE (_sh), vn.shard
+FROM picked JOIN vn ON vn.h = picked._sh"""

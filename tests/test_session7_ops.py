@@ -617,3 +617,27 @@ def test_deepwalk_walks_follow_edges_and_stop_at_dead_ends(spark):
     p1 = [walks[1][i] for i in sorted(walks[1])]
     assert p1 == [1, 2, 3]
     assert [walks[8][i] for i in sorted(walks[8])] == [8]
+
+
+# ---------------------------------------------------------------------------
+# consistent-hash ring
+# ---------------------------------------------------------------------------
+
+def test_ring_growth_moves_only_to_new_shard(spark):
+    """The consistent-hashing contract: adding shard n relocates only
+    keys whose successor is a new vnode — every moved key lands on the
+    NEW shard, and the moved fraction stays near vnodes'/total."""
+    from llm_scraper_spark.operators.frontier import ring_assign
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(2000)],
+                                 "key string")
+    a = {r["key"]: r["shard"] for r in ring_assign(keys, 8).collect()}
+    b = {r["key"]: r["shard"] for r in ring_assign(keys, 9).collect()}
+    moved = [k for k in a if a[k] != b[k]]
+    assert all(b[k] == 8 for k in moved)          # only to the new shard
+    frac = len(moved) / len(a)
+    assert 0.02 < frac < 0.30, frac               # ~1/9 expected
+    # unmoved keys keep their shard exactly
+    for k in a:
+        if k not in moved:
+            assert a[k] == b[k]
