@@ -5204,6 +5204,42 @@ FROM a JOIN b USING (key)
 ORDER BY key"""
 
 
+def q_ppmi(spark, sf_dir):
+    """Positive-PMI association over the DeepWalk skip-gram counts —
+    the matrix word2vec factorizes, as exact integer ratios (1e6 =
+    independence). Completes the embedding-prep chain walks ->
+    skip-gram -> PPMI; the oracle replays the full three-stage
+    composition."""
+    from llm_scraper_spark.operators.graph import (
+        deepwalk_corpus, ppmi_pairs, skipgram_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    walks = deepwalk_corpus(edges, length=8, start_mod=4)
+    pairs = skipgram_pairs(walks, window=2)
+    return ppmi_pairs(pairs, min_count=2).orderBy("center", "context")
+
+
+def _ppmi_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import (
+        deepwalk_oracle_sql, ppmi_oracle_sql, skipgram_oracle_sql,
+    )
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    walks_sql = deepwalk_oracle_sql(edges_sql, length=8, start_mod=4)
+    pairs_sql = skipgram_oracle_sql(walks_sql, window=2)
+    return (ppmi_oracle_sql(pairs_sql, min_count=2)
+            + "\nORDER BY center, context")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5349,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deepwalk": q_deepwalk,
         "skipgram": q_skipgram,
         "ring_shards": q_ring_shards,
+        "ppmi": q_ppmi,
     }
 
 
@@ -5700,6 +5737,7 @@ def oracle_sql() -> dict[str, str]:
         "deepwalk": _deepwalk_oracle_sql(),
         "skipgram": _skipgram_oracle_sql(),
         "ring_shards": _ring_shards_oracle_sql(),
+        "ppmi": _ppmi_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

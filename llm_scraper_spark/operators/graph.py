@@ -2298,3 +2298,53 @@ FROM walks a JOIN walks b
  AND abs(a.step - b.step) <= {window}
  AND a.step <> b.step
 GROUP BY a.host, b.host"""
+
+
+def ppmi_pairs(pairs: DataFrame, min_count: int = 2) -> DataFrame:
+    """Positive-PMI association ratios over skip-gram co-occurrence
+    counts — the matrix whose factorization IS word2vec (Levy &
+    Goldberg, NeurIPS 2014): PMI(c,x) = log(n(c,x)·N / (n(c)·n(x))).
+    The log only rescales monotonically, so the INTEGER RATIO
+    ``n*N*1e6 DIV (nc*nx)`` carries the identical ordering with exact
+    arithmetic on any engine (the tfidf 'ratio' discipline): 1e6 is
+    independence, above it the pair is positively associated — the
+    related-hosts signal extracted from walk structure alone.
+
+    Bound: n*N*1e6 must fit int64, i.e. corpus co-occurrence total
+    N < ~9e6 per scoring shard at the 1e6 scale — shard-then-merge for
+    corpora beyond that (documented, not silently wrong: the aggregate
+    overflows loudly under ANSI mode).
+
+    Shape: the margins reuse the pair table (two map-side groupBys, one
+    broadcast 1-row total); scoring is one projection after two slim
+    joins on center/context.
+
+    Returns (center, context, n, ratio_fp) for pairs with
+    n >= min_count.
+    """
+    tot = pairs.agg(F.sum("n").cast("long").alias("_N"))
+    nc = pairs.groupBy("center").agg(F.sum("n").cast("long").alias("_nc"))
+    nx = pairs.groupBy("context").agg(F.sum("n").cast("long").alias("_nx"))
+    return (
+        pairs.filter(F.col("n") >= min_count)
+        .join(nc, "center").join(nx, "context")
+        .crossJoin(F.broadcast(tot))
+        .select("center", "context", "n",
+                F.expr("(n * _N * 1000000) DIV (_nc * _nx)")
+                .cast("long").alias("ratio_fp"))
+    )
+
+
+def ppmi_oracle_sql(pairs_sql: str, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`ppmi_pairs` — identical margins and
+    integer ratio."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+tot AS (SELECT sum(n)::BIGINT AS N FROM pairs),
+nc AS (SELECT center, sum(n)::BIGINT AS nc FROM pairs GROUP BY center),
+nx AS (SELECT context, sum(n)::BIGINT AS nx FROM pairs GROUP BY context)
+SELECT p.center, p.context, p.n,
+       ((p.n * t.N * 1000000) // (c.nc * x.nx))::BIGINT AS ratio_fp
+FROM pairs p
+JOIN nc c USING (center) JOIN nx x USING (context), tot t
+WHERE p.n >= {min_count}"""
