@@ -5240,6 +5240,40 @@ def _ppmi_oracle_sql() -> str:
             + "\nORDER BY center, context")
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the LPA communities over the undirected
+    host graph — the number that says whether community-pinned executor
+    routing will actually localize frontier state. Exact integer terms
+    at the 4m^2 scale, sign-split fixed-point read-out; the oracle
+    replays LPA (all rounds unrolled) AND the modularity sums."""
+    from llm_scraper_spark.operators.graph import (
+        label_propagation, modularity,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
+    )
+    labels = label_propagation(edges, iterations=3)
+    return modularity(edges, labels).orderBy("label")
+
+
+def _modularity_oracle_sql() -> str:
+    from llm_scraper_spark.operators.graph import (
+        label_propagation_oracle_sql, modularity_oracle_sql,
+    )
+
+    edges_sql = f"""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':s'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS src,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':d'), 1, 15))::BIGINT
+                 % {PAGERANK_HOSTS} AS dst
+        FROM documents"""
+    labels_sql = label_propagation_oracle_sql(edges_sql, iterations=3)
+    return (modularity_oracle_sql(edges_sql, labels_sql)
+            + "\nORDER BY label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5386,6 +5420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram": q_skipgram,
         "ring_shards": q_ring_shards,
         "ppmi": q_ppmi,
+        "modularity": q_modularity,
     }
 
 
@@ -5738,6 +5773,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram": _skipgram_oracle_sql(),
         "ring_shards": _ring_shards_oracle_sql(),
         "ppmi": _ppmi_oracle_sql(),
+        "modularity": _modularity_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

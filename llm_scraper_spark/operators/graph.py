@@ -2348,3 +2348,116 @@ SELECT p.center, p.context, p.n,
 FROM pairs p
 JOIN nc c USING (center) JOIN nx x USING (context), tot t
 WHERE p.n >= {min_count}"""
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over the UNDIRECTED
+    host graph (Newman & Girvan 2004): Q = sum_c (e_c/m - (d_c/2m)^2)
+    — the number that says whether LPA's crawl-sharding communities are
+    real structure (Q >> 0) or noise (Q ~ 0), i.e. whether
+    community-pinned executor routing will actually localize frontier
+    state.
+
+    Exactness: everything is computed at the 4m^2 scale where Q's
+    terms are INTEGERS — contribution_c = 4m·e_c - d_c^2 exactly —
+    then read out at 1e6 fixed point with the sign-split
+    ``sign * (abs DIV)`` so Spark's truncating DIV and DuckDB's
+    flooring // agree on negative contributions (peripheral
+    communities legitimately score below zero). int64 bound:
+    4m^2·1e6 < 2^63 → m under ~1.5M undirected edges per evaluation;
+    beyond that evaluate per partition-of-communities and merge
+    (documented, loud overflow under ANSI mode otherwise).
+
+    Returns one row per community (label, n_hosts, intra_edges,
+    degree_sum, contribution_fp) plus the global q_fp on every row.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m_df = und.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .union(und.select(F.col("b").alias("host")))
+        .groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    la = labels.select(F.col("host").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("host").alias("b"), F.col("label").alias("_lb"))
+    intra = (
+        und.join(la, "a").join(lb, "b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    per_c = (
+        labels.join(deg, "host", "left")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hosts"),
+             F.coalesce(F.sum("d"), F.lit(0)).cast("long")
+             .alias("degree_sum"))
+        .join(intra, "label", "left")
+        .select("label", "n_hosts",
+                F.coalesce("intra_edges", F.lit(0)).cast("long")
+                .alias("intra_edges"),
+                "degree_sum")
+        .crossJoin(F.broadcast(m_df))
+    )
+    num = (F.lit(4) * F.col("_m") * F.col("intra_edges")
+           - F.col("degree_sum") * F.col("degree_sum"))
+    contrib = (
+        F.when(num < 0, -1).otherwise(1).cast("long")
+        * F.expr("(abs(4 * _m * intra_edges - degree_sum * degree_sum)"
+                 " * 1000000) DIV (4 * _m * _m)")
+    )
+    scored = per_c.withColumn("contribution_fp", contrib.cast("long"))
+    q = scored.agg(F.sum("contribution_fp").cast("long").alias("q_fp"))
+    return (
+        scored.crossJoin(F.broadcast(q))
+        .select("label", "n_hosts", "intra_edges", "degree_sum",
+                "contribution_fp", "q_fp")
+    )
+
+
+def modularity_oracle_sql(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB twin of :func:`modularity` — identical integer terms and
+    sign-split read-out."""
+    return f"""
+WITH raw_edges AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges WHERE src <> dst),
+m AS (SELECT count(*)::BIGINT AS m FROM und),
+deg AS (
+  SELECT host, count(*)::BIGINT AS d FROM (
+    SELECT a AS host FROM und UNION ALL SELECT b FROM und)
+  GROUP BY host),
+lab AS ({labels_sql}),
+intra AS (
+  SELECT la.label, count(*)::BIGINT AS intra_edges
+  FROM und
+  JOIN lab la ON la.host = und.a
+  JOIN lab lb ON lb.host = und.b
+  WHERE la.label = lb.label
+  GROUP BY la.label),
+per_c AS (
+  SELECT l.label, count(*)::BIGINT AS n_hosts,
+         coalesce(sum(d.d), 0)::BIGINT AS degree_sum
+  FROM lab l LEFT JOIN deg d ON d.host = l.host
+  GROUP BY l.label),
+scored AS (
+  SELECT p.label, p.n_hosts,
+         coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+         p.degree_sum,
+         (CASE WHEN 4 * m.m * coalesce(i.intra_edges, 0)
+                    - p.degree_sum * p.degree_sum < 0
+               THEN -1 ELSE 1 END
+          * ((abs(4 * m.m * coalesce(i.intra_edges, 0)
+                  - p.degree_sum * p.degree_sum) * 1000000)
+             // (4 * m.m * m.m)))::BIGINT AS contribution_fp
+  FROM per_c p LEFT JOIN intra i ON i.label = p.label, m),
+q AS (SELECT sum(contribution_fp)::BIGINT AS q_fp FROM scored)
+SELECT s.label, s.n_hosts, s.intra_edges, s.degree_sum,
+       s.contribution_fp, q.q_fp
+FROM scored s, q"""

@@ -641,3 +641,25 @@ def test_ring_growth_moves_only_to_new_shard(spark):
     for k in a:
         if k not in moved:
             assert a[k] == b[k]
+
+
+def test_modularity_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge under the perfect
+    2-community labeling: Q must be strongly positive and match the
+    textbook value."""
+    from llm_scraper_spark.operators.graph import modularity
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)],
+                                  "src long, dst long")
+    labels = spark.createDataFrame(
+        [(h, 0) for h in range(4)] + [(h + 10, 1) for h in range(4)],
+        "host long, label long")
+    out = modularity(edges, labels).collect()
+    m = 13
+    expect = 0
+    for e_c, d_c in ((6, 13), (6, 13)):
+        expect += (4 * m * e_c - d_c * d_c) * 1_000_000 // (4 * m * m)
+    assert out[0]["q_fp"] == expect
+    assert out[0]["q_fp"] > 300_000          # strong structure
