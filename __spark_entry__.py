@@ -5274,6 +5274,51 @@ def _modularity_oracle_sql() -> str:
             + "\nORDER BY label")
 
 
+def q_pct_encoding(spark, sf_dir):
+    """RFC 3986 §6.2.2 percent-encoding normalization over synthesized
+    messy escapes (unreserved decodes, hex-case folds, malformed
+    passthrough) — the canonicalization that collapses %7Euser /
+    %7euser / ~user into one seen-set entry. Native split/map/rejoin;
+    the oracle runs the identical per-piece mapping."""
+    from llm_scraper_spark.functions.urls import normalize_pct_encoding
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tag = _md5_60bit(F.col("doc_id"), ":pct") % 5
+    raw = F.concat(
+        F.lit("/p/"),
+        F.when(tag == 0, F.lit("%41file%7e"))
+        .when(tag == 1, F.lit("a%3ab%2fc"))
+        .when(tag == 2, F.lit("bad%zz%4"))
+        .when(tag == 3, F.lit("%5Fdir%2E"))
+        .otherwise(F.lit("plain")),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    return docs.select(
+        "doc_id", raw.alias("raw_path"),
+        normalize_pct_encoding(raw).alias("normalized"),
+    ).orderBy("doc_id")
+
+
+def _pct_encoding_oracle_sql() -> str:
+    from llm_scraper_spark.functions.urls import (
+        normalize_pct_encoding_sql_expr,
+    )
+
+    raw = """('/p/' ||
+        CASE (('0x' || substring(md5(doc_id::VARCHAR || ':pct'), 1, 15))
+              ::BIGINT % 5)
+          WHEN 0 THEN '%41file%7e'
+          WHEN 1 THEN 'a%3ab%2fc'
+          WHEN 2 THEN 'bad%zz%4'
+          WHEN 3 THEN '%5Fdir%2E'
+          ELSE 'plain' END || (doc_id % 100)::VARCHAR)"""
+    return f"""
+SELECT doc_id, {raw} AS raw_path,
+       {normalize_pct_encoding_sql_expr(raw)} AS normalized
+FROM documents
+ORDER BY doc_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5421,6 +5466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_shards": q_ring_shards,
         "ppmi": q_ppmi,
         "modularity": q_modularity,
+        "pct_encoding": q_pct_encoding,
     }
 
 
@@ -5774,6 +5820,7 @@ def oracle_sql() -> dict[str, str]:
         "ring_shards": _ring_shards_oracle_sql(),
         "ppmi": _ppmi_oracle_sql(),
         "modularity": _modularity_oracle_sql(),
+        "pct_encoding": _pct_encoding_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

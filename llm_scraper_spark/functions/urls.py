@@ -515,3 +515,71 @@ def resolve_dot_segments_sql_expr(path_expr: str) -> str:
     return (f"CASE WHEN {out} = '' THEN '/' "
             f"WHEN {out} NOT LIKE '/%' THEN '/' || {out} "
             f"ELSE {out} END")
+
+
+_UNRESERVED_PRED = (
+    "(({c} >= 65 AND {c} <= 90) OR ({c} >= 97 AND {c} <= 122) "
+    "OR ({c} >= 48 AND {c} <= 57) OR {c} = 45 OR {c} = 46 "
+    "OR {c} = 95 OR {c} = 126)"
+)
+
+
+def normalize_pct_encoding(col):
+    """RFC 3986 §6.2.2 percent-encoding normalization as native array
+    ops: escapes of UNRESERVED characters decode to the character
+    (%41 -> A, %7E -> ~ — the aliases that multiply a seen-set), all
+    other escapes uppercase their hex (%3a -> %3A, the case-insensitive
+    equivalence the RFC mandates), and malformed escapes (truncated or
+    non-hex) pass through byte-identically. Split on '%', map each
+    tail piece independently (no fold needed — escapes never nest),
+    rejoin: one codegen'd projection, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    pieces = F.split(col, "%", -1)
+    n = F.size(pieces)
+
+    def _map_piece(p):
+        hexs = F.upper(F.substring(p, 1, 2))
+        valid = p.rlike("^[0-9A-Fa-f]{2}")
+        code = F.conv(hexs, 16, 10).cast("int")
+        unres = (
+            ((code >= 65) & (code <= 90)) | ((code >= 97) & (code <= 122))
+            | ((code >= 48) & (code <= 57)) | (code == 45) | (code == 46)
+            | (code == 95) | (code == 126)
+        )
+        rest = F.substring(p, 3, 1_000_000)
+        return (
+            F.when(valid & unres,
+                   F.concat(F.char(code), rest))
+            .when(valid, F.concat(F.lit("%"), hexs, rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    tail = F.transform(F.slice(pieces, 2, F.greatest(n - 1, F.lit(0))),
+                       _map_piece)
+    return F.concat(F.element_at(pieces, 1), F.array_join(tail, ""))
+
+
+def normalize_pct_encoding_sql_expr(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_pct_encoding` — same split /
+    per-piece map / rejoin."""
+    unres = _UNRESERVED_PRED.format(
+        c="('0x' || upper(substring(p, 1, 2)))::BIGINT")
+    piece = (
+        "CASE WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}') AND " + unres +
+        " THEN chr(('0x' || upper(substring(p, 1, 2)))::BIGINT::INT)"
+        " || substring(p, 3)"
+        " WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}')"
+        " THEN '%' || upper(substring(p, 1, 2)) || substring(p, 3)"
+        " ELSE '%' || p END"
+    ).format()
+    # DuckDB's array_to_string returns NULL on an empty list (Spark's
+    # array_join returns '') — coalesce so escape-free strings survive
+    return (
+        f"(string_split({expr}, '%')[1] || "
+        f"coalesce(array_to_string(list_transform("
+        f"list_slice(string_split({expr}, '%'), 2, "
+        f"len(string_split({expr}, '%'))), "
+        f"p -> {piece}), ''), ''))"
+    )

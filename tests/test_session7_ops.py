@@ -663,3 +663,24 @@ def test_modularity_two_cliques(spark):
         expect += (4 * m * e_c - d_c * d_c) * 1_000_000 // (4 * m * m)
     assert out[0]["q_fp"] == expect
     assert out[0]["q_fp"] > 300_000          # strong structure
+
+
+def test_pct_encoding_battery(spark):
+    from llm_scraper_spark.functions.urls import normalize_pct_encoding
+
+    cases = {
+        "/a%41b": "/aAb",            # unreserved decodes
+        "/x%7ey": "/x~y",
+        "/q%3a%2Fz": "/q%3A%2Fz",    # reserved: hex uppercased only
+        "/bad%zz": "/bad%zz",        # malformed passthrough
+        "/t%4": "/t%4",
+        "/end%": "/end%",
+        "plain": "plain",
+        "%41%42%43": "ABC",
+        "/mix%2Fa%5Fb%2e%30": "/mix%2Fa_b.0",
+    }
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r["s"]: r["n"] for r in df.select(
+        "s", normalize_pct_encoding(F.col("s")).alias("n")).collect()}
+    for c, want in cases.items():
+        assert got[c] == want, (c, got[c], want)
