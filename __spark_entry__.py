@@ -5319,6 +5319,71 @@ FROM documents
 ORDER BY doc_id"""
 
 
+def q_layout_pruned_read(spark, sf_dir):
+    """PHYSICAL data skipping end-to-end: documents written as
+    Z-ordered parquet file groups with an Iceberg-manifest-style stats
+    file, then read back through manifest pruning (partition filter on
+    surviving groups) + the exact box predicate. The oracle is the
+    plain full-scan filter over the same derivation — pruning must be
+    invisible in the result, only in the files opened."""
+    import shutil
+    import uuid
+
+    from llm_scraper_spark.sinks.layout_sink import (
+        read_pruned, write_zorder_layout,
+    )
+
+    tune_session(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.select(
+        "doc_id",
+        (_md5_60bit(F.col("doc_id"), ":zx") % 65536).alias("x"),
+        F.least(F.length("text"), F.lit(65535)).cast("long").alias("y"),
+    )
+    path = f"/tmp/spark_graft_layout_{uuid.uuid4().hex[:8]}"
+    try:
+        write_zorder_layout(rows, path, "x", "y", n_files=64)
+        out, stats = read_pruned(spark, path, "x", "y", box=ZORDER_BOX)
+        assert stats["scanned_groups"] < stats["total_groups"], stats
+        result = (
+            out.select("doc_id", "x", "y")
+            .withColumn("scanned_groups",
+                        F.lit(stats["scanned_groups"]).cast("long"))
+            .orderBy("doc_id")
+        )
+        # materialize before the tmp dir disappears
+        result = result.localCheckpoint(eager=True)
+        return result
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _layout_pruned_read_oracle_sql() -> str:
+    x_lo, x_hi, y_lo, y_hi = ZORDER_BOX
+    from llm_scraper_spark.operators.layout import zorder_key_sql
+
+    width = (1 << 32) // 64
+    z = zorder_key_sql("x", "y")
+    return f"""
+WITH rows_in AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(doc_id::VARCHAR || ':zx'), 1, 15))::BIGINT
+             % 65536 AS x,
+         LEAST(length(text), 65535)::BIGINT AS y
+  FROM documents),
+keyed AS (SELECT *, {z} // {width} AS file_id FROM rows_in),
+hit AS (
+  SELECT file_id FROM keyed GROUP BY file_id
+  HAVING min(x) <= {x_hi} AND max(x) >= {x_lo}
+     AND min(y) <= {y_hi} AND max(y) >= {y_lo})
+SELECT k.doc_id, k.x, k.y,
+       (SELECT count(*) FROM hit)::BIGINT AS scanned_groups
+FROM keyed k
+WHERE k.x >= {x_lo} AND k.x <= {x_hi}
+  AND k.y >= {y_lo} AND k.y <= {y_hi}
+ORDER BY k.doc_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5467,6 +5532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppmi": q_ppmi,
         "modularity": q_modularity,
         "pct_encoding": q_pct_encoding,
+        "layout_pruned_read": q_layout_pruned_read,
     }
 
 
@@ -5821,6 +5887,7 @@ def oracle_sql() -> dict[str, str]:
         "ppmi": _ppmi_oracle_sql(),
         "modularity": _modularity_oracle_sql(),
         "pct_encoding": _pct_encoding_oracle_sql(),
+        "layout_pruned_read": _layout_pruned_read_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

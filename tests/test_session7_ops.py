@@ -684,3 +684,28 @@ def test_pct_encoding_battery(spark):
         "s", normalize_pct_encoding(F.col("s")).alias("n")).collect()}
     for c, want in cases.items():
         assert got[c] == want, (c, got[c], want)
+
+
+def test_layout_sink_prunes_partitions(spark, tmp_path):
+    """The physical skip: a corner box must open fewer file groups than
+    exist, the scan plan must carry the partition filter, and the
+    pruned read must equal the full-scan filter exactly."""
+    from llm_scraper_spark.sinks.layout_sink import (
+        read_pruned, write_zorder_layout,
+    )
+
+    rows = ([(i, i % 200, i % 97) for i in range(500)]
+            + [(1000 + i, 65000 + i % 100, 65000 + i % 50)
+               for i in range(500)])
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    path = str(tmp_path / "zl")
+    write_zorder_layout(df, path, "x", "y", n_files=16)
+    out, stats = read_pruned(spark, path, "x", "y", box=(0, 300, 0, 300))
+    assert stats["scanned_groups"] < stats["total_groups"], stats
+    got = sorted((r["id"], r["x"], r["y"]) for r in out.collect())
+    want = sorted((i, i % 200, i % 97) for i in range(500))
+    assert got == want
+    # the partition filter reached the scan
+    from llm_scraper_spark.plans.explain import physical_plan
+    assert "PartitionFilters" in physical_plan(out, "formatted") or \
+           "file_id" in physical_plan(out, "simple")
