@@ -5384,6 +5384,81 @@ WHERE k.x >= {x_lo} AND k.x <= {x_hi}
 ORDER BY k.doc_id"""
 
 
+def q_bucketed_join(spark, sf_dir):
+    """The exchange-free co-located join, driver-visible: the seen set
+    and a candidate delta write as co-bucketed catalog tables (16
+    buckets on url_hash) and join with ZERO Exchange operators — the
+    wave loop's dominant shuffle replaced by layout (asserted in the
+    plan here, not just in pytest). Result equality against the plain
+    join is the oracle."""
+    import uuid
+
+    from llm_scraper_spark.sinks.bucketed import (
+        colocated_join, write_bucketed,
+    )
+
+    tune_session(spark)
+    run = uuid.uuid4().hex[:8]
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    seen = docs.select(
+        (_md5_60bit(F.col("doc_id"), ":bh") % 1000).alias("url_hash"),
+        F.col("doc_id").alias("first_doc"),
+    )
+    delta = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (_md5_60bit(F.col("doc_id"), ":bh2") % 1000).alias("url_hash"),
+        F.col("doc_id").alias("cand_doc"),
+    )
+    lt, rt = f"seen_b_{run}", f"delta_b_{run}"
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(seen, lt, ["url_hash"], 16,
+                       path=f"/tmp/spark_graft_bkt_{run}/seen")
+        write_bucketed(delta, rt, ["url_hash"], 16,
+                       path=f"/tmp/spark_graft_bkt_{run}/delta")
+        # at sf0.01 both sides fit the broadcast threshold and the planner
+        # would pick BroadcastHashJoin — force the SortMergeJoin path the
+        # bucketing exists for (a 100 TB seen table never broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, lt, rt, on=["url_hash"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        out = (
+            joined.groupBy("url_hash")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.min("first_doc").cast("long").alias("min_seen"),
+                 F.min("cand_doc").cast("long").alias("min_cand"))
+            .orderBy("url_hash")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        import shutil
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+        shutil.rmtree(f"/tmp/spark_graft_bkt_{run}", ignore_errors=True)
+
+
+def _bucketed_join_oracle_sql() -> str:
+    return """
+WITH seen AS (
+  SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':bh'), 1, 15))::BIGINT
+             % 1000 AS url_hash,
+         doc_id AS first_doc
+  FROM documents),
+delta AS (
+  SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':bh2'), 1, 15))::BIGINT
+             % 1000 AS url_hash,
+         doc_id AS cand_doc
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT s.url_hash, count(*)::BIGINT AS n_pairs,
+       min(s.first_doc)::BIGINT AS min_seen,
+       min(d.cand_doc)::BIGINT AS min_cand
+FROM seen s JOIN delta d USING (url_hash)
+GROUP BY s.url_hash
+ORDER BY s.url_hash"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5533,6 +5608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "pct_encoding": q_pct_encoding,
         "layout_pruned_read": q_layout_pruned_read,
+        "bucketed_join": q_bucketed_join,
     }
 
 
@@ -5888,6 +5964,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity": _modularity_oracle_sql(),
         "pct_encoding": _pct_encoding_oracle_sql(),
         "layout_pruned_read": _layout_pruned_read_oracle_sql(),
+        "bucketed_join": _bucketed_join_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),
