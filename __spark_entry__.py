@@ -5459,6 +5459,63 @@ GROUP BY s.url_hash
 ORDER BY s.url_hash"""
 
 
+COMPACT_TARGET = 128 * 1024 * 1024   # 128 MiB target output files
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning — the ops chore every wave-
+    structured 100 TB table needs (each wave writes many small files;
+    readers want ~128 MiB units): files ordered by id, packed into
+    target-size groups with the SAME integer running-sum machinery as
+    sequence packing (corpus.pack_sequences reused verbatim on file
+    metadata — one window, integer DIV). Sizes are md5-synthesized
+    heavy-tailed; the oracle replays the window math."""
+    from llm_scraper_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    files = docs.select(
+        F.col("doc_id").alias("file_id"),
+        # heavy-ish tail: 1-64 MiB with a md5-chosen power bump
+        ((_md5_60bit(F.col("doc_id"), ":fs") % 64 + 1) * 1024 * 1024
+         * F.when(_md5_60bit(F.col("doc_id"), ":big") % 17 == 0, 8)
+         .otherwise(1)).cast("long").alias("size_bytes"),
+    )
+    out = pack_sequences(files, tokens_col="size_bytes",
+                         capacity=COMPACT_TARGET, order_col="file_id")
+    return out.select(
+        "file_id", "size_bytes",
+        F.col("seq_id").alias("compaction_group"),
+        F.col("seq_offset").alias("group_offset"),
+        F.col("spans_boundary").alias("splits_group"),
+    ).orderBy("file_id")
+
+
+def _compaction_plan_oracle_sql() -> str:
+    cap = COMPACT_TARGET
+    return f"""
+WITH files AS (
+  SELECT doc_id AS file_id,
+         ((('0x' || substring(md5(doc_id::VARCHAR || ':fs'), 1, 15))::BIGINT
+           % 64 + 1) * 1024 * 1024
+          * CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || ':big'),
+                                         1, 15))::BIGINT % 17 = 0
+                 THEN 8 ELSE 1 END)::BIGINT AS size_bytes
+  FROM documents),
+c AS (
+  SELECT *, COALESCE(CAST(SUM(size_bytes) OVER (
+      ORDER BY file_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      0) AS cum0
+  FROM files)
+SELECT file_id, size_bytes,
+       cum0 // {cap} AS compaction_group,
+       cum0 % {cap} AS group_offset,
+       ((cum0 + GREATEST(size_bytes, 1) - 1) // {cap}) > (cum0 // {cap})
+           AS splits_group
+FROM c
+ORDER BY file_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5609,6 +5666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_encoding": q_pct_encoding,
         "layout_pruned_read": q_layout_pruned_read,
         "bucketed_join": q_bucketed_join,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -5965,6 +6023,7 @@ def oracle_sql() -> dict[str, str]:
         "pct_encoding": _pct_encoding_oracle_sql(),
         "layout_pruned_read": _layout_pruned_read_oracle_sql(),
         "bucketed_join": _bucketed_join_oracle_sql(),
+        "compaction_plan": _compaction_plan_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),
