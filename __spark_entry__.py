@@ -5516,6 +5516,42 @@ FROM c
 ORDER BY file_id"""
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for embedding/similarity training: LSH
+    candidate pairs that VERIFY as non-duplicates (exact shingle
+    Jaccard < 0.5) — pairs the index considered close but aren't, the
+    most informative negatives — thinned by a deterministic hash
+    sample. Composes the full candidate + verify + sample chain; the
+    oracle replays all three stages."""
+    from llm_scraper_spark.operators.dedup import ngram_jaccard_pairs
+    from llm_scraper_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, bands=4, rows=8, hash_family="md5")
+    key = F.concat(F.col("id_a").cast("string"), F.lit("|"),
+                   F.col("id_b").cast("string"))
+    return (
+        pairs.filter(F.col("jaccard") < 0.5)
+        .filter(hash_uniform(key, seed="hn") < 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _hard_negatives_oracle_sql() -> str:
+    from llm_scraper_spark.operators.sampling import hash_uniform_sql
+
+    base = _ngram_jaccard_oracle_sql()
+    u = hash_uniform_sql("(id_a::VARCHAR || '|' || id_b::VARCHAR)",
+                         seed="hn")
+    return f"""
+WITH base AS ({base})
+SELECT id_a, id_b, jaccard
+FROM base
+WHERE jaccard < 0.5 AND {u} < 0.5
+ORDER BY id_a, id_b"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5667,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pruned_read": q_layout_pruned_read,
         "bucketed_join": q_bucketed_join,
         "compaction_plan": q_compaction_plan,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -6024,6 +6061,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_pruned_read": _layout_pruned_read_oracle_sql(),
         "bucketed_join": _bucketed_join_oracle_sql(),
         "compaction_plan": _compaction_plan_oracle_sql(),
+        "hard_negatives": _hard_negatives_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),
