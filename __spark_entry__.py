@@ -5519,19 +5519,22 @@ ORDER BY file_id"""
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for embedding/similarity training: LSH
     candidate pairs that VERIFY as non-duplicates (exact shingle
-    Jaccard < 0.5) — pairs the index considered close but aren't, the
+    Jaccard < 0.9) — pairs the index considered close but aren't, the
     most informative negatives — thinned by a deterministic hash
-    sample. Composes the full candidate + verify + sample chain; the
-    oracle replays all three stages."""
+    sample. Candidate generation runs LOOSE (bands=6, rows=2: band
+    collision ~ j^2, so near-misses surface; the rows=8 production
+    regime only ever emits true near-dups and would mine nothing).
+    Composes the full candidate + verify + sample chain; the oracle
+    replays all three stages."""
     from llm_scraper_spark.operators.dedup import ngram_jaccard_pairs
     from llm_scraper_spark.operators.sampling import hash_uniform
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = ngram_jaccard_pairs(docs, bands=4, rows=8, hash_family="md5")
+    pairs = ngram_jaccard_pairs(docs, bands=6, rows=2, hash_family="md5")
     key = F.concat(F.col("id_a").cast("string"), F.lit("|"),
                    F.col("id_b").cast("string"))
     return (
-        pairs.filter(F.col("jaccard") < 0.5)
+        pairs.filter(F.col("jaccard") < 0.9)
         .filter(hash_uniform(key, seed="hn") < 0.5)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -5541,14 +5544,14 @@ def q_hard_negatives(spark, sf_dir):
 def _hard_negatives_oracle_sql() -> str:
     from llm_scraper_spark.operators.sampling import hash_uniform_sql
 
-    base = _ngram_jaccard_oracle_sql()
+    base = _ngram_jaccard_oracle_sql(bands=6, rows=2)
     u = hash_uniform_sql("(id_a::VARCHAR || '|' || id_b::VARCHAR)",
                          seed="hn")
     return f"""
 WITH base AS ({base})
 SELECT id_a, id_b, jaccard
 FROM base
-WHERE jaccard < 0.5 AND {u} < 0.5
+WHERE jaccard < 0.9 AND {u} < 0.5
 ORDER BY id_a, id_b"""
 
 
