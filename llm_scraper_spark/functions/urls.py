@@ -548,7 +548,7 @@ def normalize_pct_encoding(col):
             | ((code >= 48) & (code <= 57)) | (code == 45) | (code == 46)
             | (code == 95) | (code == 126)
         )
-        rest = F.substring(p, 3, 1_000_000)
+        rest = F.substring(p, F.lit(3), F.length(p))
         return (
             F.when(valid & unres,
                    F.concat(F.char(code), rest))

@@ -1597,7 +1597,6 @@ def ring_assign(keys: DataFrame, n_shards: int, vnodes: int = 8,
 
     Returns keys + (key_hash, shard).
     """
-    vn = None
     rows = [(s, r) for s in range(n_shards) for r in range(vnodes)]
     spark = keys.sparkSession
     vn = spark.createDataFrame(rows, "shard int, replica int").select(
@@ -1623,9 +1622,12 @@ def ring_assign(keys: DataFrame, n_shards: int, vnodes: int = 8,
 
 
 def ring_assign_oracle_sql(keys_sql: str, n_shards: int,
-                           vnodes: int = 8) -> str:
+                           vnodes: int = 8,
+                           key_col: str = "key") -> str:
     """DuckDB twin of :func:`ring_assign` — the same md5 vnode ring,
-    successor via correlated min-subqueries with wraparound."""
+    successor via correlated min-subqueries with wraparound.
+    ``key_col`` mirrors ring_assign's parameter so the twin contract
+    holds for any key column name."""
     return f"""
 WITH ks AS ({keys_sql}),
 vn AS (
@@ -1636,7 +1638,8 @@ vn AS (
        generate_series(0, {vnodes - 1}) u(r)),
 keyed AS (
   SELECT ks.*,
-         ('0x' || substring(md5(key::VARCHAR), 1, 15))::BIGINT AS key_hash
+         ('0x' || substring(md5({key_col}::VARCHAR), 1, 15))::BIGINT
+             AS key_hash
   FROM ks),
 picked AS (
   SELECT k.*,

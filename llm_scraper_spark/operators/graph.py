@@ -2322,6 +2322,13 @@ def ppmi_pairs(pairs: DataFrame, min_count: int = 2) -> DataFrame:
     Returns (center, context, n, ratio_fp) for pairs with
     n >= min_count.
     """
+    from .checkpoints import local_checkpoint_tracked
+
+    # the pair table's lineage (typically the walk self-join) is
+    # referenced FOUR times below (total, two margins, scoring join) —
+    # materialize it once; the checkpoint stays alive for the returned
+    # frame (the final-round convention in checkpoints.py)
+    pairs, _ck = local_checkpoint_tracked(pairs)
     tot = pairs.agg(F.sum("n").cast("long").alias("_N"))
     nc = pairs.groupBy("center").agg(F.sum("n").cast("long").alias("_nc"))
     nx = pairs.groupBy("context").agg(F.sum("n").cast("long").alias("_nx"))
@@ -2411,7 +2418,14 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         * F.expr("(abs(4 * _m * intra_edges - degree_sum * degree_sum)"
                  " * 1000000) DIV (4 * _m * _m)")
     )
-    scored = per_c.withColumn("contribution_fp", contrib.cast("long"))
+    from .checkpoints import local_checkpoint_tracked
+
+    # scored's lineage (edge distinct, degree union-agg, two label
+    # joins, per-community aggs) is referenced twice (global q + output
+    # rows) — materialize once; communities-sized, so the blocks are
+    # tiny and stay alive for the returned frame
+    scored, _ck = local_checkpoint_tracked(
+        per_c.withColumn("contribution_fp", contrib.cast("long")))
     q = scored.agg(F.sum("contribution_fp").cast("long").alias("q_fp"))
     return (
         scored.crossJoin(F.broadcast(q))

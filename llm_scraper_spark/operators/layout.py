@@ -60,6 +60,13 @@ def zorder_key_sql(x_expr: str, y_expr: str) -> str:
             f"({_spread16_sql(y_expr)} << 1))")
 
 
+def zorder_file_width(n_files: int) -> int:
+    """Key-space width per file group: ceil(2^32 / n_files) — THE single
+    definition of the bucketing geometry, shared by the pruning-stats
+    operator and the physical sink so they can never disagree."""
+    return (1 << 32) // n_files + (1 if (1 << 32) % n_files else 0)
+
+
 def layout_pruning_stats(df: DataFrame, x_col: str, y_col: str,
                          n_files: int = 64,
                          box: tuple[int, int, int, int] = (0, 0, 0, 0),
@@ -84,7 +91,7 @@ def layout_pruning_stats(df: DataFrame, x_col: str, y_col: str,
     rows.
     """
     x_lo, x_hi, y_lo, y_hi = box
-    width = (1 << 32) // n_files + (1 if (1 << 32) % n_files else 0)
+    width = zorder_file_width(n_files)
     keyed = df.select(
         F.col(x_col).alias("x"), F.col(y_col).alias("y"),
         zorder_key(F.col(x_col), F.col(y_col)).alias("zkey"),
@@ -109,7 +116,7 @@ def layout_pruning_oracle_sql(rows_sql: str, n_files: int = 64,
     """DuckDB twin of :func:`layout_pruning_stats`; ``rows_sql`` must
     yield columns (x, y)."""
     x_lo, x_hi, y_lo, y_hi = box
-    width = (1 << 32) // n_files + (1 if (1 << 32) % n_files else 0)
+    width = zorder_file_width(n_files)
     z = zorder_key_sql("x", "y")
     return f"""
 WITH rows_in AS ({rows_sql}),

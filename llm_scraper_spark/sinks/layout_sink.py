@@ -21,19 +21,27 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.layout import zorder_key
+from ..operators.layout import zorder_file_width, zorder_key
 
 
 def write_zorder_layout(df: DataFrame, path: str, x_col: str, y_col: str,
                         n_files: int = 64) -> None:
     """Write ``df`` as parquet partitioned by the Morton file group,
-    plus ``_manifest.parquet`` with per-group min/max stats."""
-    width = (1 << 32) // n_files + (1 if (1 << 32) % n_files else 0)
+    plus ``_manifest.parquet`` with per-group min/max stats.
+
+    The manifest aggregates the parquet JUST WRITTEN — never the input
+    lineage: a nondeterministic upstream (sample(), rand(), a mutated
+    source) would otherwise produce a manifest describing different
+    rows than the files, and an under-covering min/max makes the pruned
+    reader silently drop matching rows. Reading back also skips a full
+    recompute of the upstream DAG."""
+    width = zorder_file_width(n_files)
     keyed = df.withColumn(
         "zkey", zorder_key(F.col(x_col), F.col(y_col))
     ).withColumn("file_id", F.expr(f"zkey DIV {width}"))
     keyed.write.mode("overwrite").partitionBy("file_id").parquet(path)
-    manifest = keyed.groupBy("file_id").agg(
+    written = df.sparkSession.read.parquet(path)
+    manifest = written.groupBy("file_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.min(x_col).alias("min_x"), F.max(x_col).alias("max_x"),
         F.min(y_col).alias("min_y"), F.max(y_col).alias("max_y"),
