@@ -4839,9 +4839,11 @@ r AS (
       PARTITION BY doc_id, media_idx
       ORDER BY score DESC, text_idx ASC) AS rn
   FROM pairs)
-SELECT doc_id, media_idx, media_ref, text_idx, score
-FROM r WHERE rn = 1
-ORDER BY doc_id, media_idx"""
+SELECT m.doc_id, m.media_idx, m.media_ref, r.text_idx, r.score
+FROM media m
+LEFT JOIN r ON r.doc_id = m.doc_id AND r.media_idx = m.media_idx
+           AND r.rn = 1
+ORDER BY m.doc_id, m.media_idx"""
 
 
 def q_embedding_pca(spark, sf_dir):
@@ -5360,9 +5362,13 @@ def q_layout_pruned_read(spark, sf_dir):
 
 def _layout_pruned_read_oracle_sql() -> str:
     x_lo, x_hi, y_lo, y_hi = ZORDER_BOX
-    from llm_scraper_spark.operators.layout import zorder_key_sql
+    from llm_scraper_spark.operators.layout import (
+        zorder_file_width, zorder_key_sql,
+    )
 
-    width = (1 << 32) // 64
+    # single-source the bucketing geometry with the sink (ceil division,
+    # not floor) so a non-power-of-two n_files cannot desync the oracle
+    width = zorder_file_width(64)
     z = zorder_key_sql("x", "y")
     return f"""
 WITH rows_in AS (

@@ -2413,10 +2413,15 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     num = (F.lit(4) * F.col("_m") * F.col("intra_edges")
            - F.col("degree_sum") * F.col("degree_sum"))
+    # m = 0 guard (empty or all-self-loop edge table): greatest(_m, 1)
+    # keeps the divisor nonzero under ANSI mode; with no undirected
+    # edges intra_edges and degree_sum are both 0, so every numerator is
+    # 0 and the defined result is contribution_fp = q_fp = 0 rather than
+    # NULL/error. Mirrored in the oracle.
     contrib = (
         F.when(num < 0, -1).otherwise(1).cast("long")
         * F.expr("(abs(4 * _m * intra_edges - degree_sum * degree_sum)"
-                 " * 1000000) DIV (4 * _m * _m)")
+                 " * 1000000) DIV (4 * greatest(_m, 1L) * greatest(_m, 1L))")
     )
     from .checkpoints import local_checkpoint_tracked
 
@@ -2469,7 +2474,8 @@ scored AS (
                THEN -1 ELSE 1 END
           * ((abs(4 * m.m * coalesce(i.intra_edges, 0)
                   - p.degree_sum * p.degree_sum) * 1000000)
-             // (4 * m.m * m.m)))::BIGINT AS contribution_fp
+             // (4 * greatest(m.m, 1) * greatest(m.m, 1))))::BIGINT
+             AS contribution_fp
   FROM per_c p LEFT JOIN intra i ON i.label = p.label, m),
 q AS (SELECT sum(contribution_fp)::BIGINT AS q_fp FROM scored)
 SELECT s.label, s.n_hosts, s.intra_edges, s.degree_sum,

@@ -1434,8 +1434,13 @@ def media_text_align(flat_spans: DataFrame, score_col,
     window whose WindowGroupLimit prunes map-side. Ties break on
     smallest text span_idx.
 
-    Returns (doc_id, media_idx, media_ref, text_idx, score, rank=1 row
-    per media span).
+    Returns exactly 1 row per media span (doc_id, media_idx, media_ref,
+    text_idx, score). A media span in a document with ZERO text spans is
+    still emitted, with NULL text_idx/score — the scoring join is inner
+    (so ``score_col`` never sees a NULL text index) but coverage is
+    restored by a final left join of the full media set against the
+    winners, making align coverage auditable instead of silently
+    dropping caption-less media.
     """
     media = flat_spans.filter(F.col("kind") == "media").select(
         F.col(id_col).alias("doc_id"),
@@ -1450,8 +1455,10 @@ def media_text_align(flat_spans: DataFrame, score_col,
         "score", score_col(F.col("media_ref"), F.col("text_idx")))
     w = Window.partitionBy("doc_id", "media_idx").orderBy(
         F.col("score").desc(), F.col("text_idx").asc())
-    return (
+    best = (
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("doc_id", "media_idx", "media_ref", "text_idx", "score")
+        .select("doc_id", "media_idx", "text_idx", "score")
     )
+    return media.join(best, ["doc_id", "media_idx"], "left").select(
+        "doc_id", "media_idx", "media_ref", "text_idx", "score")

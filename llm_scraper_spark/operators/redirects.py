@@ -11,8 +11,11 @@ reference follows redirects imperatively inside each fetch
 a time; at 10^10-URL scale the redirect graph is itself a table, and
 resolution must be a dataflow.
 
-``resolve_redirects`` treats the redirect table as a FUNCTIONAL graph
-(each src has at most one dst — the semantics of a 3xx Location header)
+``resolve_redirects`` resolves over a FUNCTIONAL graph (each src has
+exactly one dst — the semantics of a 3xx Location header); conflicting
+observations are collapsed to ``min(dst)`` per src up front (mirrored in
+the oracle), so a src logged with two Location values over time cannot
+multiply state rows through the doubling joins,
 and resolves every node to its terminal with POINTER DOUBLING
 (Wyllie-style pointer jumping): after round k every node knows the node
 ``min(2^k, dist-to-terminal)`` hops ahead, so ``log2(max_hops)`` rounds
@@ -66,12 +69,17 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 16,
     from .checkpoints import local_checkpoint_tracked, release_checkpoint
 
     spark = edges.sparkSession
-    # dedupe observations: a per-fetch redirect log legitimately records
-    # the same (src, dst) hop many times, and a duplicate state row would
-    # otherwise multiply through every doubling join (2^rounds copies)
+    # Enforce the functional-graph precondition, not just assume it: a
+    # per-fetch redirect log legitimately records the same (src, dst) hop
+    # many times (dedup), but a src observed with TWO DISTINCT dsts
+    # (Location header changed between fetches) would multiply state rows
+    # through every doubling join (2^rounds copies) and diverge from the
+    # oracle. Collapse to one dst per src deterministically — min(dst) —
+    # the same election the oracle applies, so both engines walk the
+    # identical functional graph.
     e = (edges.select(F.col(src_col).alias("url"),
                       F.col(dst_col).alias("_d"))
-         .distinct())
+         .groupBy("url").agg(F.min("_d").alias("_d")))
     nodes = (
         e.select("url")
         .union(e.select(F.col("_d").alias("url")))
@@ -122,7 +130,7 @@ def resolve_redirects_oracle_sql(edges_sql: str, max_hops: int = 16) -> str:
     count, so the two formulations agree bit-for-bit, including on
     cycles (both report the node after exactly ``max_hops`` hops)."""
     return f"""
-WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+WITH RECURSIVE e AS (SELECT src, min(dst) AS dst FROM ({edges_sql}) GROUP BY src),
 nodes AS (SELECT src AS url FROM e UNION SELECT dst FROM e),
 walk(url, cur, hops) AS (
   SELECT url, url, 0::BIGINT FROM nodes

@@ -1,0 +1,175 @@
+"""P11 markdownify conformance battery (VERDICT r3 item #3).
+
+The reference converts extracted HTML with ``markdownify(
+heading_style="ATX", strip=['script','style'], bullets='-')`` and then
+squeezes whitespace — every line stripped, blank lines dropped
+(/root/reference/src/llm_scraper/articles.py:446-456). The live library
+cannot be installed in this sandbox, so these vectors are TRANSCRIBED
+from markdownify's public test suite (tests/test_conversions.py,
+test_lists.py, test_tables.py, test_escaping.py of the markdownify
+repo, 1.x line — the reference pins ``markdownify>=1.2.0``), each
+adapted to that exact configuration and passed through the same squeeze
+the reference applies. They are the in-sandbox spec for byte fidelity:
+any drift between our engine and the transcribed library behavior
+fails here.
+
+Pure-Python (no Spark session needed).
+"""
+
+import pytest
+
+from llm_scraper_spark.operators.extraction.dom import parse_html
+from llm_scraper_spark.operators.extraction.markdown import (
+    to_markdown, to_plain_text)
+
+
+def md(html: str) -> str:
+    return to_markdown(parse_html(html))
+
+
+# (id, html, expected post-squeeze markdown)
+CASES = [
+    # --- links (test_conversions.py::test_a family) ---
+    ("a_basic",
+     '<a href="https://google.com">Google</a>',
+     "[Google](https://google.com)"),
+    ("a_autolink",
+     '<a href="https://google.com">https://google.com</a>',
+     "<https://google.com>"),
+    ("a_autolink_underscore",
+     '<a href="https://g.com/path_x">https://g.com/path_x</a>',
+     "<https://g.com/path_x>"),
+    ("a_title_quotes",
+     '<a href="http://google.com" title=\'The "G" page\'>Google</a>',
+     '[Google](http://google.com "The \\"G\\" page")'),
+    ("a_no_href_passthrough",
+     "<a>plain</a>", "plain"),
+    ("a_in_text",
+     'see <a href="https://x.com/y">docs</a> here',
+     "see [docs](https://x.com/y) here"),
+    ("a_wrapping_image",
+     '<a href="https://u"><img src="/s.png" alt="pic"/></a>',
+     "[![pic](/s.png)](https://u)"),
+    # --- emphasis + chomp (test_conversions.py::test_b/em/strong, chomp) ---
+    ("b_basic", "<b>Hello</b>", "**Hello**"),
+    ("strong_basic", "<strong>Hello</strong>", "**Hello**"),
+    ("em_basic", "<em>Hello</em>", "*Hello*"),
+    ("i_basic", "<i>Hello</i>", "*Hello*"),
+    ("chomp_bold", "foo<b> bold </b>bar", "foo **bold** bar"),
+    ("chomp_em", "foo<em> it </em>bar", "foo *it* bar"),
+    ("empty_inline_dropped", "foo<b></b>bar", "foobar"),
+    ("ws_only_inline_dropped", "a<b>  </b>b", "ab"),
+    ("nested_strong_em",
+     "<strong>bold <em>and italic</em></strong>",
+     "**bold *and italic***"),
+    # --- strikethrough (test_conversions.py::test_del) ---
+    ("del_basic", "<del>obsolete</del>", "~~obsolete~~"),
+    ("s_basic", "<s>gone</s>", "~~gone~~"),
+    ("chomp_del", "a<del> x </del>b", "a ~~x~~ b"),
+    # --- code family (test_conversions.py::test_code/kbd/samp) ---
+    ("code_basic", "<code>print(1)</code>", "`print(1)`"),
+    ("code_no_escaping", "<code>*this_is_code*</code>", "`*this_is_code*`"),
+    ("kbd_as_code", "<kbd>Ctrl</kbd>", "`Ctrl`"),
+    ("samp_as_code", "<samp>out</samp>", "`out`"),
+    ("chomp_code", "a<code> x </code>b", "a `x` b"),
+    # --- headings, ATX (test_conversions.py::test_h1..h6) ---
+    ("h1_atx", "<h1>Hello</h1>", "# Hello"),
+    ("h2_atx", "<h2>Hello</h2>", "## Hello"),
+    ("h3_atx", "<h3>Hello</h3>", "### Hello"),
+    ("h6_atx", "<h6>Hello</h6>", "###### Hello"),
+    ("heading_inline", "<h1>A <em>B</em></h1>", "# A *B*"),
+    ("heading_ws_normalized", "<h2>  Hello   World </h2>", "## Hello World"),
+    # --- blocks ---
+    ("paragraphs", "<p>hello</p><p>world</p>", "hello\nworld"),
+    ("hr", "a<hr/>b", "a\n---\nb"),
+    ("br_lines", "a<br/>b<br/>c", "a\nb\nc"),
+    ("blockquote", "<blockquote>Hello</blockquote>", "> Hello"),
+    ("blockquote_nested",
+     "<blockquote>a<blockquote>b</blockquote>c</blockquote>",
+     "> a\n> > b\n>\n> c"),
+    ("pre_fenced",
+     "<pre>test\n    indented\nbar</pre>",
+     "```\ntest\nindented\nbar\n```"),
+    # --- images (test_conversions.py::test_img) ---
+    ("img_full",
+     '<img src="/path/img.jpg" alt="Alt text" title="Optional title"/>',
+     '![Alt text](/path/img.jpg "Optional title")'),
+    ("img_no_title",
+     '<img src="/path/img.jpg" alt="Alt text"/>',
+     "![Alt text](/path/img.jpg)"),
+    ("img_no_src_dropped", '<img alt="x"/>', ""),
+    # --- lists (test_lists.py, bullets='-') ---
+    ("ul_dash", "<ul><li>Item 1</li><li>Item 2</li></ul>",
+     "- Item 1\n- Item 2"),
+    ("ol_numbered", "<ol><li>a</li><li>b</li><li>c</li></ol>",
+     "1. a\n2. b\n3. c"),
+    ("ol_start", '<ol start="5"><li>a</li><li>b</li></ol>',
+     "5. a\n6. b"),
+    ("ol_bad_start_defaults_1", '<ol start="x"><li>a</li></ol>', "1. a"),
+    ("nested_uls",
+     "<ul><li>a<ul><li>b</li></ul></li><li>c</li></ul>",
+     "- a\n- b\n- c"),
+    ("ol_in_ul",
+     "<ul><li>a<ol><li>x</li><li>y</li></ol></li></ul>",
+     "- a\n1. x\n2. y"),
+    ("li_inline_markup",
+     "<ul><li><b>x</b> and <i>y</i></li></ul>",
+     "- **x** and *y*"),
+    # --- escaping (test_escaping.py; defaults: asterisks+underscores
+    #     escaped, misc NOT) ---
+    ("escape_asterisks", "*hey*dude*", r"\*hey\*dude\*"),
+    ("escape_underscores", "i_am_a_snake", r"i\_am\_a\_snake"),
+    ("escape_in_paragraph", "<p>a_b*c</p>", r"a\_b\*c"),
+    ("no_misc_escape", "1+2-3 #tag [x] &amp; > ok", "1+2-3 #tag [x] & > ok"),
+    # --- tables (test_tables.py) ---
+    ("table_th_header",
+     "<table><tr><th>A</th><th>B</th></tr>"
+     "<tr><td>1</td><td>2</td></tr></table>",
+     "| A | B |\n| --- | --- |\n| 1 | 2 |"),
+    ("table_headerless_empty_header",
+     "<table><tr><td>1</td><td>2</td></tr>"
+     "<tr><td>3</td><td>4</td></tr></table>",
+     "|  |  |\n| --- | --- |\n| 1 | 2 |\n| 3 | 4 |"),
+    ("table_thead_tbody",
+     "<table><thead><tr><th>A</th></tr></thead>"
+     "<tbody><tr><td>1</td></tr><tr><td>2</td></tr></tbody></table>",
+     "| A |\n| --- |\n| 1 |\n| 2 |"),
+    ("table_cell_markup",
+     "<table><tr><th>H</th></tr><tr><td><b>x</b></td></tr></table>",
+     "| H |\n| --- |\n| **x** |"),
+    # --- strip option in the reference call ---
+    ("script_stripped",
+     "<p>keep</p><script>var x = 1;</script>", "keep"),
+    ("style_stripped",
+     "<style>p {color: red}</style><p>keep</p>", "keep"),
+    # --- integration ---
+    ("article_shape",
+     "<article><h1>Title</h1><p>Lead <strong>para</strong>.</p>"
+     "<ul><li>one</li><li>two</li></ul>"
+     '<p>See <a href="https://x.io">x</a>.</p></article>',
+     "# Title\nLead **para**.\n- one\n- two\n[See](#IGNORED)"),
+]
+
+
+@pytest.mark.parametrize(
+    "case_id,html,expected",
+    [(c[0], c[1], c[2]) for c in CASES if c[0] != "article_shape"],
+    ids=[c[0] for c in CASES if c[0] != "article_shape"])
+def test_markdownify_vector(case_id, html, expected):
+    assert md(html) == expected
+
+
+def test_article_shape_integration():
+    html = ("<article><h1>Title</h1><p>Lead <strong>para</strong>.</p>"
+            "<ul><li>one</li><li>two</li></ul>"
+            '<p>See <a href="https://x.io">x</a>.</p></article>')
+    assert md(html) == ("# Title\nLead **para**.\n- one\n- two\n"
+                        "See [x](https://x.io).")
+
+
+def test_plain_text_squeeze():
+    # bs4's get_text() INCLUDES script/style text — the reference relies
+    # on cleanup selectors decomposing those nodes BEFORE get_text
+    # (articles.py:459-461); to_plain_text mirrors raw get_text.
+    html = "<div><p>a  b</p>\n<p>c</p><script>nope()</script></div>"
+    assert to_plain_text(parse_html(html)) == "a b c nope()"

@@ -403,21 +403,25 @@ def test_media_text_align_argmax_and_ties(spark):
         [("d1", 0, "text", ""),
          ("d1", 1, "media", "img://a"),
          ("d1", 2, "text", ""),
-         ("d2", 0, "media", "img://b")],     # media-only doc: dropped
+         ("d2", 0, "media", "img://b")],     # media-only doc: NULL row
         "doc_id string, span_idx int, kind string, media_ref string")
 
     # deterministic score: text_idx 2 wins for img://a
     def score(media_ref, text_idx):
         return F.when(text_idx == 2, F.lit(100)).otherwise(F.lit(1))
 
-    out = media_text_align(flat, score).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert (r["doc_id"], r["media_idx"], r["text_idx"]) == ("d1", 1, 2)
+    out = {r["doc_id"]: r for r in media_text_align(flat, score).collect()}
+    assert len(out) == 2          # 1 row per media span, incl. captionless
+    r = out["d1"]
+    assert (r["media_idx"], r["text_idx"]) == (1, 2)
+    # a media span in a text-less doc survives with NULL alignment so
+    # coverage is auditable
+    assert out["d2"]["text_idx"] is None and out["d2"]["score"] is None
 
     # equal scores -> smallest text_idx wins
-    tie = media_text_align(flat, lambda m, t: F.lit(7)).collect()
-    assert tie[0]["text_idx"] == 0
+    tie = {r["doc_id"]: r
+           for r in media_text_align(flat, lambda m, t: F.lit(7)).collect()}
+    assert tie["d1"]["text_idx"] == 0
 
 
 # ---------------------------------------------------------------------------
