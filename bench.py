@@ -157,11 +157,21 @@ def bench_wave_loop(spark, n_seeds: int, n_waves: int = 3,
         stats = run.run(n_waves,
                         seeds=synth_seeds(spark, n_seeds, n_hosts=n_hosts))
         dt = time.time() - t0
+        # seed-init phase walls live in the ledger's wave -1 entry
+        ledger = run.state.read_ledger()
+        init_timings = next(
+            (w.get("timings") for w in ledger["waves"] if w["wave"] == -1),
+            None)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
     scheduled = sum(s["scheduled"] for s in stats)
     discovered = sum(s["discovered"] for s in stats)
     processed = n_seeds + scheduled + discovered
+    phases = {}
+    for key in stats[0].get("timings", {}):
+        vals = [s["timings"][key] for s in stats if key in s.get("timings", {})]
+        if vals:
+            phases[key] = round(statistics.median(vals), 3)
     return {
         "sec": round(dt, 3),
         "waves": n_waves,
@@ -170,6 +180,8 @@ def bench_wave_loop(spark, n_seeds: int, n_waves: int = 3,
         "discovered": discovered,
         "deduped_new": sum(s["deduped_new"] for s in stats),
         "urls_per_sec": round(processed / dt, 1),
+        "phase_medians": phases,
+        "init_timings": init_timings,
     }
 
 
@@ -462,6 +474,66 @@ def _finish_scaling(reps, n, n4, runs, results, thr_n, thr_4n, eff) -> None:
     render_scaling_md()
 
 
+def run_profile_wave(reps: int = 2) -> dict:
+    """VERDICT r4 #1: per-phase profile of the production wave loop at the
+    default wave_loop config (1M seeds, 3 waves, local[32]). Min-of-N by
+    total wall; the chosen rep's phase medians + init walls are written
+    to BENCH/wave_profile.json and rendered into BENCH/BASELINE.md."""
+    from llm_scraper_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    hw = hardware_parallel_ceiling(levels=(cpus,), work=20_000_000)[cpus]
+    spark = get_spark(app_name=f"profile_wave_{cpus}",
+                      master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    try:
+        runs = [bench_wave_loop(spark, 1_000_000) for _ in range(reps)]
+    finally:
+        spark.stop()
+    best = min(runs, key=lambda r: r["sec"])
+    best["all_runs_sec"] = [r["sec"] for r in runs]
+    best["hw_units_per_sec"] = hw
+    best["ts"] = round(time.time(), 1)
+    best["cpus"] = cpus
+    with open(os.path.join(REPO, "BENCH", "wave_profile.json"), "w") as f:
+        json.dump(best, f, indent=2)
+    render_scaling_md()
+    return best
+
+
+def _wave_profile_section() -> str:
+    """Per-phase wave-loop profile from the last `bench.py --profile-wave`."""
+    path = os.path.join(REPO, "BENCH", "wave_profile.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        p = json.load(f)
+    rows = "".join(
+        f"| {k} | {v} |\n"
+        for k, v in sorted(p.get("phase_medians", {}).items(),
+                           key=lambda kv: -kv[1]))
+    init = p.get("init_timings") or {}
+    init_line = ", ".join(f"{k}={v}s" for k, v in init.items()
+                          if k != "seeded") or "—"
+    return (
+        "## Wave-loop phase profile (`python bench.py --profile-wave`)\n\n"
+        f"Config: 1M seeds, 3 waves, local[{p.get('cpus', 32)}]; "
+        f"best-of-{len(p.get('all_runs_sec', [1]))} total "
+        f"{p['sec']}s = {p['urls_per_sec']:,.0f} URL-ops/s "
+        f"(all reps {p.get('all_runs_sec')}; concurrent hw probe "
+        f"{p.get('hw_units_per_sec')} units/s; ts {p.get('ts')}).\n\n"
+        "Per-phase MEDIAN driver wall over the 3 waves. Since round 4 the\n"
+        "six state-table writes launch as soon as their checkpointed\n"
+        "inputs exist and overlap the wave's remaining compute (ledger\n"
+        "still last) — the per-write rows below are submit-to-finish\n"
+        "walls (they include scheduler queueing behind the wave's own\n"
+        "jobs), while `state_writes` is the wall actually spent BLOCKED\n"
+        "at the commit barrier, i.e. the only serial cost left.\n\n"
+        "| phase | median sec |\n|---|---|\n" + rows +
+        f"\nSeed-init phase walls: {init_line}.\n\n"
+    )
+
+
 def _default_runs_section() -> str:
     """Median + spread of `python bench.py` at the driver's exact config
     (sf0.1, local[32], 8M seeds) from the auto-appended ledger."""
@@ -751,6 +823,7 @@ def render_scaling_md() -> None:
             f"local[{n}]={results[n]['all_hw_units_per_sec']}, "
             f"local[{n4}]={results[n4]['all_hw_units_per_sec']}\n\n"
             + peak_line
+            + _wave_profile_section()
             + _default_runs_section()
             + "## Attempt history (all --scaling invocations; best window "
             "reported above)\n\n"
@@ -777,6 +850,8 @@ def render_scaling_md() -> None:
 if __name__ == "__main__":
     if "--render" in sys.argv:
         render_scaling_md()
+    elif "--profile-wave" in sys.argv:
+        print(json.dumps(run_profile_wave()))
     elif "--scaling" in sys.argv:
         reps = (
             int(sys.argv[sys.argv.index("--reps") + 1])

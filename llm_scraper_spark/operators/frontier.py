@@ -199,77 +199,89 @@ def assign_global_seq(
     range-partitioned sort, per-partition local index, driver-side
     partition offsets.
 
-    Fully JVM-side (no Python stage in the hot wave loop): the local index
-    within a sorted partition derives from ``monotonically_increasing_id``
-    (its low bits are a consecutive per-partition counter generated in
-    stream order), so ``mid - min(mid over the partition)`` IS the local
-    index; the per-partition (count, min_mid) summary — one row per
-    partition — is collected and folded into two literal maps, so the seq
-    projection is pure codegen'd arithmetic over the indexed rows (no
-    join node at all).
+    Fully JVM-side (no Python stage in the hot wave loop), and ONE
+    materialization of the candidate chain. The classic zipWithIndex
+    shape (repartitionByRange -> per-partition index -> offset join)
+    costs the hot loop twice: the range exchange runs a separate
+    bounds-SAMPLING job, and because the sampled bounds carry a per-RDD
+    seed the placement is nondeterministic, forcing a SECOND eager
+    checkpoint of the shuffled rows before offsets can be collected
+    (round-3 regression: deriving offsets from a re-evaluation silently
+    dropped rows at 1M+ seeds). This implementation replaces the sampled
+    exchange with DETERMINISTIC width bucketing:
 
-    DETERMINISM (hard-won): ``repartitionByRange`` SAMPLES its bounds with
-    a per-RDD seed, so two evaluations of the same plan can place rows in
-    different partitions. Any two-phase scheme must therefore derive both
-    phases from ONE materialized evaluation — ``indexed`` is eagerly
-    localCheckpoint'ed before the summary is collected. A previous version
-    joined a lazily recomputed aggregate back instead and could misnumber
-    or DROP rows whenever the exchange was not reused (caught at 1M-seed
-    scale: wave-0 scheduled counts varied run-to-run).
+    1. checkpoint the input once (the chain behind it — bloom tag +
+       anti-join — is the wave's most expensive lineage);
+    2. two tiny driver jobs over the checkpointed blocks: min/max of the
+       leading order column, then per-bucket counts for
+       ``bucket = (v - lo) DIV ceil(span / P)`` — exact integer driver
+       math, no sampling, same result on every evaluation;
+    3. ``seq = base + offset[bucket] + row_number() over (bucket,
+       ORDER BY order_cols..)``— the bucket offsets fold into one
+       literal ``create_map`` so the projection is codegen arithmetic,
+       and the single window exchange executes when the CALLER first
+       materializes the result (no extra materialization here at all).
 
-    ``ck_sink``: optional list — the checkpoint's block-id set is appended
-    so the caller can release it (operators/checkpoints.py) once the
-    returned frame has been materialized/persisted downstream; without a
-    sink the blocks live until session end (matching plain
+    Bucket boundaries are value-ranges of the leading order column, so
+    cross-bucket ordering is preserved by construction; within a bucket
+    the window orders by the full ``order_cols`` tuple plus an xxhash64
+    of the whole row as a deterministic tiebreak (production keys are
+    unique — ``_disc_ord`` — but synthetic/test inputs may carry
+    duplicate keys, and ``row_number`` over a tie would otherwise be
+    free to disagree between two evaluations). Wave discovery volumes
+    have near-uniform leading keys (``_disc_ord`` ~ parent seq range),
+    so the value-width buckets stay balanced without sampling.
+
+    ``ck_sink``: optional list — the checkpoint's block-id set is
+    appended so the caller can release it (operators/checkpoints.py)
+    once the returned frame has been materialized/persisted downstream;
+    without a sink the blocks live until session end (matching plain
     localCheckpoint semantics).
     """
     from .checkpoints import local_checkpoint_tracked
 
-    # Materialize the input ONCE before the range exchange:
-    # repartitionByRange runs a separate bounds-SAMPLING job over the full
-    # child lineage, and the shuffle write then recomputes it again — for
-    # the wave loop that child is the bloom-UDF tag + seen anti-join, the
-    # most expensive chain in the wave (profiled: unseen_seq was ~2x its
-    # single-pass cost at 1M seeds). Sampling and shuffling read these
-    # cheap checkpointed blocks instead.
     candidates, cand_ck_ids = local_checkpoint_tracked(candidates)
     if ck_sink is not None:
         ck_sink.append(cand_ck_ids)
 
-    ordering = [F.col(c).asc() for c in order_cols]
-    sorted_df = candidates.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(*ordering)
-    indexed = (
-        sorted_df.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_mid", F.monotonically_increasing_id())
-    )
-    indexed, ck_ids = local_checkpoint_tracked(indexed)
-    if ck_sink is not None:
-        ck_sink.append(ck_ids)
-    parts = sorted(
-        indexed.groupBy("_pid").agg(
-            F.count("*").alias("n"), F.min("_mid").alias("m")
-        ).collect(),
-        key=lambda r: r["_pid"],
+    spark = candidates.sparkSession
+    first = order_cols[0]
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    mm = candidates.agg(
+        F.min(F.col(first).cast("long")).alias("lo"),
+        F.max(F.col(first).cast("long")).alias("hi"),
+    ).collect()[0]
+    if mm["lo"] is None:  # empty input
+        return candidates.withColumn(
+            "seq", F.lit(int(base_seq)).cast("long"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+    if span >= (1 << 62):  # (v - lo) must stay in int64; degenerate, never
+        n_buckets = 1      # hit by wave keys (bounded parent_seq ranges)
+    width = max(1, -(-span // n_buckets))
+    bucket = F.expr(f"(CAST({first} AS BIGINT) - {lo}L) DIV {width}L")
+    counts = sorted(
+        candidates.groupBy(bucket.alias("_bkt"))
+        .agg(F.count(F.lit(1)).alias("n")).collect(),
+        key=lambda r: r["_bkt"],
     )
     flat_off: list = []
-    flat_min: list = []
     offset = 0
-    for r in parts:
-        flat_off += [F.lit(int(r["_pid"])), F.lit(int(offset))]
-        flat_min += [F.lit(int(r["_pid"])), F.lit(int(r["m"]))]
+    for r in counts:
+        flat_off += [F.lit(int(r["_bkt"])), F.lit(int(offset))]
         offset += r["n"]
-    if not parts:
-        return indexed.withColumn(
-            "seq", F.lit(int(base_seq)).cast("long")).drop("_pid", "_mid")
-    off_of = F.create_map(*flat_off)[F.col("_pid")]
-    min_of = F.create_map(*flat_min)[F.col("_pid")]
+    off_of = F.create_map(*flat_off)[F.col("_bkt")]
+    ordering = [F.col(c).asc() for c in order_cols] + [
+        F.xxhash64(*[F.col(c) for c in candidates.columns]).asc()]
+    w = W.partitionBy("_bkt").orderBy(*ordering)
     return (
-        indexed.withColumn(
+        candidates.withColumn("_bkt", bucket)
+        .withColumn(
             "seq",
-            (F.lit(int(base_seq)) + off_of + (F.col("_mid") - min_of))
-            .cast("long"),
+            (F.lit(int(base_seq)) + off_of + F.row_number().over(w)
+             - F.lit(1)).cast("long"),
         )
-        .drop("_pid", "_mid")
+        .drop("_bkt")
     )
 
 

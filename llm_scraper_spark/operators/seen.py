@@ -242,12 +242,34 @@ def filter_unseen(
     seen_df: DataFrame | None,
     hash_col: str = "url_hash",
     bloom: "ShardedBloom | NumpyBloom | None" = None,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Return the candidate rows whose hash is not in the seen set.
 
     Plan shape: [bloom split] -> definitely-new ∪ (maybe-seen ANTI JOIN seen).
     The anti join only ever sees the maybe-seen minority; at steady state on
     a growing crawl most candidates are new and skip the shuffle.
+
+    The seen side is NOT de-duplicated before the join: anti-join results
+    are invariant under build-side duplicates (a candidate is dropped iff
+    ANY match exists), and the seen deltas are duplicate-free by the
+    commit protocol anyway (a url_hash enters at most one delta ever —
+    crawl/state.py module docs). A ``.distinct()`` here cost one full
+    aggregation pass over the ENTIRE seen table per wave — at the 10^10
+    design point that's re-shuffling the biggest table in the system
+    every wave for zero semantic effect.
+
+    ``broadcast_candidates=True`` (bloom path only) REVERSES the join so
+    the seen table is never shuffled at all: broadcast the maybe-seen
+    hashes, LEFT SEMI them against a narrow scan of seen (map-side,
+    no exchange on the 10^10-row side), then broadcast the tiny matched
+    set back as a broadcast anti join. Correct whenever the maybe side
+    fits a broadcast — the caller gates it on the wave's discovered
+    count (an upper bound on the maybe side it already has from the
+    wave Observation), falling back to the shuffled anti join beyond
+    the threshold. This is the wave loop's default regime: per-wave
+    discoveries are millions of rows while the seen table is the
+    biggest table in the system.
     """
     if seen_df is None:
         return candidates
@@ -263,13 +285,20 @@ def filter_unseen(
         tagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col)))
         definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-        checked = maybe.join(
-            seen_df.select(F.col(hash_col)).distinct(), on=hash_col, how="left_anti"
-        )
+        if broadcast_candidates:
+            matched = seen_df.select(F.col(hash_col)).join(
+                F.broadcast(maybe.select(F.col(hash_col))),
+                on=hash_col, how="left_semi")
+            checked = maybe.join(F.broadcast(matched),
+                                 on=hash_col, how="left_anti")
+        else:
+            checked = maybe.join(
+                seen_df.select(F.col(hash_col)), on=hash_col, how="left_anti"
+            )
         return definitely_new.unionByName(checked)
 
     return candidates.join(
-        seen_df.select(F.col(hash_col)).distinct(), on=hash_col, how="left_anti"
+        seen_df.select(F.col(hash_col)), on=hash_col, how="left_anti"
     )
 
 
