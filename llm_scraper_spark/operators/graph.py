@@ -59,6 +59,14 @@ def host_pagerank(
     rational (default 17/20 = 0.85) so every step stays in integer
     arithmetic end-to-end.
 
+    DANGLING MASS (VERDICT r3 #9): nodes with no out-edges would leak
+    their damped rank out of the system each step; the true power-iter
+    formulation redistributes it uniformly. Per iteration the dangling
+    nodes' total rank D is one hosts-sized semi-join + 1-row aggregate;
+    every node then receives ``D DIV N`` extra incoming mass inside the
+    damped term — still pure integer fixed point (share is floored once,
+    identically in both engines), one extra broadcast per round.
+
     EAGER: the result is localCheckpoint-materialized before return so the
     loop's persisted adjacency/nodes tables and superseded per-round
     checkpoints can all be released here (nothing cached leaks across
@@ -84,11 +92,23 @@ def host_pagerank(
     # (src, dst, outd): the loop-invariant table — computed and persisted
     # once, reused every iteration.
     adj = e.join(deg, "src").persist()
+    # loop-invariant dangling-node set (no out-edge) + node count: both
+    # hosts-sized, computed once
+    dangling = nodes.join(deg.select(F.col("src").alias("host")),
+                          "host", "left_anti").persist()
+    n_nodes = nodes.agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("long").alias("_n"))
 
     base = rank_one * (damping_den - damping_num) // damping_den
     ranks = nodes.select("host", F.lit(rank_one).cast("long").alias("rank"))
     prev_ck_ids: set[int] = set()
     for i in range(iterations):
+        share = (
+            ranks.join(dangling, "host", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("_d"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(F.expr("_d DIV _n").alias("_share"))
+        )
         contribs = (
             adj.join(ranks, adj["src"] == ranks["host"])
             .select(F.col("dst"), F.expr("rank DIV outd").alias("c"))
@@ -97,12 +117,13 @@ def host_pagerank(
         )
         ranks = nodes.join(
             contribs, nodes["host"] == contribs["dst"], "left"
-        ).select(
+        ).crossJoin(F.broadcast(share)).select(
             "host",
             (
                 F.lit(base)
                 + F.expr(
-                    f"({damping_num} * coalesce(s, 0L)) DIV {damping_den}"
+                    f"({damping_num} * (coalesce(s, 0L) + _share))"
+                    f" DIV {damping_den}"
                 )
             ).cast("long").alias("rank"),
         )
@@ -117,6 +138,7 @@ def host_pagerank(
     release_checkpoint(spark, prev_ck_ids)
     nodes.unpersist()
     adj.unpersist()
+    dangling.unpersist()
     return ranks
 
 
@@ -131,10 +153,12 @@ def pagerank_oracle_sql(
 
     The loop is UNROLLED into pr0..prN chained CTEs (portable — no
     reliance on recursive-CTE iteration-count tricks), each step doing
-    the same integer ``//`` divisions and sums as the Spark side.
-    DuckDB's SUM over BIGINT returns HUGEINT, so it is cast back before
-    the multiply. Returns SQL ending in ``SELECT host, rank FROM prN``
-    (no ORDER BY — callers append their own).
+    the same integer ``//`` divisions and sums as the Spark side —
+    including the per-iteration dangling-mass redistribution
+    (``dang{i}.d // nn.n`` added inside the damped term). DuckDB's SUM
+    over BIGINT returns HUGEINT, so it is cast back before the multiply.
+    Returns SQL ending in ``SELECT host, rank FROM prN`` (no ORDER BY —
+    callers append their own).
     """
     base = rank_one * (damping_den - damping_num) // damping_den
     parts = [
@@ -142,16 +166,23 @@ def pagerank_oracle_sql(
 edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
 nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
 deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+nn AS (SELECT greatest(count(*), 1)::BIGINT AS n FROM nodes),
 pr0 AS (SELECT host, CAST({rank_one} AS BIGINT) AS rank FROM nodes)"""
     ]
     for i in range(1, iterations + 1):
         parts.append(
             f""",
+dang{i} AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
+  FROM pr{i - 1}
+  WHERE host NOT IN (SELECT src FROM deg)),
 pr{i} AS (
   SELECT n.host,
-         CAST({base} + ({damping_num} * COALESCE(c.s, 0)) // {damping_den}
-              AS BIGINT) AS rank
+         CAST({base} + ({damping_num} * (COALESCE(c.s, 0) + dg.d // nn.n))
+              // {damping_den} AS BIGINT) AS rank
   FROM nodes n
+  CROSS JOIN dang{i} dg
+  CROSS JOIN nn
   LEFT JOIN (
     SELECT e.dst, CAST(SUM(p.rank // d.outd) AS BIGINT) AS s
     FROM pr{i - 1} p
@@ -779,6 +810,7 @@ def spam_mass_oracle_sql(
 edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
 nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
 deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+nn AS (SELECT greatest(count(*), 1)::BIGINT AS n FROM nodes),
 seedset AS (SELECT DISTINCT host FROM ({seeds_sql})),
 dvec AS (
   SELECT n.host,
@@ -791,11 +823,17 @@ tr0 AS (SELECT host, d AS trust FROM dvec)"""
     for i in range(1, iterations + 1):
         parts.append(
             f""",
+dang{i} AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
+  FROM pr{i - 1}
+  WHERE host NOT IN (SELECT src FROM deg)),
 pr{i} AS (
   SELECT n.host,
-         CAST({base} + ({damping_num} * COALESCE(c.s, 0)) // {damping_den}
-              AS BIGINT) AS rank
+         CAST({base} + ({damping_num} * (COALESCE(c.s, 0) + dg.d // nn.n))
+              // {damping_den} AS BIGINT) AS rank
   FROM nodes n
+  CROSS JOIN dang{i} dg
+  CROSS JOIN nn
   LEFT JOIN (
     SELECT e.dst, CAST(SUM(p.rank // d.outd) AS BIGINT) AS s
     FROM pr{i - 1} p

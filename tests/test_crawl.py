@@ -533,3 +533,131 @@ def test_crawl_deny_patterns_gate(spark, tmp_path):
     assert not (gated_urls & denied)
     # everything else the base crawl scheduled is still reachable
     assert (frontier_urls - denied - gated_urls) == set() or True
+
+
+# ---------------------------------------------------------------------------
+# Iceberg readiness (VERDICT r3 #10): the catalog branch has no jars in this
+# sandbox, so its routing + the ordered-commit protocol are pinned with a
+# fake catalog and instrumented writes instead of a live table.
+# ---------------------------------------------------------------------------
+
+def test_iceberg_catalog_detection_and_write_routing(spark, tmp_path,
+                                                     monkeypatch):
+    """crawl/state.py:73-86,191-204: a configured Iceberg catalog is
+    auto-detected, writes route through writeTo(<catalog>.crawl.<table>)
+    .overwritePartitions() with the _wave_part literal attached, and
+    reads route through spark.read.table with the wave filter."""
+    import pyspark.sql as pysql
+
+    from llm_scraper_spark.crawl import state as state_mod
+
+    # detection: a SparkConf entry spark.sql.catalog.<name> = ...Iceberg...
+    class FakeConf:
+        def getAll(self):
+            return [("spark.app.name", "x"),
+                    ("spark.sql.catalog.icecat",
+                     "org.apache.iceberg.spark.SparkCatalog"),
+                    ("spark.sql.catalog.icecat.type", "hadoop")]
+
+    class FakeSC:
+        def getConf(self):
+            return FakeConf()
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    assert state_mod._detect_iceberg_catalog(FakeSpark()) == "icecat"
+    # .type sub-key (4 dots) and non-iceberg values must NOT match
+    class NoCatConf:
+        def getAll(self):
+            return [("spark.sql.catalog.hive", "HiveCatalogImpl")]
+
+    class NoCatSC:
+        def getConf(self):
+            return NoCatConf()
+
+    class NoCatSpark:
+        sparkContext = NoCatSC()
+
+    assert state_mod._detect_iceberg_catalog(NoCatSpark()) is None
+
+    # write routing: stub writeTo on the CONCRETE DataFrame class (the
+    # classic backend subclasses the pyspark.sql.DataFrame ABC and
+    # overrides writeTo, so patching the base would not intercept)
+    calls = []
+
+    class FakeWriter:
+        def __init__(self, df, table):
+            self.df, self.table = df, table
+
+        def overwritePartitions(self):
+            calls.append((self.table, self.df.columns))
+
+    st = state_mod.CrawlState(spark, str(tmp_path), iceberg_catalog="icecat")
+    df = spark.range(3).selectExpr("id AS url_hash")
+    monkeypatch.setattr(type(df), "writeTo",
+                        lambda self, t: FakeWriter(self, t))
+    st.write("fetched", 4, df)
+    assert calls == [("icecat.crawl.fetched", ["url_hash", "_wave_part"])]
+
+    # read routing: spark.read.table(<catalog>.crawl.<table>) + wave filter
+    tables = []
+
+    class FakeReader:
+        def table(self, name):
+            tables.append(name)
+            return spark.range(2).selectExpr(
+                "id AS url_hash", "CAST(4 AS INT) AS _wave_part")
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: FakeReader()))
+    out = st.read("fetched", 4)
+    assert tables == ["icecat.crawl.fetched"]
+    assert out.columns == ["url_hash"] and out.count() == 2
+
+
+def test_commit_protocol_order_table_writes_before_ledger(spark, tmp_path,
+                                                          monkeypatch):
+    """The documented commit protocol (crawl/state.py module docs): every
+    wave's data-table writes COMPLETE before the ledger rename, for the
+    seed commit and every wave — pinned by instrumenting the real
+    parquet-backed state under a live 2-wave CrawlRun. This is the same
+    ordering contract the Iceberg branch relies on (per-table snapshot
+    commits, ledger as the cross-table transaction point)."""
+    from llm_scraper_spark.crawl import state as state_mod
+    from llm_scraper_spark.crawl.waves import CrawlRun, synthetic_fetcher
+    from llm_scraper_spark.sources.synthetic import synth_seeds
+
+    events = []
+    real_write = state_mod.CrawlState.write
+    real_ledger = state_mod.CrawlState._write_ledger
+
+    def rec_write(self, table, wave, df):
+        real_write(self, table, wave, df)
+        events.append(("table", table, wave))
+
+    def rec_ledger(self, ledger):
+        real_ledger(self, ledger)
+        events.append(("ledger", ledger["waves"][-1]["wave"],
+                       ledger["next_seq"]))
+
+    monkeypatch.setattr(state_mod.CrawlState, "write", rec_write)
+    monkeypatch.setattr(state_mod.CrawlState, "_write_ledger", rec_ledger)
+
+    run = CrawlRun(spark, str(tmp_path),
+                   fetcher=synthetic_fetcher(n_hosts=6, fanout=3),
+                   default_budget=4, n_salts=2)
+    run.run(2, seeds=synth_seeds(spark, 40, n_hosts=6))
+
+    ledger_ix = [i for i, e in enumerate(events) if e[0] == "ledger"]
+    assert len(ledger_ix) == 2 + 1  # seed commit + 2 waves
+    # seed commit: both seed tables precede the first ledger write
+    seed_tables = {e[1] for e in events[:ledger_ix[0]] if e[0] == "table"}
+    assert seed_tables == {"frontier_delta", "seen_delta"}
+    # each wave: all six tables written between the previous ledger
+    # commit and this wave's
+    for k, (lo, hi) in enumerate(zip(ledger_ix, ledger_ix[1:])):
+        wave_tables = {e[1] for e in events[lo + 1:hi] if e[0] == "table"}
+        assert wave_tables == {"schedule_log", "fetched", "documents",
+                               "seen_delta", "frontier_delta", "metrics"}, \
+            f"wave {k}: {wave_tables}"

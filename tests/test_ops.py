@@ -670,7 +670,8 @@ def test_interleave_pack_geometry(spark):
 
 def test_host_pagerank_tiny_graph(spark):
     """Hand-computed integer fixed-point PageRank on the 3-node chain
-    a->b, b->c, c->a plus dangling sink a->d (d leaks its damped mass)."""
+    a->b, b->c, c->a plus dangling sink a->d, whose rank mass is
+    redistributed uniformly each step (d has no out-edge)."""
     from llm_scraper_spark.operators.graph import host_pagerank
 
     edges = spark.createDataFrame(
@@ -687,7 +688,8 @@ def test_host_pagerank_tiny_graph(spark):
             "b": r["a"] // 2, "d": r["a"] // 2,
             "c": r["b"] // 1, "a": r["c"] // 1,
         }
-        return {n: base + (17 * contrib.get(n, 0)) // 20
+        share = r["d"] // 4  # dangling mass, split over N=4 nodes
+        return {n: base + (17 * (contrib.get(n, 0) + share)) // 20
                 for n in ("a", "b", "c", "d")}
 
     expect = {n: S for n in ("a", "b", "c", "d")}
