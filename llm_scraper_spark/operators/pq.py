@@ -207,6 +207,32 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
     )
 
 
+def pq_adc_rerank_topk(codes: DataFrame, codebooks: DataFrame,
+                       emb: DataFrame, query_vec: list[float],
+                       k_top: int = 10, shortlist: int = 30, m: int = 8,
+                       dim: int = 64, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """ADC shortlist + exact re-rank — the standard PQ "refine" step
+    (Jégou et al. 2011 §V; FAISS IndexRefineFlat): ADC's lookup-table
+    distances separate near from far cheaply but cannot ORDER a cluster
+    of near-identical neighbors (quantization error ~ the gaps), so
+    production pipelines take an ADC top-``shortlist`` and re-rank just
+    those rows with exact distances. Measured on the planted-neighbor
+    corpus (BENCH/ANN_RECALL.md): plain ADC recall@10 = 0.8, ADC +
+    shortlist-30 re-rank = 1.0 (gated >= 0.9 in test_bench_policy).
+
+    Scale shape: the shortlist is k_top-scale (driver-bounded ids,
+    broadcast back), so the exact pass scans ``shortlist`` rows — the
+    full corpus is only ever touched by the ADC code scan."""
+    from .similarity import brute_force_topk
+
+    short = pq_adc_topk(codes, codebooks, query_vec, k_top=int(shortlist),
+                        m=m, dim=dim).select(F.col("id").alias(id_col))
+    cand = emb.join(F.broadcast(short), id_col)
+    return brute_force_topk(cand, query_vec, k=k_top, vec_col=vec_col,
+                            id_col=id_col)
+
+
 def pq_oracle_sql(emb_sql: str, query_vec: list[float], m: int = 8,
                   k: int = 8, iters: int = 2, k_top: int = 10,
                   fit_rows: int = 512, dim: int = 64) -> str:
