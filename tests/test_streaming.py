@@ -133,3 +133,84 @@ def test_stream_url_dedup_drops_rearrivals_across_batches(spark, tmp_path):
         assert got == ["http://a/1", "http://a/2", "http://a/3"]
     finally:
         q.stop()
+
+
+def test_stream_crawl_matches_batch_wave_replay(spark, tmp_path):
+    """VERDICT r3 #7: the composed continuous crawl (canonicalize ->
+    in-batch dedup -> cross-batch seen anti-join -> per-host politeness
+    -> idempotent delta commit) must produce EXACTLY the schedule a
+    batch wave-loop replay produces on the same input, batch for batch
+    over 4 micro-batches. The oracle is an independent single-node
+    Python replay (dict/set/sort — no Spark operators), sharing only
+    the pure canonicalize_url function the crawl simulator already
+    shares."""
+    from llm_scraper_spark.functions.urls import canonicalize_url
+    from llm_scraper_spark.streaming.ingest import stream_crawl
+
+    in_dir, state = tmp_path / "in", tmp_path / "state"
+    budget = 2
+    batches = [
+        # batch 0: h1 over budget (3 urls), one in-batch canonical dup
+        [("https://h1.com/a", 0), ("https://h1.com/b", 1),
+         ("https://h1.com/c", 2), ("HTTPS://h1.com/a#frag", 3),
+         ("https://h2.com/x", 4)],
+        # batch 1: re-arrivals of already-scheduled urls + new ones
+        [("https://h1.com/a", 5), ("https://h1.com/d", 6),
+         ("https://h2.com/y", 7), ("https://h2.com/x", 8)],
+        # batch 2: the over-budget leftover redelivered (schedulable now)
+        [("https://h1.com/c", 9), ("h2.com/z", 10)],
+        # batch 3: everything a duplicate -> empty schedule
+        [("https://h1.com/c", 11), ("https://h2.com/z", 12)],
+    ]
+
+    def replay():
+        seen, out = set(), []
+        for k, rows in enumerate(batches):
+            best = {}
+            for url, seq in rows:
+                c, host = canonicalize_url(url)
+                if c not in best or seq < best[c][1]:
+                    best[c] = (url, seq, host)
+            per_host = {}
+            for c, (url, seq, host) in sorted(
+                    best.items(), key=lambda kv: kv[1][1]):
+                if c in seen:
+                    continue
+                per_host.setdefault(host, []).append((url, seq, c))
+            for host, items in per_host.items():
+                for rank, (url, seq, c) in enumerate(items[:budget], 1):
+                    out.append((k, host, url, seq, rank))
+                    seen.add(c)
+        return sorted(out)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "url string, seq long").coalesce(
+            1).write.mode("append").parquet(str(in_dir))
+
+    write_batch(batches[0])
+    q = (stream_crawl(spark, str(in_dir), str(state), default_budget=budget)
+         .option("checkpointLocation", str(tmp_path / "cp_crawl")).start())
+    try:
+        q.processAllAvailable()
+        for rows in batches[1:]:
+            write_batch(rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.option(
+        "basePath", str(state / "schedule_log")).parquet(
+        str(state / "schedule_log"))
+    got_rows = sorted(
+        (int(r["batch"]), r["host"], r["url"], int(r["seq"]),
+         int(r["sched_rank"]))
+        for r in got.collect())
+    assert got_rows == replay()
+    # cumulative host_used equals the schedule's per-host totals
+    used = spark.read.option("basePath", str(state / "host_used")).parquet(
+        str(state / "host_used"))
+    tot = {r["host"]: r["n"] for r in used.groupBy("host").agg(
+        F.sum("n_fetched").alias("n")).collect()}
+    from collections import Counter
+    want = Counter(h for _, h, _, _, _ in replay())
+    assert tot == dict(want)
