@@ -5590,6 +5590,99 @@ WHERE jaccard < 0.9 AND {u} < 0.5
 ORDER BY id_a, id_b"""
 
 
+def q_stream_crawl(spark, sf_dir):
+    """The composed CONTINUOUS crawl under the driver gate (VERDICT r3
+    #7): stream_crawl (micro-batch == wave: canonicalize -> in-batch
+    dedup -> cumulative-seen anti-join -> per-host politeness ->
+    idempotent delta commits) driven over a deterministic 4-batch
+    landing feed derived from documents. URLs collide both within and
+    across batches (md5-derived key space ~N/3), so the schedule
+    depends on every stage: in-batch first-occurrence, cross-batch
+    seen suppression, and the per-batch budget. The oracle replays all
+    4 batches as chained CTEs."""
+    import os
+    import shutil
+    import uuid
+
+    from llm_scraper_spark.streaming.ingest import stream_crawl
+
+    tune_session(spark)
+    run_id = uuid.uuid4().hex[:8]
+    base = f"/tmp/spark_graft_stream_crawl_{run_id}"
+    in_dir = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    os.makedirs(in_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_urls = max(docs.count() // 3, 1)
+    key = _md5_60bit(F.col("doc_id"), ":sc") % n_urls
+    feed = docs.select(
+        F.concat(F.lit("https://h"), (key % 5).cast("string"),
+                 F.lit(".example.com/p/"), key.cast("string")).alias("url"),
+        F.col("doc_id").alias("seq"),
+        (F.col("doc_id") % 4).alias("batch"),
+    )
+    writer = stream_crawl(spark, in_dir, state, default_budget=3)
+    query = writer.option(
+        "checkpointLocation", os.path.join(base, "cp")).start()
+    try:
+        for b in range(4):
+            (feed.filter(F.col("batch") == b).select("url", "seq")
+             .coalesce(1).write.mode("append").parquet(in_dir))
+            query.processAllAvailable()
+        out = (
+            spark.read.option("basePath", os.path.join(state, "schedule_log"))
+            .parquet(os.path.join(state, "schedule_log"))
+            .select(F.col("batch").cast("long").alias("batch"), "host",
+                    "url", "seq", F.col("sched_rank").cast("long")
+                    .alias("sched_rank"))
+            .orderBy("batch", "host", "seq")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        query.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _stream_crawl_oracle_sql() -> str:
+    feed = """
+  SELECT 'https://h' || (k % 5)::VARCHAR || '.example.com/p/' || k::VARCHAR
+             AS url,
+         'h' || (k % 5)::VARCHAR || '.example.com' AS host,
+         doc_id AS seq, doc_id % 4 AS batch
+  FROM (SELECT doc_id,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':sc'), 1, 15))
+                   ::BIGINT % (SELECT greatest(count(*) // 3, 1)
+                               FROM documents) AS k
+        FROM documents)"""
+    parts = [f"WITH feed AS ({feed})"]
+    seen_union = []
+    for b in range(4):
+        seen_filter = ""
+        if seen_union:
+            seen_sql = " UNION ALL ".join(
+                f"SELECT url FROM {s}" for s in seen_union)
+            seen_filter = f"AND url NOT IN ({seen_sql})"
+        parts.append(f""",
+b{b}c AS (
+  SELECT url, host, min(seq) AS seq
+  FROM feed WHERE batch = {b}
+  GROUP BY url, host),
+b{b}s AS (
+  SELECT {b}::BIGINT AS batch, host, url, seq,
+         rn::BIGINT AS sched_rank
+  FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY host ORDER BY seq) AS rn
+        FROM b{b}c
+        WHERE TRUE {seen_filter})
+  WHERE rn <= 3)""")
+        seen_union.append(f"b{b}s")
+    parts.append("""
+SELECT * FROM (SELECT * FROM b0s UNION ALL SELECT * FROM b1s
+               UNION ALL SELECT * FROM b2s UNION ALL SELECT * FROM b3s)
+ORDER BY batch, host, seq""")
+    return "".join(parts)
+
+
 def q_compaction_exec(spark, sf_dir):
     """Compaction EXECUTED, not just planned (VERDICT r3 #5): fragment
     the documents table into 5 deterministic shard files (doc_id % 5),
@@ -5798,6 +5891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "hard_negatives": q_hard_negatives,
         "compaction_exec": q_compaction_exec,
+        "stream_crawl": q_stream_crawl,
     }
 
 
@@ -6157,6 +6251,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": _compaction_plan_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(),
         "compaction_exec": _compaction_exec_oracle_sql(),
+        "stream_crawl": _stream_crawl_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

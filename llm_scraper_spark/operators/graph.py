@@ -646,11 +646,24 @@ def trust_rank(
         F.when(F.col("_s").isNotNull(), F.lit(seed_share))
         .otherwise(F.lit(0)).cast("long").alias("d"),
     ).persist()
+    # dangling trust teleports per the PERSONALIZATION vector (Gyöngyi
+    # §4: the random surfer restarts at a seed), i.e. back to the seed
+    # set — the seed-biased twin of host_pagerank's uniform
+    # redistribution, keeping spam_mass = pagerank - trustrank a
+    # like-for-like difference of two conserved walks
+    dangling = nodes.join(deg.select(F.col("src").alias("host")),
+                          "host", "left_anti").persist()
 
     base_expr = f"(({damping_den - damping_num}) * d) DIV {damping_den}"
     ranks = d.select("host", F.col("d").alias("trust"))
     prev_ck_ids: set[int] = set()
     for i in range(iterations):
+        dshare = (
+            ranks.join(dangling, "host", "left_semi")
+            .agg(F.coalesce(F.sum("trust"), F.lit(0)).cast("long")
+                 .alias("_dm"))
+            .select(F.expr(f"_dm DIV {int(n_seeds)}L").alias("_share"))
+        )
         contribs = (
             adj.join(ranks, adj["src"] == ranks["host"])
             .select(F.col("dst"), F.expr("trust DIV outd").alias("c"))
@@ -659,12 +672,14 @@ def trust_rank(
         )
         ranks = d.join(
             contribs, d["host"] == contribs["dst"], "left"
-        ).select(
+        ).crossJoin(F.broadcast(dshare)).select(
             "host",
             (
                 F.expr(base_expr)
                 + F.expr(
-                    f"({damping_num} * coalesce(s, 0L)) DIV {damping_den}"
+                    f"({damping_num} * (coalesce(s, 0L)"
+                    f" + (CASE WHEN d > 0 THEN _share ELSE 0L END)))"
+                    f" DIV {damping_den}"
                 )
             ).cast("long").alias("trust"),
         )
@@ -677,6 +692,7 @@ def trust_rank(
     nodes.unpersist()
     adj.unpersist()
     d.unpersist()
+    dangling.unpersist()
     return ranks
 
 
@@ -709,12 +725,19 @@ tr0 AS (SELECT host, d AS trust FROM dvec)"""
     for i in range(1, iterations + 1):
         parts.append(
             f""",
+tdg{i} AS (
+  SELECT CAST(COALESCE(SUM(trust), 0) AS BIGINT) AS dm
+  FROM tr{i - 1}
+  WHERE host NOT IN (SELECT src FROM deg)),
 tr{i} AS (
   SELECT n.host,
          CAST(({damping_den - damping_num} * n.d) // {damping_den}
-              + ({damping_num} * COALESCE(c.s, 0)) // {damping_den}
+              + ({damping_num} * (COALESCE(c.s, 0)
+                 + CASE WHEN n.d > 0 THEN dg.dm // {int(n_seeds)}
+                        ELSE 0 END)) // {damping_den}
               AS BIGINT) AS trust
   FROM dvec n
+  CROSS JOIN tdg{i} dg
   LEFT JOIN (
     SELECT e.dst, CAST(SUM(p.trust // d.outd) AS BIGINT) AS s
     FROM tr{i - 1} p
@@ -842,12 +865,18 @@ pr{i} AS (
     GROUP BY e.dst
   ) c ON c.dst = n.host
 ),
+tdg{i} AS (
+  SELECT CAST(COALESCE(SUM(trust), 0) AS BIGINT) AS dm
+  FROM tr{i - 1}
+  WHERE host NOT IN (SELECT src FROM deg)),
 tr{i} AS (
   SELECT n.host,
          CAST(({damping_den - damping_num} * n.d) // {damping_den}
-              + ({damping_num} * COALESCE(c.s, 0)) // {damping_den}
-              AS BIGINT) AS trust
+              + ({damping_num} * (COALESCE(c.s, 0)
+                 + CASE WHEN n.d > 0 THEN tg.dm ELSE 0 END))
+              // {damping_den} AS BIGINT) AS trust
   FROM dvec n
+  CROSS JOIN tdg{i} tg
   LEFT JOIN (
     SELECT e.dst, CAST(SUM(p.trust // d.outd) AS BIGINT) AS s
     FROM tr{i - 1} p
