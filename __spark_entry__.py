@@ -70,6 +70,11 @@ def _run_small(spark: SparkSession, df: DataFrame,
     try:
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(shuffle_partitions))
+        # a callable defers BUILD-time eager work (operators with
+        # internal localCheckpoints, e.g. host_pagerank) into the scoped
+        # window; a plain DataFrame only defers execution
+        if callable(df):
+            df = df()
         return df.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -436,7 +441,11 @@ def q_host_pagerank(spark, sf_dir):
     edges = docs.select(
         _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
     )
-    ranks = host_pagerank(edges, iterations=PAGERANK_ITERS)
+    # hosts-sized graph: run under the small-data partition knob (the
+    # dangling-mass semi-join + 1-row agg per round would otherwise add
+    # iterations x 32 near-empty tasks of pure launch overhead)
+    ranks = _run_small(
+        spark, lambda: host_pagerank(edges, iterations=PAGERANK_ITERS))
     return ranks.orderBy(F.desc("rank"), "host").limit(100)
 
 
@@ -472,7 +481,8 @@ def q_trust_rank(spark, sf_dir):
         .select(F.col("src").alias("host")).distinct()
         .orderBy("host").limit(4)
     )
-    t = trust_rank(edges, seeds, n_seeds=4, iterations=4)
+    t = _run_small(
+        spark, lambda: trust_rank(edges, seeds, n_seeds=4, iterations=4))
     return t.where(F.col("trust") > 0).orderBy(F.desc("trust"), "host")
 
 
@@ -515,7 +525,7 @@ def q_spam_mass(spark, sf_dir):
         .select(F.col("src").alias("host")).distinct()
         .orderBy("host").limit(4)
     )
-    m = spam_mass(edges, seeds, iterations=4)
+    m = _run_small(spark, lambda: spam_mass(edges, seeds, iterations=4))
     return m.orderBy(F.desc("rel_mass_fp"), F.desc("rank"), "host").limit(200)
 
 

@@ -435,23 +435,29 @@ class CrawlRun:
         # duplication is high — the bench web's is ~0.4%, and the
         # canonical-stage min_by already absorbs real-web nav/footer
         # repeats at one shuffle.)
+        # standing filter first: the membership tag is FUSED into the
+        # discovery checkpoint below (computed once during that
+        # materialization; previously each bloom-split branch re-ran the
+        # Arrow probe over every candidate)
+        seen_df = st.read_seen(wave)
+        bloom = self._standing_bloom(seen_df)
+        _mark("bloom_standing")
+
         cand = with_canonical(links.select("url", "_disc_ord"),
                               key_hex=False)
         if self.scope_filter:
             cand = self._apply_scope(cand)
         cand = seen_ops.first_occurrence_dedup(cand, "url_hash", "_disc_ord")
+        if bloom is not None:
+            cand = seen_ops.bloom_tag(cand, bloom)
         # checkpoint: (a) the bloom split consumes cand on two branches —
         # without materialization both branches would recompute the
-        # canonicalize+dedup lineage; (b) the observation counts once.
+        # canonicalize+dedup(+tag) lineage; (b) the observation counts once.
         obs_disc = Observation(f"w{wave}_discovered")
         cand = cand.observe(obs_disc, F.count(F.lit(1)).alias("n"))
         cand = _ck(cand)
         n_discovered = obs_disc.get["n"]
         _mark("discover_dedup")
-
-        seen_df = st.read_seen(wave)
-        bloom = self._standing_bloom(seen_df)
-        _mark("bloom_standing")
         # Join-strategy selection from ledger stats alone (no extra Spark
         # action): reverse the dedup anti-join (broadcast the maybe-seen
         # hashes, scan the seen table narrow) only when the seen table

@@ -103,6 +103,16 @@ def host_pagerank(
     ranks = nodes.select("host", F.lit(rank_one).cast("long").alias("rank"))
     prev_ck_ids: set[int] = set()
     for i in range(iterations):
+        # materialize the rank table EVERY round: the dangling-mass
+        # broadcast is a subquery over ranks_{i-1}, and without a cut it
+        # would re-evaluate every prior round once per round (the main
+        # chain a second time) — with hosts-sized tables the per-round
+        # checkpoint is cheap and makes both consumers read cached
+        # blocks. checkpoint_interval is retained for API compat but the
+        # dangling formulation needs the cut each round.
+        ranks, ck_ids = local_checkpoint_tracked(ranks)
+        release_checkpoint(spark, prev_ck_ids)
+        prev_ck_ids = ck_ids
         share = (
             ranks.join(dangling, "host", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("_d"))
@@ -127,10 +137,6 @@ def host_pagerank(
                 )
             ).cast("long").alias("rank"),
         )
-        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-            ranks, ck_ids = local_checkpoint_tracked(ranks)
-            release_checkpoint(spark, prev_ck_ids)
-            prev_ck_ids = ck_ids
     # materialize the result, then drop every persist/checkpoint the loop
     # held: the returned frame is self-contained (no dangling cached blocks
     # accumulate across repeated calls in a long-lived session)
@@ -658,6 +664,12 @@ def trust_rank(
     ranks = d.select("host", F.col("d").alias("trust"))
     prev_ck_ids: set[int] = set()
     for i in range(iterations):
+        # per-round cut, same rationale as host_pagerank: the dangling
+        # broadcast subquery must read materialized blocks, not replay
+        # every prior round's joins
+        ranks, ck_ids = local_checkpoint_tracked(ranks)
+        release_checkpoint(spark, prev_ck_ids)
+        prev_ck_ids = ck_ids
         dshare = (
             ranks.join(dangling, "host", "left_semi")
             .agg(F.coalesce(F.sum("trust"), F.lit(0)).cast("long")
@@ -683,10 +695,6 @@ def trust_rank(
                 )
             ).cast("long").alias("trust"),
         )
-        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-            ranks, ck_ids = local_checkpoint_tracked(ranks)
-            release_checkpoint(spark, prev_ck_ids)
-            prev_ck_ids = ck_ids
     ranks, _final = local_checkpoint_tracked(ranks)
     release_checkpoint(spark, prev_ck_ids)
     nodes.unpersist()

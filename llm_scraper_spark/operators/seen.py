@@ -237,6 +237,24 @@ def build_bloom_distributed(
     return bloom
 
 
+def bloom_tag(candidates: DataFrame, bloom,
+              hash_col: str = "url_hash",
+              out_col: str = "_maybe_seen") -> DataFrame:
+    """Attach the approximate-membership verdict as a boolean column —
+    one vectorized probe of the broadcast filter per Arrow batch. Split
+    out of filter_unseen so the wave loop can FUSE the tag into its
+    discovery checkpoint (the tag then computes once, during that
+    materialization, instead of once per consumer branch)."""
+    bc = candidates.sparkSession.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        arr = h.to_numpy(dtype=np.int64)
+        return pd.Series(bc.value.contains_many(arr))
+
+    return candidates.withColumn(out_col, maybe_seen(F.col(hash_col)))
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen_df: DataFrame | None,
@@ -272,17 +290,17 @@ def filter_unseen(
     biggest table in the system.
     """
     if seen_df is None:
-        return candidates
+        return candidates.drop("_maybe_seen") \
+            if "_maybe_seen" in candidates.columns else candidates
 
     if bloom is not None:
-        bc = candidates.sparkSession.sparkContext.broadcast(bloom)
-
-        @F.pandas_udf("boolean")
-        def maybe_seen(h: pd.Series) -> pd.Series:
-            arr = h.to_numpy(dtype=np.int64)
-            return pd.Series(bc.value.contains_many(arr))
-
-        tagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col)))
+        # callers that already materialized the tag (bloom_tag fused into
+        # their discovery checkpoint — one Arrow pass instead of one per
+        # branch below) are detected by the column's presence
+        if "_maybe_seen" in candidates.columns:
+            tagged = candidates
+        else:
+            tagged = bloom_tag(candidates, bloom, hash_col)
         definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
         if broadcast_candidates:
