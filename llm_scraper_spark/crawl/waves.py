@@ -403,6 +403,14 @@ class CrawlRun:
                 os.path.join(arc_dir, "cdx.parquet"))
             _mark("archive_warc")
 
+        # standing filter BEFORE the documents write is submitted: the
+        # seen read's tiny schema job would otherwise FIFO-queue behind
+        # the cluster-wide chunker pass (profiled ~1.2s of driver stall
+        # attributed to bloom_standing)
+        seen_df = st.read_seen(wave)
+        bloom = self._standing_bloom(seen_df)
+        _mark("bloom_standing")
+
         # --- documents: uuid5 doc id + interleaved spans (production 512/50)
         docs = (
             pages.filter(F.col("ok"))
@@ -435,14 +443,9 @@ class CrawlRun:
         # duplication is high — the bench web's is ~0.4%, and the
         # canonical-stage min_by already absorbs real-web nav/footer
         # repeats at one shuffle.)
-        # standing filter first: the membership tag is FUSED into the
-        # discovery checkpoint below (computed once during that
-        # materialization; previously each bloom-split branch re-ran the
-        # Arrow probe over every candidate)
-        seen_df = st.read_seen(wave)
-        bloom = self._standing_bloom(seen_df)
-        _mark("bloom_standing")
-
+        # membership tag FUSED into the discovery checkpoint below
+        # (computed once during that materialization; previously each
+        # bloom-split branch re-ran the Arrow probe over every candidate)
         cand = with_canonical(links.select("url", "_disc_ord"),
                               key_hex=False)
         if self.scope_filter:
