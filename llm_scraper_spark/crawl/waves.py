@@ -472,8 +472,15 @@ class CrawlRun:
         # cost in the wave. next_seq == |seen| by the enqueue invariant.
         reverse_join = (int(n_discovered) <= 4_000_000
                         and next_seq >= 50 * max(int(n_discovered), 1))
+        # pin only the tiny anti-join branch (checked_ck): the rest of
+        # the unseen chain is a native filter over the cand checkpoint,
+        # cheap to re-evaluate — so the seq assigner can skip its own
+        # full input materialization (one fewer 0.5M-row checkpoint per
+        # wave). With the bloom OFF the whole chain IS the anti-join, so
+        # the assigner materializes as before.
         new = seen_ops.filter_unseen(
-            cand, seen_df, bloom=bloom, broadcast_candidates=reverse_join)
+            cand, seen_df, bloom=bloom, broadcast_candidates=reverse_join,
+            checked_ck=_ck if bloom is not None else None)
         if self.deny_patterns is not None:
             new = frontier_ops.gate_trap_patterns(new, self.deny_patterns)
         if self.robots is not None:
@@ -483,8 +490,9 @@ class CrawlRun:
         else:
             new = frontier_ops.with_salt(new, self.n_salts)
 
-        new = frontier_ops.assign_global_seq(new, next_seq, ("_disc_ord",),
-                                             ck_sink=wave_ck)
+        new = frontier_ops.assign_global_seq(
+            new, next_seq, ("_disc_ord",), ck_sink=wave_ck,
+            materialize_input=bloom is None)
         obs_new = Observation(f"w{wave}_new")
         new_frontier_rows = (
             new.withColumn("priority", F.lit(self.link_priority))

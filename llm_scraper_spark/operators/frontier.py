@@ -189,6 +189,7 @@ def assign_global_seq(
     base_seq: int,
     order_cols: tuple[str, ...] = ("parent_seq", "link_idx"),
     ck_sink: list | None = None,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Assign the contiguous global FIFO ``seq`` to newly discovered URLs.
 
@@ -240,9 +241,17 @@ def assign_global_seq(
     """
     from .checkpoints import local_checkpoint_tracked
 
-    candidates, cand_ck_ids = local_checkpoint_tracked(candidates)
-    if ck_sink is not None:
-        ck_sink.append(cand_ck_ids)
+    # ``materialize_input=False`` is for callers whose candidate lineage
+    # is ALREADY cheap and value-deterministic to re-evaluate (the wave
+    # loop: a native filter + union of two checkpointed frames) — the
+    # two metadata aggregates and the final window then re-read cached
+    # blocks instead of paying one more full materialization. Bucket
+    # counts depend only on VALUES, so determinism needs no checkpoint —
+    # only cost does.
+    if materialize_input:
+        candidates, cand_ck_ids = local_checkpoint_tracked(candidates)
+        if ck_sink is not None:
+            ck_sink.append(cand_ck_ids)
 
     spark = candidates.sparkSession
     first = order_cols[0]

@@ -261,6 +261,7 @@ def filter_unseen(
     hash_col: str = "url_hash",
     bloom: "ShardedBloom | NumpyBloom | None" = None,
     broadcast_candidates: bool = False,
+    checked_ck=None,
 ) -> DataFrame:
     """Return the candidate rows whose hash is not in the seen set.
 
@@ -313,6 +314,16 @@ def filter_unseen(
             checked = maybe.join(
                 seen_df.select(F.col(hash_col)), on=hash_col, how="left_anti"
             )
+        # ``checked_ck``: optional materializer (wave loop passes its
+        # tracked-localCheckpoint helper) for JUST the anti-join branch —
+        # it is the only expensive sub-plan here (the seen-side shuffle),
+        # and it is tiny in rows (bloom false positives + true in-wave
+        # re-sights), so pinning it makes the whole returned union cheap
+        # to re-evaluate: a native filter over the caller's candidate
+        # checkpoint plus cached small blocks. That lets downstream seq
+        # assignment skip ITS input materialization entirely.
+        if checked_ck is not None:
+            checked = checked_ck(checked)
         return definitely_new.unionByName(checked)
 
     return candidates.join(
