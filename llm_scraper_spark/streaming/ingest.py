@@ -115,7 +115,15 @@ def stream_frontier_append(spark: SparkSession, input_dir: str,
         if os.path.exists(seen_dir) and any(
             e.startswith("batch=") for e in os.listdir(seen_dir)
         ):
-            existing = spark.read.option("basePath", seen_dir).parquet(seen_dir)
+            # STRICTLY EARLIER batches only: on redelivery this batch's
+            # own delta dir already exists, and including it would
+            # anti-join the batch against itself — every row "seen",
+            # the delta overwritten EMPTY, rows lost. Partition-pruned
+            # via the batch dir column.
+            existing = (
+                spark.read.option("basePath", seen_dir).parquet(seen_dir)
+                .where(F.col("batch") < int(batch_id))
+            )
         if existing is not None:
             deduped = deduped.join(
                 existing.select("url_hash").distinct(), on="url_hash",
@@ -212,15 +220,12 @@ def stream_crawl(spark: SparkSession, input_dir: str, state_dir: str,
     Semantics notes (mirrored in the oracle): seen marks at SCHEDULE
     (an over-budget candidate is droppable and may be re-delivered by a
     later batch — the landing dir is the pending set's upstream); every
-    commit is an idempotent overwrite keyed by batchId, so Structured
-    Streaming's redelivery-after-failure lands on the same dirs
-    (exactly-once effect, the same contract as the wave ledger)."""
-    import os
-
-    from ..functions.urls import with_canonical
-    from ..operators.frontier import schedule_wave, with_salt
-    from ..operators.seen import filter_unseen, first_occurrence_dedup
-
+    commit is an idempotent overwrite keyed by batchId, and the seen
+    read excludes the CURRENT batch's own delta, so Structured
+    Streaming's redelivery-after-failure reproduces the identical
+    schedule byte-for-byte (exactly-once effect, the same contract as
+    the wave ledger; redelivery-pinned by
+    tests/test_streaming.py::test_stream_crawl_redelivery_idempotent)."""
     schema = T.StructType([
         T.StructField("url", T.StringType()),
         T.StructField("seq", T.LongType()),
@@ -229,6 +234,20 @@ def stream_crawl(spark: SparkSession, input_dir: str, state_dir: str,
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
+    return urls.writeStream.foreachBatch(
+        crawl_batch_processor(spark, state_dir, default_budget, n_salts))
+
+
+def crawl_batch_processor(spark: SparkSession, state_dir: str,
+                          default_budget: int = 4, n_salts: int = 2):
+    """The per-micro-batch crawl step of :func:`stream_crawl`, exposed
+    so redelivery semantics are directly testable (call it twice with
+    the same batch_id)."""
+    import os
+
+    from ..functions.urls import with_canonical
+    from ..operators.frontier import schedule_wave, with_salt
+    from ..operators.seen import filter_unseen, first_occurrence_dedup
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         canon = with_canonical(batch_df, key_hex=False)
@@ -237,7 +256,13 @@ def stream_crawl(spark: SparkSession, input_dir: str, state_dir: str,
         seen = None
         if os.path.isdir(seen_dir) and any(
                 e.startswith("batch=") for e in os.listdir(seen_dir)):
-            seen = spark.read.option("basePath", seen_dir).parquet(seen_dir)
+            # strictly earlier batches: a redelivered batch must not
+            # anti-join against its OWN previously-committed delta (it
+            # would schedule nothing and overwrite the delta empty)
+            seen = (
+                spark.read.option("basePath", seen_dir).parquet(seen_dir)
+                .where(F.col("batch") < int(batch_id))
+            )
         new = filter_unseen(deduped, seen)
         scheduled = schedule_wave(
             with_salt(new.withColumn("priority", F.lit(1.0)), n_salts),
@@ -253,7 +278,7 @@ def stream_crawl(spark: SparkSession, input_dir: str, state_dir: str,
          .write.mode("overwrite").parquet(
              os.path.join(state_dir, "host_used", f"batch={batch_id}")))
 
-    return urls.writeStream.foreachBatch(process_batch)
+    return process_batch
 
 
 def stream_windowed_counts(spark: SparkSession, input_dir: str,

@@ -214,3 +214,40 @@ def test_stream_crawl_matches_batch_wave_replay(spark, tmp_path):
     from collections import Counter
     want = Counter(h for _, h, _, _, _ in replay())
     assert tot == dict(want)
+
+
+def test_stream_crawl_redelivery_idempotent(spark, tmp_path):
+    """Structured Streaming redelivers a micro-batch after a sink
+    failure; the crawl step must be idempotent under that replay. The
+    trap: batch K's own seen delta already exists on redelivery, and an
+    unfiltered seen read would anti-join the batch against ITSELF —
+    schedule empty, delta overwritten empty, rows silently lost. The
+    processor reads strictly-earlier deltas only; pinned by processing
+    the same batch id twice and requiring byte-identical results."""
+    from llm_scraper_spark.streaming.ingest import crawl_batch_processor
+
+    state = str(tmp_path / "state")
+    proc = crawl_batch_processor(spark, state, default_budget=2)
+    b0 = spark.createDataFrame(
+        [("https://h1.com/a", 0), ("https://h1.com/b", 1),
+         ("https://h2.com/x", 2)], "url string, seq long")
+    b1 = spark.createDataFrame(
+        [("https://h1.com/a", 3), ("https://h1.com/c", 4)],
+        "url string, seq long")
+
+    def snapshot():
+        got = spark.read.option(
+            "basePath", f"{state}/schedule_log").parquet(
+            f"{state}/schedule_log")
+        return sorted((int(r["batch"]), r["url"], int(r["seq"]),
+                       int(r["sched_rank"])) for r in got.collect())
+
+    proc(b0, 0)
+    proc(b1, 1)
+    want = snapshot()
+    assert [u for b, u, _, _ in want if b == 1] == ["https://h1.com/c"]
+    # redeliver BOTH batches (sink-failure replay): results identical
+    proc(b1, 1)
+    assert snapshot() == want
+    proc(b0, 0)
+    assert snapshot() == want
