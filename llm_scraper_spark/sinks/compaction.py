@@ -138,7 +138,9 @@ def _row_counts(spark: SparkSession, table_dir: str,
             if not f.startswith("/"):
                 f = "/" + f
         by_abs[os.path.normpath(f)] = int(r["n"])
-    return {rel: by_abs[os.path.normpath(os.path.join(table_dir, rel))]
+    # a zero-row part file never appears in the grouped scan — weight 0
+    # (it still joins some group and is GC'd with it)
+    return {rel: by_abs.get(os.path.normpath(os.path.join(table_dir, rel)), 0)
             for rel, _ in files}
 
 

@@ -122,3 +122,19 @@ def test_crash_after_commit_rolls_forward(spark, tmp_path, monkeypatch):
     assert len(data_files(table)) == 1
     # finish is idempotent: a second recover is a no-op
     assert recover_compaction(table) == "clean"
+
+
+def test_zero_row_part_file_compacts_away(spark, tmp_path):
+    """A zero-row part (an empty wave's commit) gets weight 0 in the
+    row-count plan, joins a group, and is GC'd with it."""
+    table = str(tmp_path / "t")
+    spark.range(0, 50).selectExpr(
+        "id AS doc_id", "0 AS wave", "md5(id::string) AS payload"
+    ).coalesce(1).write.parquet(f"{table}/wave=0")
+    spark.range(0, 0).selectExpr(
+        "id AS doc_id", "0 AS wave", "md5(id::string) AS payload"
+    ).coalesce(1).write.parquet(f"{table}/wave=1")
+    before = _content(spark, table)
+    stats = compact_files(spark, table, capacity=1_000_000, by_rows=True)
+    assert stats["files_after"] == 1
+    assert _content(spark, table) == before
