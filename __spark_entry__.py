@@ -5600,6 +5600,26 @@ WHERE jaccard < 0.9 AND {u} < 0.5
 ORDER BY id_a, id_b"""
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (Sennrich'16) over the documents
+    corpus: one corpus pass builds the word histogram, then 6 merge
+    rounds run on the vocabulary table — pair counts, deterministic
+    argmax, greedy leftmost-non-overlapping merge fold. The oracle
+    unrolls all 6 rounds; the fold is the same step function in
+    Spark aggregate() and DuckDB list_reduce."""
+    from llm_scraper_spark.operators.bpe import bpe_learn_merges
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_learn_merges(docs, n_merges=6).orderBy("merge_rank")
+
+
+def _bpe_merges_oracle_sql() -> str:
+    from llm_scraper_spark.operators.bpe import bpe_oracle_sql
+
+    # bpe_oracle_sql already ends in ORDER BY merge_rank
+    return bpe_oracle_sql("SELECT text FROM documents", n_merges=6)
+
+
 def q_stream_crawl(spark, sf_dir):
     """The composed CONTINUOUS crawl under the driver gate (VERDICT r3
     #7): stream_crawl (micro-batch == wave: canonicalize -> in-batch
@@ -5902,6 +5922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "compaction_exec": q_compaction_exec,
         "stream_crawl": q_stream_crawl,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -6262,6 +6283,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_oracle_sql(),
         "compaction_exec": _compaction_exec_oracle_sql(),
         "stream_crawl": _stream_crawl_oracle_sql(),
+        "bpe_merges": _bpe_merges_oracle_sql(),
         "authority_budgets": _authority_budgets_oracle_sql(),
         "robots_gating": _robots_gating_oracle_sql(),
         "interleave_pack": _interleave_pack_oracle_sql(),

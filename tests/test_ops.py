@@ -3340,3 +3340,63 @@ def test_mercator_null_delay_matches_duckdb(spark):
     # the NULL-delay host fell back to 750ms spacing
     by_url = {r[0]: r for r in got}
     assert by_url["u3"][6] == 750  # ready_ms of host_pos 1
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (round 4)
+# ---------------------------------------------------------------------------
+
+def test_bpe_learn_merges_textbook_corpus(spark):
+    """The Sennrich'16 running example shape: 'low/lower/lowest/new/
+    newer/newest' — first merges must build 'low' and 'ew' from
+    character pairs, with exact weighted pair counts."""
+    from llm_scraper_spark.operators.bpe import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=5).collect()]
+    assert got == [
+        (0, "l", "o", 6), (1, "lo", "w", 6), (2, "low", "</w>", 4),
+        (3, "e", "w", 3), (4, "n", "ew", 3)]
+
+
+def test_bpe_greedy_nonoverlapping_fold(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] (leftmost greedy),
+    not [aa, a, a] — a naive space-delimited string replace gets this
+    wrong by consuming the shared delimiter."""
+    from llm_scraper_spark.operators.bpe import bpe_learn_merges
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa aa")],
+                                 "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=3).collect()]
+    # round 1: (a,a) x (3 per 'aaaa' x2) + 1 = 7; round 2: 'aa </w>'
+    # appears in all three words once merged -> (aa, </w>) = 3
+    assert got[0] == (0, "a", "a", 7)
+    assert got[1] == (1, "aa", "</w>", 3)
+
+
+def test_bpe_matches_duckdb_and_stops_early(spark):
+    import duckdb
+
+    from llm_scraper_spark.operators.bpe import (
+        bpe_learn_merges, bpe_oracle_sql)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the dog ate the cat food",
+             "a cat and a dog", "mat on the flat mat!"])],
+        "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=8).collect()]
+    vals = " UNION ALL ".join(
+        f"SELECT '{t}' AS text" for t in
+        ["the cat sat on the mat", "the dog ate the cat food",
+         "a cat and a dog", "mat on the flat mat!"])
+    want = duckdb.connect().execute(
+        bpe_oracle_sql(vals, n_merges=8)).fetchall()
+    assert got == [tuple(r) for r in want]
+    # early stop: a corpus with no repeated pair yields no merges past
+    # the singleton floor instead of degenerate rows
+    tiny = spark.createDataFrame([(1, "q")], "doc_id long, text string")
+    few = bpe_learn_merges(tiny, n_merges=5).collect()
+    assert len(few) <= 1
