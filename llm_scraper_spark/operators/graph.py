@@ -1838,7 +1838,7 @@ FROM agg"""
 
 def salsa_scores(edges: DataFrame, iterations: int = 3,
                  rank_one: int = RANK_ONE,
-                 checkpoint_interval: int = 4) -> DataFrame:
+                 checkpoint_interval: int = 1) -> DataFrame:
     """SALSA — Stochastic Approach for Link-Structure Analysis (Lempel &
     Moran, WWW 2000): HITS with the mutual-reinforcement sums replaced by
     RANDOM-WALK averages. Where HITS lets one dense link farm inflate
