@@ -495,8 +495,32 @@ def run_profile_wave(reps: int = 2) -> dict:
     best["hw_units_per_sec"] = hw
     best["ts"] = round(time.time(), 1)
     best["cpus"] = cpus
-    with open(os.path.join(REPO, "BENCH", "wave_profile.json"), "w") as f:
-        json.dump(best, f, indent=2)
+    # best-window-of-all-attempts with full history (same protocol as the
+    # scaling ledger): a degraded-host attempt must not overwrite a
+    # quiet-window profile, but every attempt stays visible
+    path = os.path.join(REPO, "BENCH", "wave_profile.json")
+    prior = None
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except ValueError:
+            prior = None
+    history = (prior or {}).get("attempts", [])
+    if prior and "urls_per_sec" in prior and not history:
+        history = [{"ts": prior.get("ts"), "sec": prior.get("sec"),
+                    "urls_per_sec": prior.get("urls_per_sec"),
+                    "hw_units_per_sec": prior.get("hw_units_per_sec")}]
+    history.append({"ts": best["ts"], "sec": best["sec"],
+                    "urls_per_sec": best["urls_per_sec"],
+                    "hw_units_per_sec": hw})
+    if prior and prior.get("urls_per_sec", 0) > best["urls_per_sec"]:
+        keep = dict(prior)
+    else:
+        keep = best
+    keep["attempts"] = history
+    with open(path, "w") as f:
+        json.dump(keep, f, indent=2)
     render_scaling_md()
     return best
 
@@ -530,7 +554,13 @@ def _wave_profile_section() -> str:
         "jobs), while `state_writes` is the wall actually spent BLOCKED\n"
         "at the commit barrier, i.e. the only serial cost left.\n\n"
         "| phase | median sec |\n|---|---|\n" + rows +
-        f"\nSeed-init phase walls: {init_line}.\n\n"
+        f"\nSeed-init phase walls: {init_line}.\n"
+        + ("\nAll profile attempts (best window kept above; the shared "
+           "host flaps — see the hw probe per attempt): "
+           + ", ".join(
+               f"{a['sec']}s@hw{a.get('hw_units_per_sec')}"
+               for a in p.get("attempts", [])) + ".\n\n"
+           if p.get("attempts") else "\n")
     )
 
 
