@@ -3008,10 +3008,9 @@ def q_substring_dedup(spark, sf_dir):
     from llm_scraper_spark.operators.dedup import duplicated_substring_spans
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = duplicated_substring_spans(
+    return _run_small(spark, lambda: duplicated_substring_spans(
         docs, window=5, min_docs=2, hash_family="md5"
-    ).orderBy("doc_id", "span_start")
-    return _run_small(spark, out)
+    ).orderBy("doc_id", "span_start"))
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -4400,7 +4399,9 @@ def q_salsa_scores(spark, sf_dir):
     edges = docs.select(
         _pagerank_host(":s").alias("src"), _pagerank_host(":d").alias("dst")
     )
-    return _run_small(spark, salsa_scores(edges, iterations=3)
+    # lambda defers the build (and salsa's eager per-round checkpoints)
+    # until _run_small has scoped the small-data partition count
+    return _run_small(spark, lambda: salsa_scores(edges, iterations=3)
                       .orderBy("host"))
 
 

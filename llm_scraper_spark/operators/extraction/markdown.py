@@ -138,7 +138,10 @@ def _md(node: Node, depth: int = 0, in_code: bool = False) -> str:
         p, s, text = _chomp(inner)
         if not (href and text):
             return text
-        if text.replace(r"\_", "_") == href and not title:
+        # autolink check must un-escape every char the text escaper
+        # escaped (markdownify compares pre-escape text to href): both
+        # \_ and \* or an href containing '*' never matches
+        if text.replace(r"\_", "_").replace(r"\*", "*") == href and not title:
             return f"{p}<{href}>{s}"
         title_part = ' "{}"'.format(title.replace('"', '\\"')) if title else ""
         return f"{p}[{text}]({href}{title_part}){s}"

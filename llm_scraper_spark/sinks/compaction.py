@@ -20,9 +20,12 @@ Protocol:
    because parquet byte sizes are encoder-dependent while row counts are
    engine-portable).
 3. Each multi-file group is rewritten into ``_compacting/part-compact-
-   g<N>.parquet`` (read exactly that group's files, coalesce(1));
-   single-file groups are RETAINED in place — no write amplification
-   for already-right-sized files.
+   e<E>-g<N>.parquet`` (read exactly that group's files, coalesce(1));
+   ``E`` is a per-pass epoch (1 + max epoch among committed files), so
+   output names are collision-free across passes — a re-compaction can
+   never overwrite a RETAINED file from a prior pass. Single-file
+   groups are RETAINED in place — no write amplification for
+   already-right-sized files.
 4. COMMIT: a manifest json (new-file moves + obsolete inputs) is
    fsynced and atomically renamed to ``_compaction_manifest.json`` —
    the single commit point.
@@ -47,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 
@@ -55,6 +59,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 MANIFEST = "_compaction_manifest.json"
 STAGE = "_compacting"
 DEFAULT_TARGET = 128 * 1024 * 1024
+_EPOCH_RE = re.compile(r"part-compact-e(\d+)-g\d+\.parquet$")
+
+
+def _next_epoch(files: list[tuple[str, int]]) -> int:
+    """1 + the highest compaction epoch among committed files. Output
+    names carry this epoch (part-compact-e<E>-g<N>.parquet), so a pass
+    can never name an output after a RETAINED file from a prior pass —
+    the collision that used to let _finish's os.replace overwrite a
+    bystander whose rows were never rewritten. Legacy un-epoched
+    part-compact-g<N> names count as epoch 0."""
+    best = 0
+    for rel, _ in files:
+        m = _EPOCH_RE.search(os.path.basename(rel))
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
 
 
 def data_files(table_dir: str) -> list[tuple[str, int]]:
@@ -88,10 +108,9 @@ def _finish(table_dir: str) -> None:
         if os.path.exists(src):
             os.replace(src, dst)
     for rel in manifest["old"]:
-        # a re-compaction can reuse an input's name for its output
-        # (part-compact-gN in, part-compact-gN out): the move above
-        # already atomically replaced it — deleting would drop the NEW
-        # file
+        # legacy (pre-epoch) manifests could reuse an input's name for
+        # an output: the move above already atomically replaced it —
+        # deleting would drop the NEW file
         if rel in dsts:
             continue
         p = os.path.join(table_dir, rel)
@@ -191,11 +210,14 @@ def compact_files(spark: SparkSession, table_dir: str,
     stage = os.path.join(table_dir, STAGE)
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
+    epoch = _next_epoch(files)
+    retained_names = set()
     new, old, retained = [], [], 0
     for g in sorted(groups):
         inputs = groups[g]
         if len(inputs) == 1:
             retained += 1
+            retained_names.add(inputs[0])
             continue
         out_tmp = os.path.join(stage, f"g{g}")
         (spark.read.parquet(*[os.path.join(table_dir, rel)
@@ -204,13 +226,19 @@ def compact_files(spark: SparkSession, table_dir: str,
         part = [n for n in os.listdir(out_tmp)
                 if n.endswith(".parquet") and not n.startswith(("_", "."))]
         assert len(part) == 1, part
-        staged_rel = os.path.join(STAGE, f"part-compact-g{g}.parquet")
+        dst = f"part-compact-e{epoch}-g{g}.parquet"
+        staged_rel = os.path.join(STAGE, dst)
         os.replace(os.path.join(out_tmp, part[0]),
                    os.path.join(table_dir, staged_rel))
         shutil.rmtree(out_tmp)
-        new.append({"src": staged_rel,
-                    "dst": f"part-compact-g{g}.parquet"})
+        new.append({"src": staged_rel, "dst": dst})
         old.extend(inputs)
+    # belt-and-braces: the epoch scheme makes every dst fresh; if that
+    # invariant is ever broken, fail BEFORE the commit point (nothing
+    # staged is visible, rollback is automatic) rather than overwrite
+    # a retained file's rows
+    clobbered = {mv["dst"] for mv in new} & retained_names
+    assert not clobbered, f"compaction dst collides with retained {clobbered}"
 
     # COMMIT: fsync'd manifest + atomic rename (crash before = rollback,
     # crash after = roll forward; same shape as CrawlState._write_ledger)

@@ -124,6 +124,46 @@ def test_crash_after_commit_rolls_forward(spark, tmp_path, monkeypatch):
     assert recover_compaction(table) == "clean"
 
 
+def test_recompaction_never_clobbers_retained_files(spark, tmp_path):
+    """ADVICE r4 (high): a rewritten group's output name must never
+    collide with a RETAINED file from a prior pass. Reproduces the
+    reported scenario — 11 prior compact outputs (80 rows each) + 5 new
+    wave files (40 rows each), capacity=100 by_rows — where lexicographic
+    path sort (g10 < g2) shifts group ids and pack groups span ~2x
+    capacity, so an un-epoched dst name equals a retained bystander and
+    os.replace silently drops its rows. Epoch naming makes every dst
+    fresh; total rows must survive arbitrary re-compaction passes."""
+    table = str(tmp_path / "t")
+    # 11 single-file outputs named like a prior pass's legacy outputs
+    os.makedirs(table)
+    for g in range(11):
+        df = spark.range(g * 80, (g + 1) * 80).selectExpr(
+            "id AS doc_id", "0 AS wave", "md5(id::string) AS payload")
+        tmp = f"{table}/_stage_g{g}"
+        df.coalesce(1).write.parquet(tmp)
+        part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
+        os.replace(os.path.join(tmp, part[0]),
+                   os.path.join(table, f"part-compact-g{g}.parquet"))
+        import shutil
+        shutil.rmtree(tmp)
+    # 5 fresh wave files, 40 rows each
+    for w in range(5):
+        spark.range(880 + w * 40, 880 + (w + 1) * 40).selectExpr(
+            "id AS doc_id", "1 AS wave", "md5(id::string) AS payload"
+        ).coalesce(1).write.parquet(f"{table}/wave={w}")
+    before = _content(spark, table)
+    assert len(before) == 11 * 80 + 5 * 40  # 1080
+    stats = compact_files(spark, table, capacity=100, by_rows=True)
+    assert _content(spark, table) == before, "re-compaction lost rows"
+    assert stats["retained"] + stats["rewritten"] == stats["groups"]
+    # epochs advance: a further pass also preserves everything
+    compact_files(spark, table, capacity=500, by_rows=True)
+    assert _content(spark, table) == before
+    compact_files(spark, table, capacity=1 << 40)
+    assert _content(spark, table) == before
+    assert len(data_files(table)) == 1
+
+
 def test_zero_row_part_file_compacts_away(spark, tmp_path):
     """A zero-row part (an empty wave's commit) gets weight 0 in the
     row-count plan, joins a group, and is GC'd with it."""

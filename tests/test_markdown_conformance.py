@@ -39,6 +39,10 @@ CASES = [
     ("a_autolink_underscore",
      '<a href="https://g.com/path_x">https://g.com/path_x</a>',
      "<https://g.com/path_x>"),
+    ("a_autolink_asterisk",  # ADVICE r4: '*' escapes to \* in text; the
+     # autolink equality must un-escape it too or this renders [t](href)
+     '<a href="https://g.com/a*b">https://g.com/a*b</a>',
+     "<https://g.com/a*b>"),
     ("a_title_quotes",
      '<a href="http://google.com" title=\'The "G" page\'>Google</a>',
      '[Google](http://google.com "The \\"G\\" page")'),
