@@ -75,11 +75,16 @@ def synthetic_fetcher(n_hosts: int = 50, fanout: int = 4) -> Fetcher:
     return fetch
 
 
-def http_fetcher(timeout_s: float = 15.0, max_concurrent_per_task: int = 8) -> Fetcher:
+def http_fetcher(timeout_s: float = 15.0, max_concurrent_per_task: int = 8,
+                 user_agent: str = "llm-scraper-spark/0.1") -> Fetcher:
     """Real network fetcher: bounded thread-pool urllib GETs inside
     mapInPandas (reference envelope: 8 concurrent, 15s timeout,
-    scraper.py:37-41, worker.py:31-32). Link/media extraction uses the
-    stdlib extraction engine. Not exercised in the sandbox (no network)."""
+    follow_redirects=True, src/llm_scraper/scraper.py:37-41,
+    worker.py:31-32). Parity with scrape_url (scraper.py:88-109):
+    4xx/5xx raise and the page fails (ok=False, crawl continues), and
+    links/media absolutize against the POST-redirect URL — the
+    reference passes ``str(response.url)`` to Article.from_html.
+    Exercised by the loopback battery in tests/test_http_fetch.py."""
 
     def fetch(scheduled: DataFrame) -> DataFrame:
         cols = ["url", "canonical_url", "host", "salt", "url_hash",
@@ -94,11 +99,12 @@ def http_fetcher(timeout_s: float = 15.0, max_concurrent_per_task: int = 8) -> F
 
             def get(url: str):
                 try:
-                    req = Request(url, headers={"User-Agent": "llm-scraper-spark/0.1"})
+                    req = Request(url, headers={"User-Agent": user_agent})
                     with urlopen(req, timeout=timeout_s) as resp:
                         html = resp.read().decode("utf-8", errors="ignore")
+                        final_url = resp.geturl()  # post-redirect base
                     root = parse_html(html)
-                    text, links, media = extract_links_and_media(root, url)
+                    text, links, media = extract_links_and_media(root, final_url)
                     return text, links, media, True
                 except Exception:
                     return "", [], [], False
