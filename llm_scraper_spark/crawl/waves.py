@@ -45,38 +45,108 @@ FETCH_RESULT_DDL = (
     "outlinks array<string>, media_refs array<string>, ok boolean"
 )
 
+# the FUSED fetch contract (r5): canonicalization of outlinks, the
+# chunker, and the uuid5 doc id all run inside the fetch batch — the
+# page corpus crosses the Arrow boundary ONCE instead of three times
+# (fetch out, chunker in/out, canonicalize in/out). The wave loop
+# detects the extra columns and skips its own spans/canonicalize
+# stages; url_hash stays native xxhash64 (JVM, after the explode).
+SPAN_DDL = ("array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+FETCH_FUSED_DDL = (
+    "url string, canonical_url string, host string, salt int, url_hash long, "
+    "priority double, wave int, seq long, "
+    f"doc_id string, spans {SPAN_DDL}, "
+    "outlinks_canon array<struct<url:string,canonical_url:string,"
+    "host:string>>, ok boolean"
+)
+
 Fetcher = Callable[[DataFrame], DataFrame]
 
+_FETCH_COLS = ["url", "canonical_url", "host", "salt", "url_hash",
+               "priority", "wave", "seq"]
 
-def synthetic_fetcher(n_hosts: int = 50, fanout: int = 4) -> Fetcher:
+
+def _fused_frame(pdf, contents, outlinks_list, media_list, oks):
+    """Build the fused-output batch: spans + doc_id + canonicalized
+    outlink structs, with ONE canonicalize pass over the batch's
+    flattened outlinks (same canonicalize_batch the standalone UDF
+    uses, so the fused and unfused paths agree byte-for-byte)."""
+    import pandas as pd
+
+    from ..functions.urls import canonicalize_batch
+    from ..operators.chunker import (
+        chunk_by_token_estimate, doc_id_for_url, interleave_spans)
+
+    out = pdf[_FETCH_COLS].copy()
+    out["doc_id"] = [doc_id_for_url(u) if isinstance(u, str) else None
+                     for u in pdf["canonical_url"]]
+    out["spans"] = [
+        interleave_spans(
+            chunk_by_token_estimate(c if isinstance(c, str) else ""),
+            [m for m in (refs if refs is not None else [])],
+        )
+        for c, refs in zip(contents, media_list)
+    ]
+    flat = [u for links in outlinks_list for u in links]
+    if flat:
+        cdf = canonicalize_batch(pd.Series(flat))
+        canon = cdf["canonical_url"].tolist()
+        hosts = cdf["host"].tolist()
+    else:
+        canon, hosts = [], []
+    structs, i = [], 0
+    for links in outlinks_list:
+        structs.append([
+            {"url": links[j], "canonical_url": canon[i + j],
+             "host": hosts[i + j]}
+            for j in range(len(links))
+        ])
+        i += len(links)
+    out["outlinks_canon"] = structs
+    out["ok"] = oks
+    return out
+
+
+def synthetic_fetcher(n_hosts: int = 50, fanout: int = 4,
+                      fused: bool = True) -> Fetcher:
     """Deterministic offline fetcher over the synthetic web (sources/synthetic.py).
 
     mapInPandas: one Arrow batch in, pages out — the slot where a real
     deployment runs bounded async HTTP (http_fetcher below).
+    ``fused=True`` (default, the production path) chunks + canonicalizes
+    in-batch (see FETCH_FUSED_DDL); ``fused=False`` emits the plain
+    content/outlinks contract for archive mode and schema tests.
     """
 
     def fetch(scheduled: DataFrame) -> DataFrame:
-        cols = ["url", "canonical_url", "host", "salt", "url_hash",
-                "priority", "wave", "seq"]
-
         def gen(batches):
             for pdf in batches:
                 pages = [synth_page(u, n_hosts=n_hosts, fanout=fanout)
                          for u in pdf["url"]]
-                out = pdf[cols].copy()
-                out["content"] = [p["content"] for p in pages]
-                out["outlinks"] = [p["outlinks"] for p in pages]
-                out["media_refs"] = [p["media_refs"] for p in pages]
-                out["ok"] = True
-                yield out
+                contents = [p["content"] for p in pages]
+                outlinks = [p["outlinks"] for p in pages]
+                media = [p["media_refs"] for p in pages]
+                if fused:
+                    yield _fused_frame(pdf, contents, outlinks, media,
+                                       [True] * len(pages))
+                else:
+                    out = pdf[_FETCH_COLS].copy()
+                    out["content"] = contents
+                    out["outlinks"] = outlinks
+                    out["media_refs"] = media
+                    out["ok"] = True
+                    yield out
 
-        return scheduled.select(*cols).mapInPandas(gen, schema=FETCH_RESULT_DDL)
+        return scheduled.select(*_FETCH_COLS).mapInPandas(
+            gen, schema=FETCH_FUSED_DDL if fused else FETCH_RESULT_DDL)
 
     return fetch
 
 
 def http_fetcher(timeout_s: float = 15.0, max_concurrent_per_task: int = 8,
-                 user_agent: str = "llm-scraper-spark/0.1") -> Fetcher:
+                 user_agent: str = "llm-scraper-spark/0.1",
+                 fused: bool = True) -> Fetcher:
     """Real network fetcher: bounded thread-pool urllib GETs inside
     mapInPandas (reference envelope: 8 concurrent, 15s timeout,
     follow_redirects=True, src/llm_scraper/scraper.py:37-41,
@@ -87,9 +157,6 @@ def http_fetcher(timeout_s: float = 15.0, max_concurrent_per_task: int = 8,
     Exercised by the loopback battery in tests/test_http_fetch.py."""
 
     def fetch(scheduled: DataFrame) -> DataFrame:
-        cols = ["url", "canonical_url", "host", "salt", "url_hash",
-                "priority", "wave", "seq"]
-
         def gen(batches):
             from concurrent.futures import ThreadPoolExecutor
             from urllib.request import Request, urlopen
@@ -112,14 +179,30 @@ def http_fetcher(timeout_s: float = 15.0, max_concurrent_per_task: int = 8,
             with ThreadPoolExecutor(max_workers=max_concurrent_per_task) as pool:
                 for pdf in batches:
                     results = list(pool.map(get, pdf["url"]))
-                    out = pdf[cols].copy()
-                    out["content"] = [r[0] for r in results]
-                    out["outlinks"] = [r[1] for r in results]
-                    out["media_refs"] = [r[2] for r in results]
-                    out["ok"] = [r[3] for r in results]
+                    contents = [r[0] for r in results]
+                    outlinks = [r[1] for r in results]
+                    media = [r[2] for r in results]
+                    oks = [r[3] for r in results]
+                    if fused:
+                        out = _fused_frame(pdf, contents, outlinks, media, oks)
+                        # the raw page text rides along: the WARC archive
+                        # and parity tests need it, and for live HTTP the
+                        # network dominates — the extra columns are noise
+                        out["content"] = contents
+                        out["outlinks"] = outlinks
+                        out["media_refs"] = media
+                    else:
+                        out = pdf[_FETCH_COLS].copy()
+                        out["content"] = contents
+                        out["outlinks"] = outlinks
+                        out["media_refs"] = media
+                        out["ok"] = oks
                     yield out
 
-        return scheduled.select(*cols).mapInPandas(gen, schema=FETCH_RESULT_DDL)
+        schema = (FETCH_FUSED_DDL + ", content string, "
+                  "outlinks array<string>, media_refs array<string>"
+                  if fused else FETCH_RESULT_DDL)
+        return scheduled.select(*_FETCH_COLS).mapInPandas(gen, schema=schema)
 
     return fetch
 
@@ -174,6 +257,14 @@ class CrawlRun:
             raise ValueError(f"unknown seen_filter {seen_filter!r}")
         self.seen_filter = seen_filter
         self._bloom = None  # standing filter, delta-merged per wave
+        # in-flight delta merge (see _join_bloom_delta): the per-wave
+        # delta build+merge is NOT state — only the NEXT wave's dedup
+        # needs it — so it runs on this single persistent thread PAST the
+        # commit barrier and is joined lazily at its first use. A crash
+        # in between loses only in-memory bits; resume rebuilds from the
+        # committed seen table.
+        self._bloom_fut = None
+        self._bloom_pool = None
         # fold the delta frontier every N waves (state.compact_frontier):
         # bounds both the per-read delta dir count and the tombstone
         # anti-join side (<= N waves x budget rows). 0 disables.
@@ -193,6 +284,26 @@ class CrawlRun:
         self.deny_patterns = deny_patterns
 
     # ------------------------------------------------------------------
+    def _join_bloom_delta(self) -> float:
+        """Join the previous wave's in-flight delta merge. Returns the
+        wall spent BLOCKED here (usually ~0: the merge ran during the
+        previous commit barrier + this wave's schedule/fetch)."""
+        if self._bloom_fut is None:
+            return 0.0
+        import time as _time
+
+        t0 = _time.time()
+        self._bloom_fut.result()
+        self._bloom_fut = None
+        # the delta job was the last reader of its wave's new-rows
+        # checkpoint — safe to free those blocks now
+        ids = getattr(self, "_bloom_ck_ids", None)
+        if ids:
+            release_checkpoint(self.spark, set(ids))
+            self._bloom_ck_ids = None
+        self._last_bloom_join_wait = round(_time.time() - t0, 3)
+        return self._last_bloom_join_wait
+
     def _standing_bloom(self, seen_df: DataFrame | None):
         """Maintain the standing seen filter (Bloom or cuckoo) across
         waves: build executor-side from the full seen table only when
@@ -201,6 +312,10 @@ class CrawlRun:
         10^10-row table (VERDICT #4)."""
         if self.seen_filter is None or seen_df is None:
             return None
+        # the previous wave's delta must be merged before this wave
+        # tags candidates: a missing merge would mark last wave's URLs
+        # "definitely new" and re-enqueue them (false negative)
+        self._join_bloom_delta()
         if self._bloom is None or self._bloom.saturated():
             # next_seq == total URLs ever enqueued == |seen| (seq is
             # assigned per enqueue), so capacity needs no counting job
@@ -355,6 +470,12 @@ class CrawlRun:
                        _ck, wave_ck, pool, write_futs, _submit_write):
         import time as _time
 
+        # with the filter disabled the tag path (whose _standing_bloom
+        # joins the previous wave's delta future) never runs — join the
+        # trivial future here to keep the single-in-flight invariant
+        if self.seen_filter is None:
+            self._join_bloom_delta()
+
         if self.robots is not None:
             pending_gated = gate_frontier(pending, self.robots)
         else:
@@ -392,6 +513,11 @@ class CrawlRun:
 
             from ..sources.warc import write_warc_cdx
 
+            if "content" not in pages.columns:
+                raise ValueError(
+                    "archive_dir needs the page payload: use a fetcher "
+                    "that emits 'content' (http_fetcher, or "
+                    "synthetic_fetcher(fused=False))")
             arc_dir = os.path.join(self.archive_dir, f"wave={wave}")
             recs = pages.select(
                 F.col("url").alias("target_uri"),
@@ -416,44 +542,70 @@ class CrawlRun:
         seen_df = st.read_seen(wave)
         bloom = self._standing_bloom(seen_df)
         _mark("bloom_standing")
+        # wall actually BLOCKED waiting on the previous wave's deferred
+        # delta merge (inside bloom_standing above; usually ~0 — the
+        # merge ran during the previous commit barrier + this fetch)
+        timings["bloom_delta"] = getattr(self, "_last_bloom_join_wait", 0.0)
+        self._last_bloom_join_wait = 0.0
 
         # --- documents: uuid5 doc id + interleaved spans (production 512/50)
-        docs = (
-            pages.filter(F.col("ok"))
-            .withColumn("doc_id", uuid5_url(F.col("canonical_url")))
-            .withColumn("spans", spans_from_text(F.col("content"), F.col("media_refs")))
-            .select("doc_id", "spans", "url", "host", "wave", "seq")
-        )
-        # the slowest table write (chunker-UDF pass over every page) —
-        # launch now so it runs under the discovery/dedup/seq phases
+        fused = "spans" in pages.columns
+        if fused:
+            # fused fetch contract: doc_id + spans were computed inside
+            # the fetch batch — the page corpus never re-crosses the
+            # Arrow boundary for chunking
+            docs = (pages.filter(F.col("ok"))
+                    .select("doc_id", "spans", "url", "host", "wave", "seq"))
+        else:
+            docs = (
+                pages.filter(F.col("ok"))
+                .withColumn("doc_id", uuid5_url(F.col("canonical_url")))
+                .withColumn("spans", spans_from_text(F.col("content"),
+                                                     F.col("media_refs")))
+                .select("doc_id", "spans", "url", "host", "wave", "seq")
+            )
+        # the slowest table write (the full span payload) — launch now so
+        # it runs under the discovery/dedup/seq phases
         _submit_write("write_documents", "documents", wave, docs)
 
         # --- discovery: outlinks -> canonical -> in-wave dedup -> unseen
-        links = (
-            pages.select(
-                F.col("seq").alias("parent_seq"),
-                F.posexplode_outer(F.col("outlinks")).alias("link_idx", "url"),
-            )
-            .filter(F.col("url").isNotNull())
-            .withColumn(
-                "_disc_ord",
-                F.col("parent_seq") * F.lit(1_000_000) + F.col("link_idx"),
-            )
-        )
         # parent_seq/link_idx are folded into _disc_ord and nothing
-        # downstream reads them — dropping them here narrows the Arrow
-        # canonicalize batches AND the dedup shuffle rows. (A raw-url
-        # pre-dedup stage was A/B'd here and reverted: first-occurrence-
-        # by-raw-then-canonical is provably identical to by-canonical,
-        # but the extra narrow shuffle only pays when in-wave raw
-        # duplication is high — the bench web's is ~0.4%, and the
-        # canonical-stage min_by already absorbs real-web nav/footer
-        # repeats at one shuffle.)
-        # membership tag FUSED into the discovery checkpoint below
-        # (computed once during that materialization; previously each
-        # bloom-split branch re-ran the Arrow probe over every candidate)
-        cand = with_canonical(links.select("url", "_disc_ord"),
-                              key_hex=False)
+        # downstream reads them — dropping them narrows the dedup shuffle
+        # rows. membership tag FUSED into the discovery checkpoint below
+        # (computed once during that materialization).
+        if fused:
+            # outlinks arrive pre-canonicalized (struct per link); only
+            # the 64-bit hash stays JVM-side — native xxhash64, codegen
+            cand = (
+                pages.select(
+                    F.col("seq").alias("parent_seq"),
+                    F.posexplode_outer(F.col("outlinks_canon"))
+                    .alias("link_idx", "_l"),
+                )
+                .filter(F.col("_l").isNotNull())
+                .select(
+                    F.col("_l.url").alias("url"),
+                    F.col("_l.canonical_url").alias("canonical_url"),
+                    F.col("_l.host").alias("host"),
+                    (F.col("parent_seq") * F.lit(1_000_000)
+                     + F.col("link_idx")).alias("_disc_ord"),
+                )
+                .withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
+            )
+        else:
+            links = (
+                pages.select(
+                    F.col("seq").alias("parent_seq"),
+                    F.posexplode_outer(F.col("outlinks")).alias("link_idx", "url"),
+                )
+                .filter(F.col("url").isNotNull())
+                .withColumn(
+                    "_disc_ord",
+                    F.col("parent_seq") * F.lit(1_000_000) + F.col("link_idx"),
+                )
+            )
+            cand = with_canonical(links.select("url", "_disc_ord"),
+                                  key_hex=False)
         if self.scope_filter:
             cand = self._apply_scope(cand)
         cand = seen_ops.first_occurrence_dedup(cand, "url_hash", "_disc_ord")
@@ -508,7 +660,10 @@ class CrawlRun:
                     "priority", "wave", "seq", "status")
             .observe(obs_new, F.count(F.lit(1)).alias("n"))
         )
-        new_frontier_rows = _ck(new_frontier_rows)
+        # tracked separately from wave_ck: the DEFERRED bloom-delta job
+        # (below) reads these blocks past the commit barrier, so they are
+        # released by _join_bloom_delta, not the wave-end sweep
+        new_frontier_rows, nfr_ids = local_checkpoint_tracked(new_frontier_rows)
         n_new = obs_new.get["n"]
         _mark("unseen_seq")
         # everything downstream of the new-rows checkpoint launches now
@@ -526,8 +681,12 @@ class CrawlRun:
         # incremental filter update: merge a delta built (executor-side,
         # against the already-checkpointed new rows) with the standing
         # filter's geometry — bitmap OR for the Bloom, fingerprint
-        # re-insert for the cuckoo. Runs concurrently with the state
-        # writes above (it is only needed by the NEXT wave's dedup).
+        # re-insert for the cuckoo. Runs on the PERSISTENT bloom thread:
+        # it is only needed by the NEXT wave's dedup, so it is NOT joined
+        # at this wave's commit barrier — it keeps running through the
+        # commit and the next wave's schedule/fetch, and _standing_bloom
+        # joins it right before the next tag (r4 profile: the join cost
+        # ~1.1s of pure barrier wall when it had to finish pre-commit).
         def _bloom_delta():
             if self._bloom is None or n_new <= 0:
                 return 0.0
@@ -542,7 +701,15 @@ class CrawlRun:
                 self._bloom.merge_(delta)
             return round(_time.time() - t0, 3)
 
-        bloom_fut = pool.submit(_bloom_delta)
+        if self._bloom_pool is None:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            self._bloom_pool = _TPE(max_workers=1)
+        # any prior in-flight merge was joined by _standing_bloom above
+        # (or by the defensive join in _run_wave_body's entry)
+        assert self._bloom_fut is None
+        self._bloom_ck_ids = nfr_ids
+        self._bloom_fut = self._bloom_pool.submit(_bloom_delta)
         _mark("bloom_delta_submit")
 
         # --- next pending = pending - scheduled + new
@@ -585,7 +752,6 @@ class CrawlRun:
         _tw0 = _time.time()
         for key, fut in write_futs.items():
             timings[key] = fut.result()
-        timings["bloom_delta"] = bloom_fut.result()
         pool.shutdown(wait=True)
         _t0 = _time.time()
         timings["state_writes"] = round(_t0 - _tw0, 3)
@@ -628,4 +794,10 @@ class CrawlRun:
         stats = []
         for wave in range(last + 1, n_waves):
             stats.append(self.run_wave(wave))
+        # settle the last wave's deferred delta merge (releases its
+        # checkpoint blocks) and park the bloom thread
+        self._join_bloom_delta()
+        if self._bloom_pool is not None:
+            self._bloom_pool.shutdown(wait=True)
+            self._bloom_pool = None
         return stats
