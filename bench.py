@@ -149,10 +149,15 @@ def bench_wave_loop(spark, n_seeds: int, n_waves: int = 3,
     state_dir = tempfile.mkdtemp(prefix="bench_wave_loop_", dir=state_root)
     try:
         t0 = time.time()
+        # A/B knob for the bucketed catalog seen table (VERDICT r4 #2):
+        # SPARK_GRAFT_SEEN_LAYOUT=bucketed
+        seen_layout = os.environ.get("SPARK_GRAFT_SEEN_LAYOUT", "delta")
         run = CrawlRun(
             spark, state_dir,
             fetcher=synthetic_fetcher(n_hosts=n_hosts, fanout=fanout),
-            default_budget=budget, n_salts=4,
+            default_budget=budget, n_salts=4, seen_layout=seen_layout,
+            n_seen_buckets=int(os.environ.get("SPARK_GRAFT_SEEN_BUCKETS",
+                                              "32")),
         )
         stats = run.run(n_waves,
                         seeds=synth_seeds(spark, n_seeds, n_hosts=n_hosts))

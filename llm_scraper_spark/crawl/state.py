@@ -87,11 +87,27 @@ def _detect_iceberg_catalog(spark: SparkSession) -> str | None:
 
 class CrawlState:
     def __init__(self, spark: SparkSession, state_dir: str,
-                 iceberg_catalog: str | None = None):
+                 iceberg_catalog: str | None = None,
+                 seen_layout: str = "delta",
+                 n_seen_buckets: int = 32):
+        if seen_layout not in ("delta", "bucketed"):
+            raise ValueError(f"unknown seen_layout {seen_layout!r}")
         self.spark = spark
         self.dir = state_dir
         self.catalog = iceberg_catalog or _detect_iceberg_catalog(spark)
+        # "bucketed": the seen set lives in a bucketBy(url_hash) catalog
+        # table, so the per-wave dedup anti-join plans with ZERO Exchange
+        # on the seen side — at the 10^10 design point re-shuffling the
+        # biggest table in the system every wave is the dominant cost
+        # (sinks/bucketed.py rationale, wired here per VERDICT r4 #2).
+        self.seen_layout = seen_layout
+        self.n_seen_buckets = n_seen_buckets
         os.makedirs(state_dir, exist_ok=True)
+        recorded = self.read_ledger().get("seen_layout")
+        if recorded is not None and recorded != seen_layout:
+            raise ValueError(
+                f"state dir was created with seen_layout={recorded!r}; "
+                f"resume with the same layout (got {seen_layout!r})")
 
     # --- ledger ---------------------------------------------------------
     @property
@@ -124,6 +140,7 @@ class CrawlState:
         ledger["waves"].append({"wave": wave, "next_seq": next_seq, **stats})
         ledger["waves"].sort(key=lambda w: w["wave"])
         ledger["next_seq"] = next_seq
+        ledger["seen_layout"] = self.seen_layout
         self._write_ledger(ledger)
 
     def last_wave(self) -> int | None:
@@ -169,6 +186,8 @@ class CrawlState:
                     path = os.path.join(base, name)
                     shutil.rmtree(path, ignore_errors=True)
                     removed.append(path)
+        if self.seen_layout == "bucketed":
+            removed += self._clean_seen_bucketed()
         # frontier_base: only the ledger-named fold is live; any other dir
         # is an orphan of a crashed compaction
         basedir = os.path.join(self.dir, "frontier_base")
@@ -188,7 +207,125 @@ class CrawlState:
     def _tbl(self, table: str) -> str:
         return f"{self.catalog}.crawl.{table}"
 
+    # --- bucketed seen layout ------------------------------------------
+    # The seen set as a bucketBy(url_hash) parquet CATALOG table: every
+    # wave APPENDS its delta (<= n_buckets files), and the per-wave
+    # anti-join streams the seen side bucket-aligned with no Exchange.
+    # Crash protocol: the append lands files, then a per-wave sidecar
+    # (_files_wave_K.json) records exactly which files belong to wave K,
+    # then the ledger commits as usual. On resume, files of uncommitted
+    # waves (or covered by no sidecar at all — a mid-append crash) are
+    # deleted before replay, so the replayed append recreates them and
+    # the table never holds duplicate rows.
+
+    def _seen_table_name(self) -> str:
+        import hashlib
+
+        h = hashlib.md5(os.path.abspath(self.dir).encode()).hexdigest()[:12]
+        return f"seen_b_{h}"
+
+    def _seen_bucket_dir(self) -> str:
+        return os.path.join(self.dir, "seen_bucketed")
+
+    def _ensure_seen_table(self) -> str:
+        """Register the bucketed table in THIS session's catalog (catalog
+        metadata is session-scoped; the files are the durable state)."""
+        name = self._seen_table_name()
+        if not self.spark.catalog.tableExists(name):
+            os.makedirs(self._seen_bucket_dir(), exist_ok=True)
+            self.spark.sql(
+                f"CREATE TABLE {name} "
+                "(url_hash BIGINT, key_hex STRING, first_seen_wave INT) "
+                "USING PARQUET "
+                "CLUSTERED BY (url_hash) SORTED BY (url_hash) "
+                f"INTO {self.n_seen_buckets} BUCKETS "
+                f"LOCATION '{self._seen_bucket_dir()}'")
+        return name
+
+    def _seen_data_files(self) -> set[str]:
+        d = self._seen_bucket_dir()
+        if not os.path.isdir(d):
+            return set()
+        return {n for n in os.listdir(d)
+                if n.endswith(".parquet") and not n.startswith(("_", "."))}
+
+    def _write_seen_bucketed(self, wave: int, df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        name = self._ensure_seen_table()
+        before = self._seen_data_files()
+        (df.select("url_hash", "key_hex",
+                   F.col("first_seen_wave").cast("int"))
+         .write.mode("append").format("parquet")
+         .bucketBy(self.n_seen_buckets, "url_hash").sortBy("url_hash")
+         .saveAsTable(name))
+        added = sorted(self._seen_data_files() - before)
+        sidecar = os.path.join(self._seen_bucket_dir(),
+                               f"_files_wave_{wave}.json")
+        fd, tmp = tempfile.mkstemp(dir=self._seen_bucket_dir(),
+                                   suffix=".sidecar.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"wave": wave, "files": added}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, sidecar)
+
+    def _read_seen_bucketed(self, upto_wave: int) -> DataFrame | None:
+        from pyspark.sql import functions as F
+
+        committed = {w for w in self._committed_for("seen_delta")
+                     if w <= upto_wave}
+        if not committed or not os.path.isdir(self._seen_bucket_dir()):
+            return None
+        name = self._ensure_seen_table()
+        # bound by the LEDGER, not the caller's wave: between a crash and
+        # the resume's clean_uncommitted() the table can hold an
+        # uncommitted delta (or mid-append orphans) — waves commit in
+        # order, so first_seen_wave <= max(committed) is exactly the
+        # committed snapshot (same guarantee as the delta layout's
+        # per-dir reads)
+        return (self.spark.table(name)
+                .where(F.col("first_seen_wave") <= max(committed)))
+
+    def _clean_seen_bucketed(self) -> list[str]:
+        d = self._seen_bucket_dir()
+        if not os.path.isdir(d):
+            return []
+        committed = self._committed_for("seen_delta")
+        keep: set[str] = set()
+        removed = []
+        for n in sorted(os.listdir(d)):
+            if not (n.startswith("_files_wave_") and n.endswith(".json")):
+                continue
+            w = int(n[len("_files_wave_"):-len(".json")])
+            with open(os.path.join(d, n)) as f:
+                files = json.load(f)["files"]
+            if w in committed:
+                keep.update(files)
+            else:
+                for rel in files:
+                    p = os.path.join(d, rel)
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed.append(p)
+                os.remove(os.path.join(d, n))
+        # data files covered by NO sidecar = a mid-append crash's orphans
+        for n in sorted(self._seen_data_files() - keep):
+            p = os.path.join(d, n)
+            os.remove(p)
+            removed.append(p)
+        if removed:
+            # drop the session's cached file listing for the table — a
+            # stale index would read the just-deleted files
+            name = self._seen_table_name()
+            if self.spark.catalog.tableExists(name):
+                self.spark.catalog.refreshTable(name)
+        return removed
+
     def write(self, table: str, wave: int, df: DataFrame) -> None:
+        if table == "seen_delta" and self.seen_layout == "bucketed":
+            self._write_seen_bucketed(wave, df)
+            return
         if self.catalog:
             # Iceberg routing: replace exactly this wave's partition — one
             # atomic Iceberg snapshot commit per table, same ordered
@@ -313,6 +450,8 @@ class CrawlState:
         return self.read_pending(wave + 1)
 
     def read_seen(self, upto_wave: int) -> DataFrame | None:
+        if self.seen_layout == "bucketed":
+            return self._read_seen_bucketed(upto_wave)
         committed = self._committed_for("seen_delta")
         if self.catalog:
             waves = sorted(w for w in committed if w <= upto_wave)

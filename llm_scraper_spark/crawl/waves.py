@@ -227,9 +227,12 @@ class CrawlRun:
         archive_dir: str | None = None,
         archive_shards: int = 8,
         deny_patterns: DataFrame | None = None,
+        seen_layout: str = "delta",
+        n_seen_buckets: int = 32,
     ):
         self.spark = spark
-        self.state = CrawlState(spark, state_dir)
+        self.state = CrawlState(spark, state_dir, seen_layout=seen_layout,
+                                n_seen_buckets=n_seen_buckets)
         self.fetcher = fetcher or synthetic_fetcher()
         self.budgets = budgets
         self.robots = robots

@@ -20,14 +20,14 @@ def _mk_seeds(spark, n):
 
 
 def _run_spark_crawl(spark, tmp_path, n_seeds, n_waves, budget=3, robots=None,
-                     use_bloom=True, seen_filter=None):
+                     use_bloom=True, seen_filter=None, seen_layout="delta"):
     state_dir = str(tmp_path / "state")
     shutil.rmtree(state_dir, ignore_errors=True)
     run = CrawlRun(
         spark, state_dir,
         fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
         robots=robots, default_budget=budget, n_salts=4, use_bloom=use_bloom,
-        seen_filter=seen_filter,
+        seen_filter=seen_filter, seen_layout=seen_layout, n_seen_buckets=8,
     )
     run.run(n_waves, seeds=_mk_seeds(spark, n_seeds))
     return run
@@ -49,15 +49,20 @@ def _spark_schedule_log(run):
     ]
 
 
-@pytest.mark.parametrize("use_bloom,seen_filter", [
-    (True, "bloom"),    # default: sharded-Bloom pre-filter + anti-join
-    (True, "cuckoo"),   # cuckoo-filter pre-filter (operators/cuckoo.py)
-    (False, None),      # exact anti-join only
+@pytest.mark.parametrize("use_bloom,seen_filter,seen_layout", [
+    (True, "bloom", "delta"),    # default: sharded-Bloom + anti-join
+    (True, "cuckoo", "delta"),   # cuckoo-filter pre-filter
+    (False, None, "delta"),      # exact anti-join only
+    (True, "bloom", "bucketed"),    # bucketed catalog seen table
+    (False, None, "bucketed"),      # every candidate takes the
+                                    # exchange-free bucketed anti-join
 ])
-def test_crawl_matches_simulator(spark, tmp_path, use_bloom, seen_filter):
+def test_crawl_matches_simulator(spark, tmp_path, use_bloom, seen_filter,
+                                 seen_layout):
     n_seeds, n_waves, budget = 40, 3, 3
     run = _run_spark_crawl(spark, tmp_path, n_seeds, n_waves, budget,
-                           use_bloom=use_bloom, seen_filter=seen_filter)
+                           use_bloom=use_bloom, seen_filter=seen_filter,
+                           seen_layout=seen_layout)
     seed_urls = [r["url"] for r in
                  _mk_seeds(spark, n_seeds).orderBy("seq").collect()]
     sim = _sim(seed_urls, n_waves, budget)
@@ -308,6 +313,70 @@ def test_resume_after_midcommit_crash(spark, tmp_path, monkeypatch):
     assert a == b
     assert (full.state.read_ledger()["next_seq"]
             == run_b.state.read_ledger()["next_seq"])
+
+
+def test_bucketed_seen_crash_and_resume_exact(spark, tmp_path, monkeypatch):
+    """seen_layout='bucketed' (VERDICT r4 #2) under BOTH crash shapes:
+    (a) append + sidecar landed but the ledger never committed — resume
+    deletes the uncommitted wave's files by sidecar; (b) append landed
+    with NO sidecar (mid-append crash) — resume deletes the unlisted
+    orphans. Either way the replay recreates them and the final state
+    equals an uninterrupted run's, with zero duplicate rows in the
+    bucketed table."""
+    import os
+
+    from llm_scraper_spark.crawl.state import CrawlState
+
+    n_seeds, budget = 30, 3
+    full = _run_spark_crawl(spark, tmp_path / "full", n_seeds, 2, budget,
+                            seen_layout="bucketed")
+
+    for shape in ("after_sidecar", "mid_append"):
+        crash_dir = str(tmp_path / f"crash_{shape}" / "state")
+        run_a = CrawlRun(spark, crash_dir,
+                         fetcher=synthetic_fetcher(n_hosts=N_HOSTS,
+                                                   fanout=FANOUT),
+                         default_budget=budget, n_salts=4,
+                         seen_layout="bucketed", n_seen_buckets=8)
+        orig = CrawlState._write_seen_bucketed
+
+        def crashing(self, wave, df, _shape=shape):
+            if wave == 2:  # wave 1's delta
+                orig(self, wave, df)
+                if _shape == "mid_append":
+                    os.remove(os.path.join(self._seen_bucket_dir(),
+                                           "_files_wave_2.json"))
+                raise RuntimeError("simulated crash at bucketed append")
+            return orig(self, wave, df)
+
+        monkeypatch.setattr(CrawlState, "_write_seen_bucketed", crashing)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_a.run(2, seeds=_mk_seeds(spark, n_seeds))
+        monkeypatch.setattr(CrawlState, "_write_seen_bucketed", orig)
+
+        assert run_a.state.last_wave() == 0
+        # ledger-bounded read hides the uncommitted delta either way
+        seen_waves = {r["first_seen_wave"] for r in run_a.state.read_seen(2)
+                      .select("first_seen_wave").distinct().collect()}
+        assert seen_waves == {0, 1}
+
+        run_b = CrawlRun(spark, crash_dir,
+                         fetcher=synthetic_fetcher(n_hosts=N_HOSTS,
+                                                   fanout=FANOUT),
+                         default_budget=budget, n_salts=4,
+                         seen_layout="bucketed", n_seen_buckets=8)
+        run_b.run(2)
+
+        assert _spark_schedule_log(full) == _spark_schedule_log(run_b)
+        a = {r["key_hex"] for r in full.state.read_seen(2).collect()}
+        b_rows = run_b.state.read_seen(2).collect()
+        assert a == {r["key_hex"] for r in b_rows}
+        # replay left no duplicate rows behind
+        assert len(b_rows) == len({r["key_hex"] for r in b_rows})
+
+    # layout is recorded: resuming with the default delta layout refuses
+    with pytest.raises(ValueError, match="seen_layout"):
+        CrawlState(spark, str(tmp_path / "full" / "state"))
 
 
 def test_compaction_preserves_crawl_equality(spark, tmp_path):

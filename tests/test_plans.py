@@ -344,6 +344,39 @@ def test_wave_loop_python_stages_only_fetch_and_chunk(spark, tmp_path):
         assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
 
 
+def test_bucketed_seen_anti_join_no_exchange_on_seen_side(spark, tmp_path):
+    """seen_layout='bucketed' (VERDICT r4 #2): the per-wave dedup
+    anti-join against the bucketed catalog seen table must plan with
+    ZERO Exchange on the seen side — the candidate side shuffles into
+    the bucket partitioning, the 10^10-row side streams from disk
+    already lined up."""
+    from llm_scraper_spark.crawl.waves import CrawlRun, synthetic_fetcher
+    from llm_scraper_spark.sources.synthetic import synth_seeds
+
+    d = str(tmp_path / "bucketed_state")
+    run = CrawlRun(spark, d, fetcher=synthetic_fetcher(n_hosts=8, fanout=3),
+                   default_budget=16, n_salts=2,
+                   seen_layout="bucketed", n_seen_buckets=8)
+    run.run(2, seeds=synth_seeds(spark, 300, n_hosts=8))
+
+    seen = run.state.read_seen(2)
+    cand = spark.range(4096).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = cand.join(seen.select("url_hash"), on="url_hash",
+                      how="left_anti")
+        p = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    # exactly one Exchange: the candidate side shuffling into the
+    # bucket partitioning; none anywhere on the seen scan subtree
+    assert p.count("Exchange") == 1, p
+
+
 def test_url_hygiene_plan_pure_codegen(spark):
     """The hygiene chain compiles to Projects only: no Python stage, and no
     exchange besides the presentation orderBy's range partitioning."""
