@@ -188,6 +188,16 @@ class CrawlState:
                     removed.append(path)
         if self.seen_layout == "bucketed":
             removed += self._clean_seen_bucketed()
+        # settle a crashed output-table compaction (manifest committed ->
+        # roll forward; staged only -> roll back)
+        from ..sinks.compaction import recover_compaction
+
+        for t in self.OUTPUT_TABLES:
+            base = os.path.join(self.dir, t)
+            if os.path.isdir(base):
+                action = recover_compaction(base)
+                if action != "clean":
+                    removed.append(f"{base} (compaction {action})")
         # frontier_base: only the ledger-named fold is live; any other dir
         # is an orphan of a crashed compaction
         basedir = os.path.join(self.dir, "frontier_base")
@@ -492,7 +502,11 @@ class CrawlState:
         """Committed-snapshot read of every wave of ``table``: only dirs
         the ledger covers — a crash that left orphan ``wave=K`` dirs does
         not leak uncommitted rows into queries (snapshot isolation at wave
-        granularity, the Iceberg-read analogue)."""
+        granularity, the Iceberg-read analogue). After output-table
+        compaction (compact_output_tables) some waves live in FLAT
+        ``part-compact-*`` files at the table root — those hold only
+        rows of waves that were committed when the compaction ran, so
+        they are committed by construction and read unconditionally."""
         if self.catalog:
             waves = sorted(self._committed_for(table))
             if not waves:
@@ -508,6 +522,42 @@ class CrawlState:
             for w in sorted(self._committed_for(table))
             if os.path.exists(self._p(table, w))
         ]
-        if not paths:
+        flat = sorted(
+            os.path.join(base, n) for n in os.listdir(base)
+            if n.endswith(".parquet") and not n.startswith(("_", ".")))
+        readers = []
+        if flat:
+            readers.append(self.spark.read.parquet(*flat))
+        if paths:
+            readers.append(
+                self.spark.read.option("basePath", base).parquet(*paths))
+        if not readers:
             return None
-        return self.spark.read.option("basePath", base).parquet(*paths)
+        out = readers[0]
+        for r in readers[1:]:
+            out = out.unionByName(r)
+        return out
+
+    # --- output-table compaction ---------------------------------------
+    OUTPUT_TABLES = ("documents", "schedule_log", "metrics")
+
+    def compact_output_tables(
+            self, capacity: int = 128 * 1024 * 1024,
+            tables: tuple[str, ...] = OUTPUT_TABLES) -> dict:
+        """Fold the wave-fragmented append-only OUTPUT tables into
+        ~capacity-sized flat files via the crash-safe executor
+        (sinks/compaction.py) — every wave appends a few files per
+        table, so a long crawl's read amplification grows linearly
+        until folded. Only tables whose reads go through read_all are
+        eligible: the per-wave state tables (seen/frontier deltas,
+        fetch tombstones) are read wave-bounded and keep their dirs.
+        Runs at a wave boundary (single writer); a crash mid-compaction
+        settles on resume via recover_compaction."""
+        from ..sinks.compaction import compact_files
+
+        stats = {}
+        for t in tables:
+            base = os.path.join(self.dir, t)
+            if os.path.isdir(base):
+                stats[t] = compact_files(self.spark, base, capacity=capacity)
+        return stats

@@ -229,6 +229,8 @@ class CrawlRun:
         deny_patterns: DataFrame | None = None,
         seen_layout: str = "delta",
         n_seen_buckets: int = 32,
+        compact_tables_every: int = 0,
+        compact_target_bytes: int = 128 * 1024 * 1024,
     ):
         self.spark = spark
         self.state = CrawlState(spark, state_dir, seen_layout=seen_layout,
@@ -272,6 +274,13 @@ class CrawlRun:
         # bounds both the per-read delta dir count and the tombstone
         # anti-join side (<= N waves x budget rows). 0 disables.
         self.compact_every = compact_every
+        # fold the append-only OUTPUT tables (documents/schedule_log/
+        # metrics) every N waves via the crash-safe compaction executor
+        # (state.compact_output_tables): each wave appends a handful of
+        # files per table, so an un-folded long crawl's full-table reads
+        # open O(waves) files. 0 disables (short runs don't need it).
+        self.compact_tables_every = compact_tables_every
+        self.compact_target_bytes = compact_target_bytes
         # opt-in Common-Crawl-style archiving (sources/warc.py): each
         # wave's fetch output is written as wave=N/.warc.gz shards plus a
         # CDX capture index. Shards are byte-deterministic and published
@@ -773,6 +782,14 @@ class CrawlRun:
                 st.compact_frontier(wave)
                 timings["compact_frontier"] = round(
                     _time.time() - _t0, 3)
+        # output-table fold (same boundary, own crash protocol): runs
+        # AFTER the wave commit so a crash mid-fold settles on resume
+        # without touching the wave ledger
+        if self.compact_tables_every and \
+                (wave + 1) % self.compact_tables_every == 0:
+            _tc = _time.time()
+            st.compact_output_tables(capacity=self.compact_target_bytes)
+            timings["compact_tables"] = round(_time.time() - _tc, 3)
         # every cross-wave input is re-read from the committed parquet
         # (CrawlState), so this wave's checkpoint blocks are dead weight
         # now — release them or a long crawl accumulates one wave's

@@ -117,7 +117,15 @@ def _finish(table_dir: str) -> None:
         if os.path.exists(p):
             os.remove(p)
     for root, dirs, names in os.walk(table_dir, topdown=False):
-        if root != table_dir and not dirs and not names:
+        if root == table_dir:
+            continue
+        # a source dir whose data files were all folded away may still
+        # hold writer metadata (_SUCCESS etc.) — that's an empty dir for
+        # every reader, and leaving it breaks partition-discovery reads
+        leftovers = [n for n in names if n.startswith(("_", "."))]
+        if not dirs and len(leftovers) == len(names):
+            for n in leftovers:
+                os.remove(os.path.join(root, n))
             os.rmdir(root)
     shutil.rmtree(os.path.join(table_dir, STAGE), ignore_errors=True)
     os.remove(mpath)
