@@ -69,10 +69,92 @@ def _merge_step(left: str, right: str):
     return step
 
 
+def _driver_merges(rows: list[tuple[str, int]],
+                   n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Sequential BPE over a COLLECTED vocabulary histogram — the hybrid
+    finish (VERDICT r4 #5): the corpus pass and histogram stay
+    distributed, but once the vocab table fits a driver bound the merge
+    rounds run in-memory, killing the one-Spark-job-per-merge wall
+    (~0.5s/round of scheduler latency x 30k-50k merges for a real
+    tokenizer). Semantics are EXACTLY the distributed loop's — same
+    positional pair counts (overlaps included), same (n DESC, a, b)
+    argmax tiebreak, same greedy leftmost non-overlapping application,
+    same n >= 2 stop — so the DuckDB oracle replays either path
+    unchanged. Incremental: a merge re-diffs only the words that
+    contain the pair (an index pair -> word ids), with a lazy-validated
+    heap for the argmax."""
+    import heapq
+    from collections import Counter
+
+    words = [s.split(" ") for s, _ in rows]
+    cnts = [int(c) for _, c in rows]
+
+    def word_pairs(syms):
+        return Counter(zip(syms, syms[1:]))
+
+    pair_n: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        for p, k in word_pairs(syms).items():
+            pair_n[p] += k * cnts[i]
+            pair_words.setdefault(p, set()).add(i)
+    heap = [(-n, a, b) for (a, b), n in pair_n.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negn, a, b = heap[0]
+            if pair_n.get((a, b), 0) != -negn:  # stale entry
+                heapq.heappop(heap)
+                continue
+            best = (a, b, -negn)
+            break
+        if best is None or best[2] < 2:
+            break
+        a, b, n = best
+        merges.append((rank, a, b, n))
+        merged = a + b
+        for i in sorted(pair_words.get((a, b), ())):
+            syms = words[i]
+            old = word_pairs(syms)
+            out, j = [], 0
+            while j < len(syms):
+                if (j + 1 < len(syms) and syms[j] == a
+                        and syms[j + 1] == b):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            new = word_pairs(out)
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    pair_n[p] += d * cnts[i]
+                    if pair_n[p] <= 0:
+                        del pair_n[p]
+                    else:
+                        heapq.heappush(heap, (-pair_n[p], p[0], p[1]))
+                if p in new:
+                    pair_words.setdefault(p, set()).add(i)
+                elif p in pair_words:
+                    pair_words[p].discard(i)
+        pair_words.pop((a, b), None)
+    return merges
+
+
 def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     driver_finish_max_vocab: int = 2_000_000) -> DataFrame:
     """Learn ``n_merges`` BPE merges over a document corpus. Stops early
-    if the vocabulary runs out of repeated pairs. See module docs."""
+    if the vocabulary runs out of repeated pairs. When the distinct-word
+    histogram fits ``driver_finish_max_vocab`` rows (it is bounded by
+    language, not corpus size — the common case even at 100 TB), the
+    merge rounds run driver-side on the collected histogram
+    (:func:`_driver_merges`, identical semantics); above the bound the
+    per-round distributed loop runs instead. See module docs."""
     from .checkpoints import local_checkpoint_tracked, release_checkpoint
 
     spark = docs.sparkSession
@@ -92,6 +174,13 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
         )
     )
     words, prev_ck = local_checkpoint_tracked(words)
+    n_vocab = words.count()  # vocab-sized metadata count off the checkpoint
+    if n_vocab <= driver_finish_max_vocab:
+        rows = [(r["s"], r["cnt"]) for r in words.collect()]
+        release_checkpoint(spark, prev_ck)
+        return spark.createDataFrame(
+            _driver_merges(rows, n_merges),
+            "merge_rank int, left string, right string, pair_count long")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         syms = F.split(F.col("s"), " ")
