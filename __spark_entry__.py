@@ -1068,6 +1068,77 @@ def q_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, _pq_query_vec(), k_top=10, m=8, dim=64)
 
 
+def _vp_query_vec(dim: int = 8) -> list[float]:
+    """Deterministic query vector for the composed vector pipeline —
+    0.1-step rationals both engines parse from the same literal."""
+    return [((j * 37 + 11) % 21 - 10) / 10.0 for j in range(dim)]
+
+
+def q_vector_pipeline(spark, sf_dir):
+    """VERDICT r4 #7 — the vector tier composed END-TO-END as one query:
+    interleaved spans (golden-pinned corpus) -> deterministic fake
+    embeddings per text span (md5 closed form per dimension — the CLIP
+    stand-in) -> IVF coarse-quantizer FIT (MLlib kmeans||) -> inverted-
+    list assignment + exhaustive-probe top-k. nprobe == k_centroids
+    makes the ANN result provably equal exact cosine top-k, so the
+    DuckDB oracle verifies the whole composed chain (spans -> embed ->
+    index -> rank) without replaying kmeans; partial-probe recall for
+    the same machinery is measured in tests/test_goldens.py."""
+    from llm_scraper_spark.operators.similarity import (
+        ivf_fit_centroids, ivf_topk)
+    from llm_scraper_spark.sources.synthetic import build_documents_interleaved
+
+    tune_session(spark)
+    dim = 8
+    docs = build_documents_interleaved(spark, sf_dir)
+    spans = (
+        docs.select("doc_id", F.posexplode("spans").alias("span_idx", "_s"))
+        .filter(F.col("_s.kind") == "text")
+        .select("doc_id", "span_idx")
+    )
+
+    def comp(j):
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.col("doc_id"), F.lit("|"), F.col("span_idx").cast("string"),
+            F.lit("|"), F.lit(str(j)))), 1, 15), 16, 10).cast("long")
+        return ((h % 2001) - 1000).cast("double") / 1000.0
+
+    emb = spans.select(
+        F.concat(F.col("doc_id"), F.lit("#"),
+                 F.col("span_idx").cast("string")).alias("vec_id"),
+        F.array(*[comp(j) for j in range(dim)]).alias("embedding"),
+    )
+    cents = ivf_fit_centroids(emb, k_centroids=8, max_iter=3)
+    top = ivf_topk(emb, _vp_query_vec(dim), cents, k=5, nprobe=len(cents))
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _vector_pipeline_oracle_sql() -> str:
+    golden = "/root/repo/goldens/spans_sf0.01.parquet"
+    qv = "[" + ", ".join(repr(x) for x in _vp_query_vec(8)) + "]::DOUBLE[]"
+    return f"""
+WITH sp AS (
+  SELECT doc_id, span_idx
+  FROM read_parquet('{golden}') WHERE kind = 'text'),
+e AS (
+  SELECT doc_id || '#' || span_idx::VARCHAR AS vec_id,
+         list_transform(range(0, 8), j ->
+           ((('0x' || substring(md5(doc_id || '|' || span_idx::VARCHAR
+                                     || '|' || j::VARCHAR), 1, 15))::BIGINT
+             % 2001) - 1000) / 1000.0) AS v
+  FROM sp),
+q AS (SELECT {qv} AS qv)
+SELECT vec_id,
+       round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             6) AS cos_sim
+FROM e, q
+ORDER BY list_dot_product(v, qv) /
+         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+         DESC, vec_id
+LIMIT 5"""
+
+
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (md5 3-gram min)."""
     from llm_scraper_spark.operators.text_analysis import fingerprint
@@ -4886,6 +4957,120 @@ LEFT JOIN r ON r.doc_id = m.doc_id AND r.media_idx = m.media_idx
 ORDER BY m.doc_id, m.media_idx"""
 
 
+def q_crawl_media_align(spark, sf_dir):
+    """VERDICT r4 #8 — crawl -> multimodal COMPOSITION: the bounded
+    synthetic crawl (same golden config as q_crawl_schedule_log) runs
+    for real, and its committed documents(doc_id, spans) output — the
+    north rule's interleaved text+media shape — feeds media_text_align
+    (MMC4-style per-media argmax, md5 closed form standing in for CLIP)
+    and the content-addressed media dedup (assets keyed by DECODED
+    pixel bytes via the real PNG/JPEG/GIF codecs; refs remapped onto 40
+    canonical images so duplicate groups exist). The oracle replays
+    both stages over the SIMULATOR's independently-derived span golden
+    (goldens/crawl_doc_spans.parquet)."""
+    import shutil
+
+    from jobs.make_goldens import (
+        CRAWL_BUDGET, CRAWL_FANOUT, CRAWL_N_HOSTS, CRAWL_N_SEEDS, CRAWL_WAVES)
+    from llm_scraper_spark.crawl.waves import CrawlRun, synthetic_fetcher
+    from llm_scraper_spark.operators.multimodal import (
+        _payload_udf, content_key_udf, media_text_align)
+    from llm_scraper_spark.sources.synthetic import synth_seeds
+
+    tune_session(spark)
+    state_dir = "/tmp/spark_graft_crawl_mm_query"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    run = CrawlRun(
+        spark, state_dir,
+        fetcher=synthetic_fetcher(n_hosts=CRAWL_N_HOSTS, fanout=CRAWL_FANOUT),
+        default_budget=CRAWL_BUDGET, n_salts=4,
+    )
+    run.run(CRAWL_WAVES,
+            seeds=synth_seeds(spark, CRAWL_N_SEEDS, n_hosts=CRAWL_N_HOSTS))
+    docs = run.state.read_all("documents")
+    flat = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "_s")
+    ).select(
+        "doc_id", "span_idx",
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.media_ref").alias("media_ref"),
+    )
+
+    def score(media_ref, text_idx):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id"), F.lit("|"), media_ref,
+                               F.lit("|"), text_idx.cast("string"))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+
+    aligned = media_text_align(flat, score)
+    ref2 = F.concat(
+        F.lit("https://cdn.example.com/img/"),
+        (F.regexp_extract("media_ref", r"(\d+)", 1).cast("long")
+         % 40).cast("string"),
+        F.lit(".jpg"),
+    )
+    keyed = aligned.select(
+        "doc_id", "media_idx", "media_ref", "text_idx", "score",
+        ref2.alias("canonical_ref"),
+    ).withColumn(
+        "ck", content_key_udf()(_payload_udf(F.col("canonical_ref"))))
+    win = W.partitionBy(F.col("ck.pixel_md5"))
+    asset_id = F.concat("doc_id", F.lit("#"),
+                        F.col("media_idx").cast("string"))
+    return keyed.select(
+        "doc_id", "media_idx", "media_ref", "text_idx", "score",
+        "canonical_ref",
+        (asset_id == F.min(asset_id).over(win)).alias("keep"),
+    ).orderBy("doc_id", "media_idx")
+
+
+def _crawl_media_align_oracle_sql() -> str:
+    golden = "/root/repo/goldens/crawl_doc_spans.parquet"
+    return rf"""
+WITH sp AS (SELECT * FROM read_parquet('{golden}')),
+media AS (
+  SELECT doc_id, span_idx AS media_idx, media_ref
+  FROM sp WHERE kind = 'media'),
+txt AS (SELECT doc_id, span_idx AS text_idx FROM sp WHERE kind = 'text'),
+pairs AS (
+  SELECT m.doc_id, m.media_idx, m.media_ref, t.text_idx,
+         ('0x' || substring(md5(m.doc_id || '|' || m.media_ref || '|'
+                                || t.text_idx::VARCHAR), 1, 15))::BIGINT
+             AS score
+  FROM media m JOIN txt t USING (doc_id)),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id, media_idx
+      ORDER BY score DESC, text_idx ASC) AS rn
+  FROM pairs),
+aligned AS (
+  SELECT m.doc_id, m.media_idx, m.media_ref, r.text_idx, r.score
+  FROM media m
+  LEFT JOIN r ON r.doc_id = m.doc_id AND r.media_idx = m.media_idx
+             AND r.rn = 1),
+keyed AS (
+  SELECT *,
+         'https://cdn.example.com/img/' ||
+           (regexp_extract(media_ref, '(\d+)', 1)::BIGINT % 40)::VARCHAR
+           || '.jpg' AS canonical_ref,
+         doc_id || '#' || media_idx::VARCHAR AS asset_id
+  FROM aligned),
+ck AS (
+  SELECT *,
+         (16 + ('0x' || substring(md5(canonical_ref), 1, 2))::INT) AS w,
+         (16 + ('0x' || substring(md5(canonical_ref), 3, 2))::INT) AS h,
+         ('0x' || substring(md5(canonical_ref), 7, 2))::INT AS cr,
+         ('0x' || substring(md5(canonical_ref), 9, 2))::INT AS cg,
+         ('0x' || substring(md5(canonical_ref), 11, 2))::INT AS cb
+  FROM keyed)
+SELECT doc_id, media_idx, media_ref, text_idx, score, canonical_ref,
+       asset_id = min(asset_id) OVER (PARTITION BY w, h, cr, cg, cb) AS keep
+FROM ck ORDER BY doc_id, media_idx"""
+
+
 def q_embedding_pca(spark, sf_dir):
     """Top principal component of the embeddings table by integer power
     iteration (the all-but-the-top / whitening primitive): power-of-two
@@ -5783,6 +5968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_dedup": q_cuckoo_dedup,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
+        "vector_pipeline": q_vector_pipeline,
         "pq_topk": q_pq_topk,
         "curation_pipeline": q_curation_pipeline,
         "dedup_clusters": q_dedup_clusters,
@@ -5906,6 +6092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_value": q_crawl_value,
         "bowtie": q_bowtie,
         "media_text_align": q_media_text_align,
+        "crawl_media_align": q_crawl_media_align,
         "embedding_pca": q_embedding_pca,
         "pack_efficiency": q_pack_efficiency,
         "stream_sessions": q_stream_sessions,
@@ -6031,6 +6218,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 5
         """,
+        "vector_pipeline": _vector_pipeline_oracle_sql(),
         # Goldenless learned-codebook replay: md5-ranked init + every
         # integer Lloyd round + full-corpus encode + ADC, rebuilt in
         # DuckDB from the embeddings view alone (operators/pq.py).
@@ -6267,6 +6455,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_value": _crawl_value_oracle_sql(),
         "bowtie": _bowtie_oracle_sql(),
         "media_text_align": _media_text_align_oracle_sql(),
+        "crawl_media_align": _crawl_media_align_oracle_sql(),
         "embedding_pca": _embedding_pca_oracle_sql(),
         "pack_efficiency": _pack_efficiency_oracle_sql(),
         "stream_sessions": _stream_sessions_oracle_sql(),

@@ -194,6 +194,39 @@ def make_fixture_goldens() -> None:
     print(f"wrote {path}: {len(out)} fixtures pinned")
 
 
+def make_crawl_doc_spans(spark) -> None:
+    """Flattened spans of the documents the SIMULATOR's crawl emits at
+    the golden config — the independently-derived corpus the
+    q_crawl_media_align oracle (VERDICT r4 #8) replays over. Pure
+    single-node Python: simulator fetch loop + the chunker's pure
+    functions; the distributed crawl must land on the same spans."""
+    from llm_scraper_spark.crawl.simulator import simulate_crawl
+    from llm_scraper_spark.operators.chunker import (
+        chunk_by_token_estimate, doc_id_for_url, interleave_spans)
+    from llm_scraper_spark.sources.synthetic import synth_page, synth_seeds
+
+    seeds = synth_seeds(spark, CRAWL_N_SEEDS, n_hosts=CRAWL_N_HOSTS)
+    urls = [r["url"] for r in seeds.orderBy("seq").collect()]
+    sim = simulate_crawl(
+        urls, CRAWL_WAVES, budget=CRAWL_BUDGET,
+        fetch_fn=lambda u: synth_page(u, n_hosts=CRAWL_N_HOSTS,
+                                      fanout=CRAWL_FANOUT),
+    )
+    rows = []
+    for canon, content, media in sim["documents"]:
+        did = doc_id_for_url(canon)
+        for i, s in enumerate(interleave_spans(
+                chunk_by_token_estimate(content), media)):
+            rows.append((did, i, s["kind"], s["media_ref"]))
+    pdf = pd.DataFrame(rows,
+                       columns=["doc_id", "span_idx", "kind", "media_ref"])
+    pdf["span_idx"] = pdf["span_idx"].astype("int32")
+    path = os.path.join(GOLDENS, "crawl_doc_spans.parquet")
+    pdf.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(pdf)} spans over "
+          f"{pdf['doc_id'].nunique()} crawled documents")
+
+
 def main() -> None:
     from llm_scraper_spark.session import get_spark
 
@@ -206,6 +239,7 @@ def main() -> None:
         make_knn_buckets(spark, sf)
         make_minhash_pairs(spark, sf)
     make_crawl_log(spark)
+    make_crawl_doc_spans(spark)
     spark.stop()
 
 
