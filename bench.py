@@ -648,7 +648,14 @@ def _wave_profile_section() -> str:
         "still last) — the per-write rows below are submit-to-finish\n"
         "walls (they include scheduler queueing behind the wave's own\n"
         "jobs), while `state_writes` is the wall actually spent BLOCKED\n"
-        "at the commit barrier, i.e. the only serial cost left.\n\n"
+        "at the commit barrier. Since round 5 the fetch stage is FUSED\n"
+        "(spans + uuid5 doc ids + canonicalized outlink structs computed\n"
+        "inside the fetch Arrow batch — the page corpus crosses Python\n"
+        "once per wave, which is why `fetch` grew while discover_dedup\n"
+        "fell 3.2->1.0s and write_documents 2.0->0.3s), and the bloom\n"
+        "delta merge runs PAST the commit barrier on a persistent thread\n"
+        "(`bloom_delta` is now the wall blocked at the next wave's tag\n"
+        "point — ~0).\n\n"
         "| phase | median sec |\n|---|---|\n" + rows +
         f"\nSeed-init phase walls: {init_line}.\n"
         + ("\nAll profile attempts (best window kept above; the shared "
@@ -680,7 +687,8 @@ def _default_runs_section() -> str:
     rows = "".join(
         f"| {r['ts']} | {r['sec']} | {r['urls_per_sec']:,.0f} "
         f"| {r.get('all_runs_sec') or '—'} | {_f(r.get('hw_units_per_sec'))} "
-        f"| {_f(r.get('wave_loop_urls_per_sec'))} |\n"
+        f"| {_f(r.get('wave_loop_urls_per_sec'))} "
+        f"| {_f(r.get('extract_pages_per_sec'))} |\n"
         for r in runs
     )
     wl = sorted(r["wave_loop_urls_per_sec"] for r in runs
@@ -708,11 +716,25 @@ def _default_runs_section() -> str:
         "ONE cold rep in a window the hw probes around it measured at\n"
         "0.24-0.95x delivered parallelism. Rows from before round 3 show\n"
         "'—' in the new columns.\n\n"
+        "Round 5 restructured the wave loop (fused fetch stage: spans +\n"
+        "uuid5 + canonicalized outlinks computed inside the fetch Arrow\n"
+        "batch, ONE Python crossing per wave; bloom delta deferred past\n"
+        "the commit barrier) — the round-3 target of 100k URL-ops/s was\n"
+        "crossed in a stock run (ts 1787329814.3: 100,244) with the\n"
+        "hunted best window at 116,702 (BENCH/wave_profile.json). The\n"
+        "bucketed seen layout A/B at this config: ~3s/run SLOWER than\n"
+        "the delta layout (the bloom keeps the anti-join tiny while the\n"
+        "bucketed append pays a shuffle+sort per wave), so delta stays\n"
+        "the default and bucketed is the 10^10 regime option — the A/B\n"
+        "knob is SPARK_GRAFT_SEEN_LAYOUT. Runs since round 5 also carry\n"
+        "the extraction headline (pages/s over synthetic HTML cycling\n"
+        "the 93 real parser configs; 'extract p/s' column).\n\n"
         f"**Median throughput over {len(thr)} runs: {med:,.0f} URLs "
         f"scheduled+deduped/sec** (min {thr[0]:,.0f}, max {thr[-1]:,.0f})\n\n"
         + wl_line +
         "| unix ts | frontier sec | URLs/sec | all reps (sec) "
-        "| hw units/s | wave-loop URL-ops/s |\n|---|---|---|---|---|---|\n"
+        "| hw units/s | wave-loop URL-ops/s | extract p/s |\n"
+        "|---|---|---|---|---|---|---|\n"
         + rows + "\n"
     )
 
