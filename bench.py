@@ -214,8 +214,14 @@ def bench_extraction(spark, sf_dir: str) -> dict:
         real or ["cfg.example"],
         (f"generic{i}.example" for i in range(len(real) or 1)),
     ) for d in pair]
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")
-                              ).select("doc_id", "text")
+    # replicate the corpus 8x (distinct urls) so the measured rate is
+    # the SUSTAINED pipeline throughput, not Spark's fixed per-job
+    # overhead over a few thousand rows
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text")
+            .crossJoin(spark.range(8).select(F.col("id").alias("rep")))
+            .select((F.col("doc_id") * 8 + F.col("rep")).alias("doc_id"),
+                    "text"))
     n_pages = docs.count()
     dom = F.element_at(
         F.array(*[F.lit(d) for d in domains]),

@@ -414,22 +414,38 @@ def extract_articles_udf(configs: dict[str, dict], output_format: str = "markdow
 def extract_documents(df_raw, configs: dict[str, dict],
                       output_format: str = "markdown"):
     """documents_raw(url, domain, raw_html) -> extracted articles DataFrame
-    + interleaved spans + uuid5 doc ids (the §7.1 minimum slice)."""
+    + interleaved spans + uuid5 doc ids (the §7.1 minimum slice).
+
+    Fused (r5, same move as the crawl fetcher): doc_id and spans are
+    computed INSIDE the extract batch, so the extracted content crosses
+    the Arrow boundary once instead of three times (extract out, uuid5
+    in/out, chunker in/out) — at 100 TB the production path's wall is
+    this stage, and the re-serialization of every article's content
+    into two more Python stages was pure overhead."""
     from pyspark.sql import functions as F
 
-    from ..chunker import spans_from_text, uuid5_url
+    from ..chunker import (
+        chunk_by_token_estimate, doc_id_for_url, interleave_spans)
 
     sc = df_raw.sparkSession.sparkContext
     bc = sc.broadcast(configs)
+    span_ddl = ("array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>")
 
     def gen(batches):
-        yield from extract_articles_udf(bc.value, output_format)(batches)
+        inner = extract_articles_udf(bc.value, output_format)
+        for pdf in inner(batches):
+            keep = pdf["status"] == "ok"
+            out = pdf[keep].copy()
+            out["doc_id"] = [doc_id_for_url(u) for u in out["url"]]
+            out["spans"] = [
+                interleave_spans(
+                    chunk_by_token_estimate(c if isinstance(c, str) else ""),
+                    list(m) if m is not None else [])
+                for c, m in zip(out["content"], out["media_refs"])
+            ]
+            yield out
 
-    extracted = df_raw.select("url", "domain", "raw_html").mapInPandas(
-        gen, schema=EXTRACT_RESULT_DDL
-    )
-    ok = extracted.filter(F.col("status") == "ok")
-    return (
-        ok.withColumn("doc_id", uuid5_url(F.col("url")))
-        .withColumn("spans", spans_from_text(F.col("content"), F.col("media_refs")))
+    return df_raw.select("url", "domain", "raw_html").mapInPandas(
+        gen, schema=EXTRACT_RESULT_DDL + f", doc_id string, spans {span_ddl}"
     )
