@@ -217,11 +217,16 @@ def bench_extraction(spark, sf_dir: str) -> dict:
     # replicate the corpus 8x (distinct urls) so the measured rate is
     # the SUSTAINED pipeline throughput, not Spark's fixed per-job
     # overhead over a few thousand rows
+    # repartition: the replicated frame inherits the source parquet's
+    # few file-partitions, which undersubscribes the executor cores the
+    # extraction stage should saturate
+    n_parts = int(spark.sparkContext.defaultParallelism) * 2
     docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .select("doc_id", "text")
             .crossJoin(spark.range(8).select(F.col("id").alias("rep")))
             .select((F.col("doc_id") * 8 + F.col("rep")).alias("doc_id"),
-                    "text"))
+                    "text")
+            .repartition(n_parts))
     n_pages = docs.count()
     dom = F.element_at(
         F.array(*[F.lit(d) for d in domains]),
