@@ -344,6 +344,52 @@ def test_wave_loop_python_stages_only_fetch_and_chunk(spark, tmp_path):
         assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
 
 
+def test_fused_wave_single_python_crossing(spark, tmp_path):
+    """Round 5: the fused fetch contract means the page corpus crosses
+    the Python boundary ONCE per wave — the fetch mapInPandas. The only
+    other Python stage in a fused wave is the bloom tag (an Arrow UDF
+    over 8-byte hash rows, not the corpus). Pin that: the documents
+    write plan off a fused fetcher must contain the fetch MapInPandas
+    and NO ArrowEvalPython (no uuid5/chunker stages), and the fused
+    discovery chain up to the dedup must be Python-free past the fetch."""
+    from llm_scraper_spark.crawl.waves import synthetic_fetcher
+    from llm_scraper_spark.plans.explain import physical_plan
+    from llm_scraper_spark.sources.synthetic import synth_seeds
+
+    seeds = synth_seeds(spark, 50, n_hosts=8)
+    from llm_scraper_spark.functions.urls import with_canonical
+    sched = (with_canonical(seeds.select("url", "priority", "seq"),
+                            key_hex=False)
+             .withColumn("salt", F.lit(0))
+             .withColumn("wave", F.lit(0))
+             # the real wave fetches from a CHECKPOINTED schedule — cut
+             # the seed-canonicalization lineage the same way so the
+             # plan under test is the wave's own
+             .localCheckpoint())
+    pages = synthetic_fetcher(n_hosts=8, fanout=3)(sched)
+    assert "spans" in pages.columns and "outlinks_canon" in pages.columns
+
+    docs = pages.filter(F.col("ok")).select(
+        "doc_id", "spans", "url", "host", "wave", "seq")
+    p = physical_plan(docs, "simple")
+    assert p.count("MapInPandas") == 1  # the fetch itself
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    cand = (
+        pages.select(F.col("seq").alias("parent_seq"),
+                     F.posexplode_outer("outlinks_canon")
+                     .alias("link_idx", "_l"))
+        .filter(F.col("_l").isNotNull())
+        .select(F.col("_l.canonical_url").alias("canonical_url"))
+        .withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
+    )
+    p2 = physical_plan(cand, "simple")
+    # canonicalization happened inside the fetch batch: no second
+    # Python stage anywhere in the discovery chain
+    assert p2.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in p2 and "BatchEvalPython" not in p2
+
+
 def test_bucketed_seen_anti_join_no_exchange_on_seen_side(spark, tmp_path):
     """seen_layout='bucketed' (VERDICT r4 #2): the per-wave dedup
     anti-join against the bucketed catalog seen table must plan with
