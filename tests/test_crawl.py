@@ -315,6 +315,16 @@ def test_resume_after_midcommit_crash(spark, tmp_path, monkeypatch):
             == run_b.state.read_ledger()["next_seq"])
 
 
+def test_archive_requires_content_column(spark, tmp_path):
+    """Archive mode needs the raw payload; a fused fetcher (no content
+    column) must fail loudly at the wave, not write empty WARCs."""
+    run = CrawlRun(spark, str(tmp_path / "state"),
+                   fetcher=synthetic_fetcher(n_hosts=4, fanout=2),
+                   archive_dir=str(tmp_path / "arc"))
+    with pytest.raises(ValueError, match="content"):
+        run.run(1, seeds=_mk_seeds(spark, 10))
+
+
 def test_output_table_compaction_in_wave_loop(spark, tmp_path, monkeypatch):
     """VERDICT r4 #6: CrawlRun(compact_tables_every=K) folds the
     append-only output tables (documents/schedule_log/metrics) at wave
