@@ -315,6 +315,30 @@ def test_resume_after_midcommit_crash(spark, tmp_path, monkeypatch):
             == run_b.state.read_ledger()["next_seq"])
 
 
+def test_feature_combination_crawl_equality(spark, tmp_path):
+    """The round-5 features compose: ONE crawl with the bucketed seen
+    layout + output-table folding every 2 waves + the cuckoo standing
+    filter must still match the plain-config run exactly (schedule log,
+    seen keys, next_seq) over 4 waves."""
+    n_seeds, n_waves, budget = 40, 4, 3
+    plain = _run_spark_crawl(spark, tmp_path / "plain", n_seeds, n_waves,
+                             budget)
+    combo = CrawlRun(
+        spark, str(tmp_path / "combo" / "state"),
+        fetcher=synthetic_fetcher(n_hosts=N_HOSTS, fanout=FANOUT),
+        default_budget=budget, n_salts=4,
+        seen_layout="bucketed", n_seen_buckets=8, seen_filter="cuckoo",
+        compact_tables_every=2, compact_target_bytes=1 << 30,
+    )
+    combo.run(n_waves, seeds=_mk_seeds(spark, n_seeds))
+    assert _spark_schedule_log(plain) == _spark_schedule_log(combo)
+    a = {r["key_hex"] for r in plain.state.read_seen(n_waves).collect()}
+    b = {r["key_hex"] for r in combo.state.read_seen(n_waves).collect()}
+    assert a == b
+    assert (plain.state.read_ledger()["next_seq"]
+            == combo.state.read_ledger()["next_seq"])
+
+
 def test_archive_requires_content_column(spark, tmp_path):
     """Archive mode needs the raw payload; a fused fetcher (no content
     column) must fail loudly at the wave, not write empty WARCs."""
