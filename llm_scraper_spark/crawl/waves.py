@@ -627,9 +627,17 @@ class CrawlRun:
         # without materialization both branches would recompute the
         # canonicalize+dedup(+tag) lineage; (b) the observation counts once.
         obs_disc = Observation(f"w{wave}_discovered")
-        cand = cand.observe(obs_disc, F.count(F.lit(1)).alias("n"))
+        # min/max of the discovery order key ride the same observation:
+        # they bound every post-filter subset, so the seq assigner can
+        # skip its own min/max driver job (a superset range only
+        # buckets; exact offsets come from the assigner's counts job)
+        cand = cand.observe(
+            obs_disc, F.count(F.lit(1)).alias("n"),
+            F.min(F.col("_disc_ord").cast("long")).alias("lo"),
+            F.max(F.col("_disc_ord").cast("long")).alias("hi"))
         cand = _ck(cand)
         n_discovered = obs_disc.get["n"]
+        disc_bounds = (obs_disc.get["lo"], obs_disc.get["hi"])
         _mark("discover_dedup")
         # Join-strategy selection from ledger stats alone (no extra Spark
         # action): reverse the dedup anti-join (broadcast the maybe-seen
@@ -662,7 +670,7 @@ class CrawlRun:
 
         new = frontier_ops.assign_global_seq(
             new, next_seq, ("_disc_ord",), ck_sink=wave_ck,
-            materialize_input=bloom is None)
+            materialize_input=bloom is None, bounds=disc_bounds)
         obs_new = Observation(f"w{wave}_new")
         new_frontier_rows = (
             new.withColumn("priority", F.lit(self.link_priority))

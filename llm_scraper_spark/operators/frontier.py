@@ -190,6 +190,7 @@ def assign_global_seq(
     order_cols: tuple[str, ...] = ("parent_seq", "link_idx"),
     ck_sink: list | None = None,
     materialize_input: bool = True,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Assign the contiguous global FIFO ``seq`` to newly discovered URLs.
 
@@ -256,14 +257,22 @@ def assign_global_seq(
     spark = candidates.sparkSession
     first = order_cols[0]
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    mm = candidates.agg(
-        F.min(F.col(first).cast("long")).alias("lo"),
-        F.max(F.col(first).cast("long")).alias("hi"),
-    ).collect()[0]
-    if mm["lo"] is None:  # empty input
-        return candidates.withColumn(
-            "seq", F.lit(int(base_seq)).cast("long"))
-    lo, hi = int(mm["lo"]), int(mm["hi"])
+    if bounds is not None and bounds[0] is not None:
+        # caller-provided [lo, hi] covering every candidate's leading
+        # key (a SUPERSET range is correct — boundaries only bucket,
+        # exact offsets come from the counts job below). The wave loop
+        # rides min/max on its discovery Observation, saving one
+        # driver job per wave.
+        lo, hi = int(bounds[0]), int(bounds[1])
+    else:
+        mm = candidates.agg(
+            F.min(F.col(first).cast("long")).alias("lo"),
+            F.max(F.col(first).cast("long")).alias("hi"),
+        ).collect()[0]
+        if mm["lo"] is None:  # empty input
+            return candidates.withColumn(
+                "seq", F.lit(int(base_seq)).cast("long"))
+        lo, hi = int(mm["lo"]), int(mm["hi"])
     span = hi - lo + 1
     if span >= (1 << 62):  # (v - lo) must stay in int64; degenerate, never
         n_buckets = 1      # hit by wave keys (bounded parent_seq ranges)
@@ -274,6 +283,9 @@ def assign_global_seq(
         .agg(F.count(F.lit(1)).alias("n")).collect(),
         key=lambda r: r["_bkt"],
     )
+    if not counts:  # empty input with caller-provided bounds
+        return candidates.withColumn(
+            "seq", F.lit(int(base_seq)).cast("long"))
     flat_off: list = []
     offset = 0
     for r in counts:
