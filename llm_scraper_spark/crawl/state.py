@@ -103,11 +103,23 @@ class CrawlState:
         self.seen_layout = seen_layout
         self.n_seen_buckets = n_seen_buckets
         os.makedirs(state_dir, exist_ok=True)
-        recorded = self.read_ledger().get("seen_layout")
+        ledger = self.read_ledger()
+        recorded = ledger.get("seen_layout")
         if recorded is not None and recorded != seen_layout:
             raise ValueError(
                 f"state dir was created with seen_layout={recorded!r}; "
                 f"resume with the same layout (got {seen_layout!r})")
+        rec_buckets = ledger.get("n_seen_buckets")
+        if (seen_layout == "bucketed" and rec_buckets is not None
+                and int(rec_buckets) != n_seen_buckets):
+            # a mismatched bucket count would re-register the catalog
+            # table with the wrong INTO N BUCKETS over existing files —
+            # the scan then claims a partitioning the data doesn't have
+            # and the dedup anti-join silently drops/misses rows
+            raise ValueError(
+                f"state dir's bucketed seen table was written with "
+                f"{rec_buckets} buckets; resume with the same count "
+                f"(got {n_seen_buckets})")
 
     # --- ledger ---------------------------------------------------------
     @property
@@ -141,6 +153,8 @@ class CrawlState:
         ledger["waves"].sort(key=lambda w: w["wave"])
         ledger["next_seq"] = next_seq
         ledger["seen_layout"] = self.seen_layout
+        if self.seen_layout == "bucketed":
+            ledger["n_seen_buckets"] = self.n_seen_buckets
         self._write_ledger(ledger)
 
     def last_wave(self) -> int | None:
@@ -485,7 +499,14 @@ class CrawlState:
         """T5 retention (reference TTL, cache.py:229-263): drop result
         tables (documents / schedule_log / metrics) for waves older than
         the last N. Crawl STATE (frontier snapshots, seen deltas) is never
-        expired — the seen set must stay exact."""
+        expired — the seen set must stay exact.
+
+        Compaction-aware: waves folded into flat ``part-compact-*``
+        files by compact_output_tables carry their wave id in the data's
+        own ``wave`` column, so expiring them is a filtered rewrite of
+        the flat files under the SAME stage -> manifest -> finish crash
+        protocol the compaction executor uses (a crash settles on the
+        resume path's recover_compaction)."""
         import shutil
 
         ledger = self.read_ledger()
@@ -496,7 +517,55 @@ class CrawlState:
                 path = self._p(table, w)
                 if os.path.exists(path):
                     shutil.rmtree(path)
+        if expired:
+            cutoff = expired[-1]  # keep rows with wave > cutoff
+            for table in ("documents", "schedule_log", "metrics"):
+                self._expire_flat(table, cutoff)
         return expired
+
+    def _expire_flat(self, table: str, cutoff_wave: int) -> None:
+        """Rewrite a table's compacted flat files keeping only rows with
+        ``wave > cutoff_wave``, via the compaction executor's commit
+        protocol (stage, fsynced manifest rename, idempotent finish)."""
+        import json as _json
+        import tempfile as _tempfile
+
+        from pyspark.sql import functions as F
+
+        from ..sinks.compaction import (
+            MANIFEST, STAGE, _finish, _next_epoch, data_files,
+            recover_compaction)
+
+        base = os.path.join(self.dir, table)
+        if not os.path.isdir(base):
+            return
+        recover_compaction(base)
+        flats = [rel for rel, _ in data_files(base) if os.sep not in rel]
+        if not flats:
+            return
+        kept = (self.spark.read.parquet(
+            *[os.path.join(base, rel) for rel in flats])
+            .filter(F.col("wave") > cutoff_wave))
+        epoch = _next_epoch(data_files(base))
+        stage = os.path.join(base, STAGE)
+        os.makedirs(stage, exist_ok=True)
+        out_tmp = os.path.join(stage, "expire")
+        kept.coalesce(1).write.mode("overwrite").parquet(out_tmp)
+        part = [n for n in os.listdir(out_tmp)
+                if n.endswith(".parquet") and not n.startswith(("_", "."))]
+        assert len(part) == 1, part
+        dst = f"part-compact-e{epoch}-g0.parquet"
+        staged_rel = os.path.join(STAGE, dst)
+        os.replace(os.path.join(out_tmp, part[0]),
+                   os.path.join(base, staged_rel))
+        fd, tmp = _tempfile.mkstemp(dir=base, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            _json.dump({"new": [{"src": staged_rel, "dst": dst}],
+                        "old": flats}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(base, MANIFEST))
+        _finish(base)
 
     def read_all(self, table: str) -> DataFrame | None:
         """Committed-snapshot read of every wave of ``table``: only dirs

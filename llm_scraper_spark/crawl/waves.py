@@ -820,12 +820,23 @@ class CrawlRun:
             # this keeps the on-disk state exactly the committed snapshot)
             self.state.clean_uncommitted()
         stats = []
-        for wave in range(last + 1, n_waves):
-            stats.append(self.run_wave(wave))
-        # settle the last wave's deferred delta merge (releases its
-        # checkpoint blocks) and park the bloom thread
-        self._join_bloom_delta()
-        if self._bloom_pool is not None:
-            self._bloom_pool.shutdown(wait=True)
-            self._bloom_pool = None
+        try:
+            for wave in range(last + 1, n_waves):
+                stats.append(self.run_wave(wave))
+            # settle the last wave's deferred delta merge on the success
+            # path (surfaces a failed merge as this run's error)
+            self._join_bloom_delta()
+        finally:
+            # ERROR path too, or a failed run leaks one wave's
+            # frontier-sized checkpoint blocks plus a thread per run;
+            # best-effort here so a join failure can't mask the
+            # original exception (idempotent — no-op after the join
+            # above succeeded)
+            try:
+                self._join_bloom_delta()
+            except Exception:
+                pass
+            if self._bloom_pool is not None:
+                self._bloom_pool.shutdown(wait=True)
+                self._bloom_pool = None
         return stats

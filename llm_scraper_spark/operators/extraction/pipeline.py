@@ -437,7 +437,10 @@ def extract_documents(df_raw, configs: dict[str, dict],
         for pdf in inner(batches):
             keep = pdf["status"] == "ok"
             out = pdf[keep].copy()
-            out["doc_id"] = [doc_id_for_url(u) for u in out["url"]]
+            # None-tolerant like the old uuid5_url UDF: a null url must
+            # degrade that row, not abort the task
+            out["doc_id"] = [doc_id_for_url(u) if isinstance(u, str)
+                             else None for u in out["url"]]
             out["spans"] = [
                 interleave_spans(
                     chunk_by_token_estimate(c if isinstance(c, str) else ""),

@@ -431,6 +431,20 @@ def test_output_table_compaction_in_wave_loop(spark, tmp_path, monkeypatch):
     assert _spark_schedule_log(run_b) == _spark_schedule_log(plain)
     assert docs_set(run_b) == docs_set(plain)
 
+    # T5 retention stays correct AFTER folding: waves live in flat
+    # files, so expire_results must rewrite them, not just rm wave dirs
+    expired = folded.state.expire_results(keep_last_n_waves=2)
+    assert expired == [0, 1, 2, 3]
+    log_waves = {r["wave"] for r in folded.state.read_all("schedule_log")
+                 .select("wave").distinct().collect()}
+    assert log_waves == {4, 5}
+    doc_waves = {r["wave"] for r in folded.state.read_all("documents")
+                 .select("wave").distinct().collect()}
+    assert doc_waves == {4, 5}
+    # survivors equal the plain run's last-2-waves rows exactly
+    keep = {d for d in docs_set(plain) if d[1] >= 4}
+    assert docs_set(folded) == keep
+
 
 def test_bucketed_seen_crash_and_resume_exact(spark, tmp_path, monkeypatch):
     """seen_layout='bucketed' (VERDICT r4 #2) under BOTH crash shapes:
@@ -494,6 +508,12 @@ def test_bucketed_seen_crash_and_resume_exact(spark, tmp_path, monkeypatch):
     # layout is recorded: resuming with the default delta layout refuses
     with pytest.raises(ValueError, match="seen_layout"):
         CrawlState(spark, str(tmp_path / "full" / "state"))
+    # ... and so is the bucket count: a mismatched resume would
+    # re-register the table with the wrong INTO N BUCKETS and silently
+    # mis-align the anti-join
+    with pytest.raises(ValueError, match="buckets"):
+        CrawlState(spark, str(tmp_path / "full" / "state"),
+                   seen_layout="bucketed", n_seen_buckets=32)
 
 
 def test_compaction_preserves_crawl_equality(spark, tmp_path):
